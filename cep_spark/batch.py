@@ -1,0 +1,522 @@
+"""Batch execution of compiled patterns.
+
+Two physical strategies (SURVEY.md §3.4 / §4.2):
+
+* ``run_batch``  — groupBy(key).applyInPandas over (ts, tiebreak)-sorted
+  groups, advancing the compiled NFA with NumPy/pandas *vectorized over
+  the partial-match set* per event (no per-row Python in the inner
+  candidate evaluation).  Handles everything incl. unbounded Kleene.
+  The same group matcher backs the streaming processor (stream.py), so
+  batch≡stream parity is structural.
+
+* ``plan_join``  (join_planner.py) — fixed-arity patterns lowered to
+  pure DataFrame self-joins: all-Catalyst, whole-stage-codegen'd, the
+  100-TB scale path for batch and the shape the DuckDB oracle checks.
+
+Replaces the reference's single-threaded evaluation-tree loop
+(reference `TreeBasedEvaluationMechanism.py`, SURVEY.md §2.3 E6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .compiler import CompiledPattern
+
+__all__ = ["match_group_nfa", "run_batch", "match_schema_array", "match_schema_flat"]
+
+
+def _obj_array(items) -> np.ndarray:
+    """1-D object ndarray of tuples (np.array would collapse to 2-D)."""
+    a = np.empty(len(items), dtype=object)
+    for j, t in enumerate(items):
+        a[j] = t
+    return a
+
+
+class _ColStore:
+    """Column arrays for one sorted group; gathers build pandas Series."""
+
+    def __init__(self, gdf: pd.DataFrame):
+        self._cols = {c: gdf[c].to_numpy() for c in gdf.columns}
+
+    def row(self, i: int) -> dict:
+        return {c: v[i] for c, v in self._cols.items()}
+
+    def gather(self, positions: np.ndarray) -> "_VarView":
+        return _VarView(self._cols, positions)
+
+
+class _VarView:
+    def __init__(self, cols, positions):
+        self._cols = cols
+        self._pos = positions
+
+    def __getitem__(self, col):
+        return pd.Series(self._cols[col][self._pos])
+
+
+class _Partials:
+    """Columnar partial-match table for one NFA state."""
+
+    __slots__ = ("scalar", "kleene", "first_pos", "last_pos", "first_ts")
+
+    def __init__(self, scalar_vars, kleene_vars):
+        self.scalar = {v: np.empty(0, dtype=np.int64) for v in scalar_vars}
+        self.kleene = {v: np.empty(0, dtype=object) for v in kleene_vars}
+        self.first_pos = np.empty(0, dtype=np.int64)
+        self.last_pos = np.empty(0, dtype=np.int64)
+        self.first_ts = np.empty(0, dtype=np.int64)  # ns epoch
+
+    def __len__(self):
+        return len(self.first_pos)
+
+    def select(self, mask_or_idx):
+        out = _Partials(self.scalar, self.kleene)
+        out.scalar = {v: a[mask_or_idx] for v, a in self.scalar.items()}
+        out.kleene = {v: a[mask_or_idx] for v, a in self.kleene.items()}
+        out.first_pos = self.first_pos[mask_or_idx]
+        out.last_pos = self.last_pos[mask_or_idx]
+        out.first_ts = self.first_ts[mask_or_idx]
+        return out
+
+    def extend(self, other: "_Partials"):
+        for v in self.scalar:
+            self.scalar[v] = np.concatenate([self.scalar[v], other.scalar[v]])
+        for v in self.kleene:
+            self.kleene[v] = np.concatenate([self.kleene[v], other.kleene[v]])
+        self.first_pos = np.concatenate([self.first_pos, other.first_pos])
+        self.last_pos = np.concatenate([self.last_pos, other.last_pos])
+        self.first_ts = np.concatenate([self.first_ts, other.first_ts])
+
+
+def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None):
+    """Vectorized evaluation of conjuncts over a partial table.
+
+    cur_var's attributes come from the current event (scalars, broadcast);
+    bound vars gather from the store.  Returns boolean ndarray."""
+    n = len(partials)
+    mask = np.ones(n, dtype=bool)
+    if not conds:
+        return mask
+
+    class _Env:
+        def __getitem__(self, var):
+            if var == cur_var:
+                return cur_row
+            if extra_scalar and var in extra_scalar:
+                return extra_scalar[var]
+            if var in partials.scalar:
+                return store.gather(partials.scalar[var])
+            raise KeyError(var)
+
+    env = _Env()
+    for c in conds:
+        r = c.pd(env)
+        if isinstance(r, (bool, np.bool_)):
+            if not r:
+                return np.zeros(n, dtype=bool)
+        else:
+            mask &= np.asarray(r, dtype=bool)
+    return mask
+
+
+def _gap_ok(spec_positions, spec, store, partials, cur_var, cur_row, i):
+    """For each partial: True if NO qualifying negative event lies strictly
+    between partial.last_pos and i.  Vectorized via searchsorted (+ pair
+    expansion only when the neg condition references bound variables)."""
+    np_pos = spec_positions
+    if len(np_pos) == 0:
+        return np.ones(len(partials), dtype=bool)
+    lo = np.searchsorted(np_pos, partials.last_pos, side="right")
+    hi = int(np.searchsorted(np_pos, i, side="left"))
+    counts = hi - lo
+    if not spec.multi:
+        return counts <= 0
+    ok = np.ones(len(partials), dtype=bool)
+    hot = np.nonzero(counts > 0)[0]
+    if len(hot) == 0:
+        return ok
+    # expand (partial, neg event) pairs and evaluate conditions vectorized
+    reps = counts[hot]
+    pair_partial = np.repeat(hot, reps)
+    pair_neg = np.concatenate([np_pos[lo[h] : hi] for h in hot])
+    sub = partials.select(pair_partial)
+    neg_view = store.gather(pair_neg)
+
+    class _Env:
+        def __getitem__(self, var):
+            if var == spec.var:
+                return neg_view
+            if var == cur_var:
+                return cur_row
+            return store.gather(sub.scalar[var])
+
+    env = _Env()
+    m = np.ones(len(pair_partial), dtype=bool)
+    for c in spec.multi:
+        r = c.pd(env)
+        m &= np.asarray(r, dtype=bool) if not isinstance(r, (bool, np.bool_)) else r
+    bad = np.bincount(pair_partial[m], minlength=len(partials)) > 0
+    return ~bad
+
+
+def _span_ok(spec_positions, spec, store, partials, alt):
+    """Span-scoped negation (Neg inside And_): no qualifying negative event
+    strictly inside (first_pos, last_pos), excluding the bound events."""
+    if len(spec_positions) == 0:
+        return np.ones(len(partials), dtype=bool)
+    np_pos = spec_positions
+    lo = np.searchsorted(np_pos, partials.first_pos, side="right")
+    hi = np.searchsorted(np_pos, partials.last_pos, side="left")
+    counts = hi - lo
+    ok = np.ones(len(partials), dtype=bool)
+    hot = np.nonzero(counts > 0)[0]
+    if len(hot) == 0:
+        return ok
+    reps = counts[hot]
+    pair_partial = np.repeat(hot, reps)
+    pair_neg = np.concatenate([np_pos[lo[h] : hi[h]] for h in hot])
+    sub = partials.select(pair_partial)
+    # exclude events bound to positive variables
+    keep = np.ones(len(pair_partial), dtype=bool)
+    for v, arr in sub.scalar.items():
+        keep &= pair_neg != arr
+    neg_view = store.gather(pair_neg)
+
+    class _Env:
+        def __getitem__(self, var):
+            if var == spec.var:
+                return neg_view
+            return store.gather(sub.scalar[var])
+
+    env = _Env()
+    m = keep
+    for c in spec.multi:
+        r = c.pd(env)
+        m = m & (np.asarray(r, dtype=bool) if not isinstance(r, (bool, np.bool_)) else r)
+    bad = np.bincount(pair_partial[m], minlength=len(partials)) > 0
+    return ~bad
+
+
+def match_group_nfa(cp: CompiledPattern, gdf: pd.DataFrame) -> list:
+    """All matches in one key-group (gdf sorted by (ts, tiebreak)).
+
+    Returns list of (alt_id, {var: pos | tuple(pos)}).  Same contract as
+    tests/oracle_cep.match_group — the two are cross-checked in tests."""
+    pat = cp.pattern
+    n = len(gdf)
+    if n == 0:
+        return []
+    store = _ColStore(gdf)
+    ts_ns = gdf[pat.ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    w_ns = None if pat.window is None else int(pat.window.total_seconds() * 1e9)
+    out = []
+
+    for alt in cp.alternatives:
+        slots = {s.sid: s for s in alt.slots}
+        svars = {st.sid: [slots[x].var for x in st.bound if not slots[x].kleene] for st in alt.states}
+        kvars = {st.sid: [slots[x].var for x in st.bound if slots[x].kleene] for st in alt.states}
+
+        # precompute unary masks (vectorized over the whole group)
+        def unary_positions(var, cond):
+            env = {var: _VarView(store._cols, np.arange(n))}
+            r = cond.pd(env)
+            if isinstance(r, (bool, np.bool_)):
+                return np.arange(n) if r else np.empty(0, dtype=np.int64)
+            return np.nonzero(np.asarray(r, dtype=bool))[0]
+
+        slot_mask = {}
+        for s in alt.slots:
+            pos = unary_positions(s.var, s.unary)
+            m = np.zeros(n, dtype=bool)
+            m[pos] = True
+            slot_mask[s.sid] = m
+        neg_positions = [unary_positions(sp.var, sp.unary) for sp in alt.negs]
+
+        tables = {st.sid: _Partials(svars[st.sid], kvars[st.sid]) for st in alt.states}
+        state_by_id = {st.sid: st for st in alt.states}
+
+        def emit(sub: _Partials, state_sid):
+            st = state_by_id[state_sid]
+            # span negation check at accept
+            okm = np.ones(len(sub), dtype=bool)
+            for si in alt.span_negs:
+                okm &= _span_ok(neg_positions[si], alt.negs[si], store, sub, alt)
+            sel = sub.select(okm) if not okm.all() else sub
+            for j in range(len(sel)):
+                b = {v: int(sel.scalar[v][j]) for v in sel.scalar}
+                for v in sel.kleene:
+                    b[v] = tuple(sel.kleene[v][j])
+                out.append((alt.alt_id, b))
+
+        for i in range(n):
+            cur_ts = ts_ns[i]
+            cur_row = store.row(i)
+            staged = []  # (target_state_id, _Partials)
+
+            for st in alt.states:
+                tbl = tables[st.sid]
+                has = len(tbl) > 0
+                # window expiry: partials that can no longer complete
+                if has and w_ns is not None:
+                    alive = tbl.first_ts >= cur_ts - w_ns
+                    if not alive.all():
+                        tbl = tbl.select(alive)
+                        tables[st.sid] = tbl
+                        has = len(tbl) > 0
+
+                # initial transitions out of the empty state
+                if st.sid == 0 and not st.bound:
+                    for tr in st.transitions:
+                        if not slot_mask[tr.slot][i]:
+                            continue
+                        s = slots[tr.slot]
+                        npart = _Partials(svars[tr.target], kvars[tr.target])
+                        if s.kleene:
+                            npart.kleene[s.var] = _obj_array([(i,)])
+                        else:
+                            npart.scalar[s.var] = np.array([i], dtype=np.int64)
+                        for v in svars[tr.target]:
+                            if v != s.var and v not in npart.scalar:
+                                npart.scalar[v] = np.array([i], dtype=np.int64)
+                        npart.first_pos = np.array([i], dtype=np.int64)
+                        npart.last_pos = np.array([i], dtype=np.int64)
+                        npart.first_ts = np.array([cur_ts], dtype=np.int64)
+                        staged.append((tr.target, npart))
+                        if tr.accepting:
+                            emit(npart, tr.target)
+                    continue
+
+                if not has:
+                    continue
+
+                # regular transitions
+                for tr in st.transitions:
+                    if not slot_mask[tr.slot][i]:
+                        continue
+                    s = slots[tr.slot]
+                    mask = _eval_conds(tr.conds, store, tbl, s.var, cur_row)
+                    for gi in tr.gap_negs:
+                        mask &= _gap_ok(
+                            neg_positions[gi], alt.negs[gi], store, tbl, s.var, cur_row, i
+                        )
+                    if not mask.any():
+                        continue
+                    sub = tbl.select(mask)
+                    npart = _Partials(svars[tr.target], kvars[tr.target])
+                    for v in svars[tr.target]:
+                        npart.scalar[v] = (
+                            sub.scalar[v]
+                            if v in sub.scalar
+                            else np.full(len(sub), i, dtype=np.int64)
+                        )
+                    for v in kvars[tr.target]:
+                        if v in sub.kleene:
+                            npart.kleene[v] = sub.kleene[v]
+                        else:
+                            npart.kleene[v] = _obj_array([(i,)] * len(sub))
+                    npart.first_pos = sub.first_pos
+                    npart.last_pos = np.full(len(sub), i, dtype=np.int64)
+                    npart.first_ts = sub.first_ts
+                    staged.append((tr.target, npart))
+                    if tr.accepting:
+                        emit(npart, tr.target)
+
+                # kleene self-extension (take/skip fork: original rows stay)
+                for ksid, kconds in st.kleene_loops:
+                    if not slot_mask[ksid][i]:
+                        continue
+                    s = slots[ksid]
+                    mask = _eval_conds(kconds, store, tbl, s.var, cur_row)
+                    if s.kleene_max is not None:
+                        lens = np.fromiter(
+                            (len(t) for t in tbl.kleene[s.var]), dtype=np.int64, count=len(tbl)
+                        )
+                        mask &= lens < s.kleene_max
+                    if not mask.any():
+                        continue
+                    sub = tbl.select(mask)
+                    npart = _Partials(svars[st.sid], kvars[st.sid])
+                    npart.scalar = {v: a.copy() for v, a in sub.scalar.items()}
+                    npart.kleene = {v: a.copy() for v, a in sub.kleene.items()}
+                    npart.kleene[s.var] = _obj_array(
+                        [t + (i,) for t in sub.kleene[s.var]]
+                    )
+                    npart.first_pos = sub.first_pos
+                    npart.last_pos = np.full(len(sub), i, dtype=np.int64)
+                    npart.first_ts = sub.first_ts
+                    staged.append((st.sid, npart))
+                    if st.accepting:
+                        emit(npart, st.sid)
+
+            for target, npart in staged:
+                tables[target].extend(npart)
+
+    return out
+
+
+# --------------------------------------------------------------------------
+# Spark-facing wrappers
+
+
+def match_schema_array(pat, emit_cols=("turn_idx", "role", "tool", "ts"), key_type=None):
+    """key, pattern_id, alt_id, matched: array<struct<emit_cols>>."""
+    from pyspark.sql import types as T
+
+    field_type = {
+        "turn_idx": T.IntegerType(),
+        "role": T.StringType(),
+        "tool": T.StringType(),
+        "ts": T.TimestampType(),
+        "event_id": T.LongType(),
+        "event_type": T.StringType(),
+        "value": T.DoubleType(),
+        "var": T.StringType(),
+    }
+    struct = T.StructType(
+        [T.StructField("var", T.StringType())]
+        + [T.StructField(c, field_type.get(c, T.StringType())) for c in emit_cols]
+    )
+    return T.StructType(
+        [
+            T.StructField(pat.key, key_type if key_type is not None else T.StringType()),
+            T.StructField("pattern_id", T.StringType()),
+            T.StructField("alt_id", T.IntegerType()),
+            T.StructField("matched", T.ArrayType(struct)),
+        ]
+    )
+
+
+def matches_to_pdf_array(cp, gdf, key_val, emit_cols):
+    """Run the matcher on one sorted group -> array-mode output pdf."""
+    pat = cp.pattern
+    res = match_group_nfa(cp, gdf)
+    rows = []
+    for alt_id, binding in res:
+        alt = cp.alternatives[alt_id]
+        ev = []
+        for v in alt.var_order:
+            p = binding[v]
+            for pos in p if isinstance(p, tuple) else (p,):
+                rec = {"var": v}
+                for c in emit_cols:
+                    rec[c] = gdf[c].iloc[pos]
+                ev.append((gdf[pat.ts_col].iloc[pos], gdf[pat.tiebreak_col].iloc[pos], rec))
+        ev.sort(key=lambda x: (x[0], x[1]))
+        rows.append(
+            {
+                pat.key: key_val,
+                "pattern_id": pat.pattern_id,
+                "alt_id": alt_id,
+                "matched": [r for _, _, r in ev],
+            }
+        )
+    return pd.DataFrame(rows, columns=[pat.key, "pattern_id", "alt_id", "matched"])
+
+
+def match_schema_flat(cp, key_type=None):
+    """key + per-var tiebreak columns; kleene -> len/first/last summary."""
+    from pyspark.sql import types as T
+
+    pat = cp.pattern
+    kt = key_type if key_type is not None else T.StringType()
+    fields = [T.StructField(pat.key, kt), T.StructField("alt_id", T.IntegerType())]
+    for v in cp.all_vars():
+        if any(v in a.kleene_vars for a in cp.alternatives):
+            fields += [
+                T.StructField(f"{v}_len", T.LongType()),
+                T.StructField(f"{v}_first", T.LongType()),
+                T.StructField(f"{v}_last", T.LongType()),
+            ]
+        else:
+            fields.append(T.StructField(f"{v}_{pat.tiebreak_col}", T.LongType()))
+    return T.StructType(fields)
+
+
+def matches_to_pdf_flat(cp, gdf, key_val):
+    pat = cp.pattern
+    tb = gdf[pat.tiebreak_col].to_numpy()
+    res = match_group_nfa(cp, gdf)
+    all_vars = cp.all_vars()
+    kleene_all = set()
+    for a in cp.alternatives:
+        kleene_all |= set(a.kleene_vars)
+    rows = []
+    for alt_id, binding in res:
+        row = {pat.key: key_val, "alt_id": alt_id}
+        for v in all_vars:
+            p = binding.get(v)
+            if v in kleene_all:
+                if p is None:
+                    row[f"{v}_len"] = row[f"{v}_first"] = row[f"{v}_last"] = None
+                else:
+                    pp = p if isinstance(p, tuple) else (p,)
+                    row[f"{v}_len"] = len(pp)
+                    row[f"{v}_first"] = int(tb[pp[0]])
+                    row[f"{v}_last"] = int(tb[pp[-1]])
+            else:
+                row[f"{v}_{pat.tiebreak_col}"] = None if p is None else int(tb[p])
+        rows.append(row)
+    cols = [pat.key, "alt_id"]
+    for v in all_vars:
+        if v in kleene_all:
+            cols += [f"{v}_len", f"{v}_first", f"{v}_last"]
+        else:
+            cols.append(f"{v}_{pat.tiebreak_col}")
+    return pd.DataFrame(rows, columns=cols)
+
+
+def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role", "tool", "ts")):
+    """groupBy(key).applyInPandas NFA execution.
+
+    Pushes the union of unary conditions + column pruning into the scan
+    before the shuffle (Catalyst handles parquet pushdown from there)."""
+    from ._serde import ensure_shippable
+
+    ensure_shippable()
+    pat = cp.pattern
+    key_type = df.schema[pat.key].dataType
+    df = prefilter(df, cp)
+    if mode == "flat":
+        schema = match_schema_flat(cp, key_type)
+
+        def fn(key, pdf):
+            g = pdf.sort_values([pat.ts_col, pat.tiebreak_col]).reset_index(drop=True)
+            return matches_to_pdf_flat(cp, g, key[0])
+
+    else:
+        schema = match_schema_array(pat, emit_cols, key_type)
+
+        def fn(key, pdf):
+            g = pdf.sort_values([pat.ts_col, pat.tiebreak_col]).reset_index(drop=True)
+            return matches_to_pdf_array(cp, g, key[0], emit_cols)
+
+    return df.groupBy(pat.key).applyInPandas(fn, schema=schema)
+
+
+def prefilter(df, cp: CompiledPattern):
+    """Scan-side reduction: keep only rows any slot/neg could use, and only
+    the columns the pattern references (→ parquet predicate pushdown +
+    column pruning via Catalyst)."""
+    from pyspark.sql import functions as F
+
+    pat = cp.pattern
+    ors = None
+    prunable = True
+    needed = {pat.key, pat.ts_col, pat.tiebreak_col}
+    for alt in cp.alternatives:
+        for s in alt.slots:
+            c = s.unary.spark_col({s.var: df})
+            ors = c if ors is None else (ors | c)
+        for ng in alt.negs:
+            c = ng.unary.spark_col({ng.var: df})
+            ors = c if ors is None else (ors | c)
+    for v, cols in cp.needed_cols.items():
+        needed.update(cols)
+    needed_present = [c for c in df.columns if c in needed]
+    out = df.select(*needed_present)
+    if ors is not None:
+        out = out.filter(ors)
+    return out

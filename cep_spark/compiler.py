@@ -1,0 +1,372 @@
+"""Pattern compiler: AST -> NFA transition tables (plain data).
+
+Replaces the reference's evaluation-tree builder (reference
+`Tree.py`/`TreeBasedEvaluationMechanism.py`, SURVEY.md §2.3 E6 — which
+BASELINE.json explicitly says NOT to port).  Design:
+
+* Or_ nodes are expanded at compile time into Or-free *alternatives*
+  (reference OrOperator ≙ union of compiled automata, SURVEY.md §2.1 O4).
+* Each alternative's positive leaves become *slots* with a structural
+  partial order: slot s may bind only after prereq(s) ⊆ bound set
+  (Seq induces prerequisites; And_ does not).  NFA states are the
+  reachable down-closed slot sets (a trie merged by bound-set — valid
+  because events are processed in the pinned (ts, tiebreak) order, so
+  SEQ's order predicates hold by construction and need no runtime check).
+* Multi-variable conjuncts of ``Pattern.where`` attach to the first
+  transition at which all their variables are bound (the reference's
+  `Formula.get_formula_of` pushdown, done once at compile time).
+* Negation compiles to *deferred gap checks*: a Neg between Seq parts is
+  verified at the transition that opens the following part, against a
+  buffer of negative candidate events — this stays correct under Kleene
+  powerset branching where eager kill-edges would over-kill branches
+  that later extend past the negative event.  Neg inside And_ is a
+  *span check* at accept time.
+* Kleene slots self-extend while "open" (no later slot bound); each
+  qualifying event forks the partial (take / skip), which enumerates
+  exactly the non-empty ordered subsets (powerset semantics, SURVEY.md
+  §2.4 item 4).
+
+The output (`CompiledPattern`) is plain picklable data — it is shipped
+to executors inside the stateful UDF closure (broadcast-equivalent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from .conditions import Cond, TRUE, split_conditions
+from .pattern import And_, Ev, Kleene, Neg, Node, Or_, Pattern, Seq
+
+__all__ = ["compile_pattern", "CompiledPattern", "CompiledAlternative", "Slot", "NegSpec"]
+
+
+@dataclass(frozen=True)
+class Slot:
+    sid: int
+    var: str
+    unary: Cond  # unary condition on this slot's event
+    kleene: bool = False
+    kleene_max: Optional[int] = None
+    prereq: frozenset = frozenset()  # slot ids that must be bound first
+
+
+@dataclass(frozen=True)
+class NegSpec:
+    var: str
+    unary: Cond
+    multi: tuple  # multi-var conjuncts, vars ⊆ {var} ∪ available vars
+    kind: str  # "gap" | "span"
+    # gap: checked on transitions that bind a slot in `post_slots` from a
+    #   state where none of `post_slots` is bound; interval =
+    #   (partial.last_pos, candidate.pos) exclusive.
+    # span: checked at accept; interval = (first_pos, last_pos) exclusive.
+    post_slots: frozenset = frozenset()
+
+
+@dataclass(frozen=True)
+class Transition:
+    slot: int
+    target: int  # state id
+    conds: tuple  # multi-var conjuncts newly evaluable at this binding
+    gap_negs: tuple  # indices into alternative.negs to verify
+    accepting: bool
+
+
+@dataclass
+class State:
+    sid: int
+    bound: frozenset  # slot ids
+    transitions: list = field(default_factory=list)
+    kleene_loops: list = field(default_factory=list)  # (slot_id, conds) open kleenes
+    accepting: bool = False
+
+
+@dataclass
+class CompiledAlternative:
+    alt_id: int
+    slots: list  # list[Slot]
+    states: list  # list[State]; state 0 = empty set
+    negs: list  # list[NegSpec]
+    span_negs: tuple  # indices of kind=="span"
+    var_order: list  # output variable order (structure order)
+    kleene_vars: frozenset
+
+
+@dataclass
+class CompiledPattern:
+    pattern: Pattern
+    alternatives: list  # list[CompiledAlternative]
+    # columns referenced anywhere (for pruning): (var -> set of columns)
+    needed_cols: dict
+    # union of per-var unary conditions OR'ed together -> prefilter Column
+    # built lazily in planners to avoid importing pyspark here.
+
+    def all_vars(self) -> list[str]:
+        seen: list[str] = []
+        for alt in self.alternatives:
+            for v in alt.var_order:
+                if v not in seen:
+                    seen.append(v)
+        return seen
+
+
+# --------------------------------------------------------------------------
+# Or_ expansion
+
+
+def _expand_or(node: Node) -> list[Node]:
+    """Return the list of Or-free alternatives of `node`."""
+    if isinstance(node, Ev) or isinstance(node, Kleene) or isinstance(node, Neg):
+        return [node]
+    if isinstance(node, Or_):
+        out = []
+        for p in node.parts:
+            out.extend(_expand_or(p))
+        return out
+    if isinstance(node, (Seq, And_)):
+        # cartesian product of children alternatives
+        alts: list[list[Node]] = [[]]
+        for p in node.parts:
+            sub = _expand_or(p)
+            alts = [prefix + [s] for prefix in alts for s in sub]
+        ctor = Seq if isinstance(node, Seq) else And_
+        return [ctor(*a) for a in alts]
+    raise TypeError(f"unknown node {node!r}")
+
+
+# --------------------------------------------------------------------------
+# structural analysis of one Or-free alternative
+
+
+def _collect(
+    node: Node,
+    prereq: frozenset,
+    slots: list,
+    negs: list,
+    pending_gap: list,
+) -> frozenset:
+    """Walk the structure assigning slot ids & prerequisites.
+
+    Returns the frozenset of slot ids contained in `node` (positives only).
+    `pending_gap` accumulates Neg nodes seen in a Seq awaiting their
+    following part (to fill post_slots).
+    """
+    if isinstance(node, Ev):
+        sid = len(slots)
+        slots.append(Slot(sid, node.name, node.where, prereq=prereq))
+        return frozenset({sid})
+    if isinstance(node, Kleene):
+        sid = len(slots)
+        slots.append(
+            Slot(sid, node.name, node.inner.where, kleene=True, kleene_max=node.max_len, prereq=prereq)
+        )
+        return frozenset({sid})
+    if isinstance(node, Seq):
+        acc = frozenset()
+        here: frozenset = prereq
+        open_negs: list[Neg] = []
+        for part in node.parts:
+            if isinstance(part, Neg):
+                open_negs.append(part)
+                continue
+            ids = _collect(part, here, slots, negs, pending_gap)
+            if open_negs:
+                if here == prereq and not acc:
+                    # leading Neg inside this Seq: only valid if the Seq
+                    # itself has prerequisites (nested case); otherwise
+                    # there is no left boundary.
+                    if not prereq:
+                        raise ValueError(
+                            "leading Neg without a preceding positive part is unsupported (v1)"
+                        )
+                for ng in open_negs:
+                    negs.append((ng, ids))  # post_slots = first following part
+                open_negs = []
+            acc |= ids
+            here = prereq | acc
+        if open_negs:
+            raise ValueError("trailing Neg without a following positive part is unsupported (v1)")
+        return acc
+    if isinstance(node, And_):
+        acc = frozenset()
+        for part in node.parts:
+            if isinstance(part, Neg):
+                negs.append((part, None))  # span-scoped
+                continue
+            if isinstance(part, Kleene):
+                raise ValueError("Kleene directly inside And_ is unsupported (v1); wrap in Seq")
+            ids = _collect(part, prereq, slots, negs, pending_gap)
+            acc |= ids
+        return acc
+    raise TypeError(f"unexpected node {node!r}")
+
+
+def _reachable_states(slots: list) -> list:
+    """BFS over down-closed slot sets (valid prefixes)."""
+    all_ids = frozenset(s.sid for s in slots)
+    states: dict[frozenset, State] = {}
+    s0 = State(0, frozenset())
+    states[frozenset()] = s0
+    order = [s0]
+    frontier = [s0]
+    while frontier:
+        nxt = []
+        for st in frontier:
+            for s in slots:
+                if s.sid in st.bound or not s.prereq <= st.bound:
+                    continue
+                nb = st.bound | {s.sid}
+                if nb not in states:
+                    ns = State(len(order), nb, accepting=(nb == all_ids))
+                    states[nb] = ns
+                    order.append(ns)
+                    nxt.append(ns)
+        frontier = nxt
+    return order
+
+
+def _open_kleenes(bound: frozenset, slots: list) -> list:
+    """Kleene slots in `bound` with no bound successor (still extensible)."""
+    out = []
+    for s in slots:
+        if s.kleene and s.sid in bound:
+            if not any(o.sid in bound and s.sid in o.prereq for o in slots):
+                out.append(s.sid)
+    return out
+
+
+def compile_pattern(pat: Pattern) -> CompiledPattern:
+    alternatives = []
+    needed: dict[str, set] = {}
+
+    def note_cols(c: Cond):
+        for v, col in c.cols():
+            needed.setdefault(v, set()).add(col)
+
+    for alt_id, struct in enumerate(_expand_or(pat.structure)):
+        slots: list = []
+        raw_negs: list = []
+        _collect(struct, frozenset(), slots, raw_negs, [])
+        if not slots:
+            raise ValueError("pattern has no positive event leaf")
+
+        var_of = {s.sid: s.var for s in slots}
+        names = [s.var for s in slots]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate variable names in one alternative: {names}")
+        kleene_vars = frozenset(s.var for s in slots if s.kleene)
+
+        # split the global where into unary (merged into slot unary) and
+        # multi-var conjuncts (attached to transitions); leaf conditions
+        # may also carry multi-var conjuncts — hoist those too.
+        unary, multi = split_conditions(pat.where)
+        slot_list = []
+        for s in slots:
+            s_unary, s_multi = split_conditions(s.unary)
+            u = s_unary.get(s.var, TRUE)
+            if s.var in unary:
+                u = u & unary[s.var]
+            multi.extend(s_multi)
+            slot_list.append(Slot(s.sid, s.var, u, s.kleene, s.kleene_max, s.prereq))
+        slots = slot_list
+        alt_vars = set(names)
+        neg_names = {ng.name for ng, _ in raw_negs}
+        multi = [c for c in multi if c.vars() <= alt_vars | neg_names]
+
+        # negation specs (extract neg-var conjuncts before kleene checks)
+        neg_specs: list[NegSpec] = []
+        for ng, post in raw_negs:
+            n_unary, n_multi = split_conditions(ng.inner.where)
+            u = n_unary.get(ng.name, TRUE) & unary.get(ng.name, TRUE)
+            extra = [c for c in n_multi]
+            # pull conjuncts of the global where that mention the neg var
+            for c in list(multi):
+                if ng.name in c.vars():
+                    extra.append(c)
+                    multi.remove(c)
+            kind = "span" if post is None else "gap"
+            neg_specs.append(
+                NegSpec(ng.name, u, tuple(extra), kind, post if post is not None else frozenset())
+            )
+            note_cols(u)
+            for c in extra:
+                note_cols(c)
+
+        # conjuncts referencing a kleene var must be evaluable per-event at
+        # kleene bind time: other vars must be prerequisites of the kleene slot
+        prereq_vars = {
+            s.sid: frozenset(var_of[i] for i in s.prereq) for s in slots
+        }
+        for c in multi:
+            kv = c.vars() & kleene_vars
+            if kv:
+                (k,) = list(kv) if len(kv) == 1 else (None,)
+                if k is None:
+                    raise ValueError(f"condition references two Kleene vars: {c!r}")
+                kslot = next(s for s in slots if s.var == k)
+                if not (c.vars() - {k}) <= prereq_vars[kslot.sid]:
+                    raise ValueError(
+                        f"condition {c!r} on Kleene var {k!r} may only reference "
+                        f"variables bound before the Kleene slot"
+                    )
+
+        for s in slots:
+            note_cols(s.unary)
+        for c in multi:
+            note_cols(c)
+
+        # build states
+        states = _reachable_states(slots)
+        state_of = {st.bound: st.sid for st in states}
+        slot_by_id = {s.sid: s for s in slots}
+        vars_of_set = {st.bound: frozenset(var_of[i] for i in st.bound) for st in states}
+
+        gap_idx = [i for i, n in enumerate(neg_specs) if n.kind == "gap"]
+        span_idx = tuple(i for i, n in enumerate(neg_specs) if n.kind == "span")
+
+        for st in states:
+            bound_vars = vars_of_set[st.bound]
+            for s in slots:
+                if s.sid in st.bound or not s.prereq <= st.bound:
+                    continue
+                nb = st.bound | {s.sid}
+                conds = tuple(
+                    c
+                    for c in multi
+                    if c.vars() <= bound_vars | {s.var} and not c.vars() <= bound_vars
+                )
+                gnegs = tuple(
+                    gi
+                    for gi in gap_idx
+                    if s.sid in neg_specs[gi].post_slots
+                    and not (neg_specs[gi].post_slots & st.bound)
+                )
+                # gap-neg conditions must be evaluable now
+                for gi in gnegs:
+                    ns = neg_specs[gi]
+                    avail = bound_vars | {s.var, ns.var}
+                    for c in ns.multi:
+                        if not c.vars() <= avail:
+                            raise ValueError(
+                                f"negation condition {c!r} references variables not "
+                                f"bound when the gap closes ({sorted(avail)})"
+                            )
+                st.transitions.append(
+                    Transition(s.sid, state_of[nb], conds, gnegs, nb == frozenset(x.sid for x in slots))
+                )
+            # kleene self-loops: per-event conds = conjuncts mentioning the kleene var
+            for ksid in _open_kleenes(st.bound, slots):
+                k = slot_by_id[ksid]
+                kconds = tuple(c for c in multi if k.var in c.vars())
+                st.kleene_loops.append((ksid, kconds))
+
+        # span-neg conditions must be evaluable with all vars bound (they are)
+        var_order = [s.var for s in slots]
+        alternatives.append(
+            CompiledAlternative(
+                alt_id, slots, states, neg_specs, span_idx, var_order, kleene_vars
+            )
+        )
+
+    return CompiledPattern(pat, alternatives, {v: sorted(c) for v, c in needed.items()})

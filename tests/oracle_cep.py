@@ -1,0 +1,168 @@
+"""Brute-force pure-Python replica of the pinned CEP semantics.
+
+This is the *executable specification* (SURVEY.md §5.2 item 2): a
+deliberately naive enumeration, independent of cep_spark's compiler and
+executors, used as the golden oracle on small inputs.  Semantics pinned
+in cep_spark/pattern.py docstring (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations, product
+
+from cep_spark.compiler import compile_pattern
+from cep_spark.pattern import Pattern
+
+
+def _env_for(df, binding):
+    """binding: var -> position (int) or tuple of positions (kleene)."""
+    env = {}
+    for var, pos in binding.items():
+        if isinstance(pos, tuple):
+            env[var] = {c: [df[c].iloc[p] for p in pos] for c in df.columns}
+        else:
+            env[var] = {c: df[c].iloc[pos] for c in df.columns}
+    return env
+
+
+def _eval_scalar(cond, df, binding):
+    """Evaluate cond; kleene vars are evaluated per-event (ALL must hold)."""
+    kleene_vars = [v for v, p in binding.items() if isinstance(p, tuple)]
+    referenced_kleene = [v for v in kleene_vars if v in cond.vars()]
+    if not referenced_kleene:
+        return bool(cond.pd(_env_for(df, {v: p for v, p in binding.items() if not isinstance(p, tuple)})))
+    (k,) = referenced_kleene
+    for p in binding[k]:
+        b2 = {v: pp for v, pp in binding.items() if not isinstance(pp, tuple)}
+        b2[k] = p
+        if not bool(cond.pd(_env_for(df, b2))):
+            return False
+    return True
+
+
+def match_group(pat: Pattern, df) -> list[dict]:
+    """All matches in one key-group.  df: pandas DataFrame (any order).
+    Returns list of bindings var -> position-in-sorted-order (kleene vars
+    -> tuple of positions).  Positions index the (ts, tiebreak)-sorted df.
+    """
+    df = df.sort_values([pat.ts_col, pat.tiebreak_col]).reset_index(drop=True)
+    n = len(df)
+    cp = compile_pattern(pat)
+    W = pat.window_seconds()
+    out = []
+
+    for alt in cp.alternatives:
+        # candidate positions per slot (unary filter)
+        cands = {}
+        for s in alt.slots:
+            ok = []
+            for i in range(n):
+                env = {s.var: {c: df[c].iloc[i] for c in df.columns}}
+                if bool(s.unary.pd(env)):
+                    ok.append(i)
+            cands[s.sid] = ok
+
+        # enumerate assignments
+        choice_lists = []
+        for s in alt.slots:
+            if s.kleene:
+                subsets = []
+                for r in range(1, len(cands[s.sid]) + 1):
+                    if s.kleene_max is not None and r > s.kleene_max:
+                        break
+                    subsets.extend(combinations(cands[s.sid], r))
+                choice_lists.append([(s, ss) for ss in subsets])
+            else:
+                choice_lists.append([(s, (i,)) for i in cands[s.sid]])
+
+        for assignment in product(*choice_lists):
+            positions = {s.sid: ps for s, ps in assignment}
+            flat = [p for ps in positions.values() for p in ps]
+            if len(set(flat)) != len(flat):
+                continue
+            # structural order: all events of prereq slots strictly before
+            ok = True
+            for s in alt.slots:
+                for pre in s.prereq:
+                    if max(positions[pre]) >= min(positions[s.sid]):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if not ok:
+                continue
+            # window span
+            if W is not None:
+                tss = [df[pat.ts_col].iloc[p] for p in flat]
+                if (max(tss) - min(tss)).total_seconds() > W:
+                    continue
+            binding = {}
+            for s in alt.slots:
+                binding[s.var] = positions[s.sid] if s.kleene else positions[s.sid][0]
+            binding = {
+                v: (tuple(sorted(p)) if isinstance(p, tuple) else p) for v, p in binding.items()
+            }
+            # multi-var conditions: collect all transition conds + kleene-loop conds
+            conds = set()
+            for st in alt.states:
+                for tr in st.transitions:
+                    conds.update(tr.conds)
+                for _, kcs in st.kleene_loops:
+                    conds.update(kcs)
+            if not all(_eval_scalar(c, df, binding) for c in conds):
+                continue
+            # negation
+            failed = False
+            for spec in alt.negs:
+                if spec.kind == "gap":
+                    post_min = min(min(positions[sid]) for sid in spec.post_slots)
+                    pre_slots = set()
+                    for sid in spec.post_slots:
+                        pre_slots |= set(
+                            next(s for s in alt.slots if s.sid == sid).prereq
+                        )
+                    lo = max(max(positions[sid]) for sid in pre_slots & set(positions))
+                    hi = post_min
+                else:  # span
+                    lo, hi = min(flat), max(flat)
+                for j in range(lo + 1, hi):
+                    if j in flat:
+                        continue
+                    env1 = {spec.var: {c: df[c].iloc[j] for c in df.columns}}
+                    if not bool(spec.unary.pd(env1)):
+                        continue
+                    b2 = dict(binding)
+                    b2[spec.var] = j
+                    if all(_eval_scalar(c, df, b2) for c in spec.multi):
+                        failed = True
+                        break
+                if failed:
+                    break
+            if failed:
+                continue
+            binding["_alt"] = alt.alt_id
+            if binding not in out:
+                out.append(binding)
+    return out
+
+
+def match_frame(pat: Pattern, df) -> list[tuple]:
+    """All matches across the frame, keyed by pat.key.
+
+    Returns sorted list of (key, frozen binding) where binding maps var ->
+    tuple of tiebreak values (len>1 only for kleene)."""
+    results = []
+    for key, g in df.groupby(pat.key):
+        g2 = g.sort_values([pat.ts_col, pat.tiebreak_col]).reset_index(drop=True)
+        for b in match_group(pat, g2):
+            frozen = []
+            for v in sorted(x for x in b if x != "_alt"):
+                p = b[v]
+                tb = (
+                    tuple(int(g2[pat.tiebreak_col].iloc[i]) for i in p)
+                    if isinstance(p, tuple)
+                    else (int(g2[pat.tiebreak_col].iloc[p]),)
+                )
+                frozen.append((v, tb))
+            results.append((key, b["_alt"], tuple(frozen)))
+    return sorted(results)
