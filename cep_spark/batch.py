@@ -478,7 +478,7 @@ def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role
     ensure_shippable()
     pat = cp.pattern
     key_type = df.schema[pat.key].dataType
-    df = prefilter(df, cp)
+    df = prefilter(df, cp, extra_cols=emit_cols if mode == "array" else ())
     if mode == "flat":
         schema = match_schema_flat(cp, key_type)
 
@@ -496,16 +496,13 @@ def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role
     return df.groupBy(pat.key).applyInPandas(fn, schema=schema)
 
 
-def prefilter(df, cp: CompiledPattern):
+def prefilter(df, cp: CompiledPattern, extra_cols=()):
     """Scan-side reduction: keep only rows any slot/neg could use, and only
     the columns the pattern references (→ parquet predicate pushdown +
     column pruning via Catalyst)."""
-    from pyspark.sql import functions as F
-
     pat = cp.pattern
     ors = None
-    prunable = True
-    needed = {pat.key, pat.ts_col, pat.tiebreak_col}
+    needed = {pat.key, pat.ts_col, pat.tiebreak_col, *extra_cols}
     for alt in cp.alternatives:
         for s in alt.slots:
             c = s.unary.spark_col({s.var: df})

@@ -1,0 +1,107 @@
+"""Compiler unit tests — no Spark needed."""
+
+from datetime import timedelta
+
+import pytest
+
+from cep_spark.compiler import compile_pattern
+from cep_spark.conditions import attr, lit, split_conditions
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Or_, Pattern, Seq
+
+
+def test_seq_states_linear():
+    cp = compile_pattern(
+        Pattern(Seq(Ev("a", role="user"), Ev("b", role="assistant"), Ev("c", role="tool")))
+    )
+    (alt,) = cp.alternatives
+    # linear chain: {}, {a}, {ab}, {abc}
+    assert len(alt.states) == 4
+    assert sum(st.accepting for st in alt.states) == 1
+    assert alt.var_order == ["a", "b", "c"]
+
+
+def test_and_states_lattice():
+    cp = compile_pattern(Pattern(And_(Ev("a"), Ev("b"), Ev("c"))))
+    (alt,) = cp.alternatives
+    # full subset lattice of 3 elements = 8 states
+    assert len(alt.states) == 8
+
+
+def test_or_expansion():
+    cp = compile_pattern(
+        Pattern(Or_(Seq(Ev("a", role="user"), Ev("t", role="tool")), Seq(Ev("b"), Ev("t"))))
+    )
+    assert len(cp.alternatives) == 2
+    assert cp.all_vars() == ["a", "t", "b"]
+
+
+def test_condition_split():
+    cond = (
+        (attr("a", "value") > lit(5))
+        & (attr("b", "value") > attr("a", "value"))
+        & (attr("b", "role") == lit("assistant"))
+    )
+    unary, multi = split_conditions(cond)
+    assert set(unary) == {"a", "b"}
+    assert len(multi) == 1
+    assert multi[0].vars() == {"a", "b"}
+
+
+def test_conditions_pushed_to_first_full_binding():
+    pat = Pattern(
+        Seq(Ev("a"), Ev("b"), Ev("c")),
+        where=(attr("b", "value") > attr("a", "value"))
+        & (attr("c", "value") > attr("a", "value")),
+    )
+    (alt,) = compile_pattern(pat).alternatives
+    by_target = {}
+    for st in alt.states:
+        for tr in st.transitions:
+            by_target.setdefault(len(st.bound), []).extend(tr.conds)
+    # (a,b) cond evaluates when b binds (1 bound var before), (a,c) when c binds
+    assert len(by_target.get(1, [])) == 1
+    assert len(by_target.get(2, [])) == 1
+
+
+def test_trailing_and_leading_neg_rejected():
+    with pytest.raises(ValueError):
+        compile_pattern(Pattern(Seq(Ev("a"), Neg(Ev("n")))))
+    with pytest.raises(ValueError):
+        compile_pattern(Pattern(Seq(Neg(Ev("n")), Ev("a"))))
+
+
+def test_kleene_inside_and_rejected():
+    with pytest.raises(ValueError):
+        compile_pattern(Pattern(And_(Kleene(Ev("k")), Ev("a"))))
+
+
+def test_kleene_condition_forward_reference_rejected():
+    pat = Pattern(
+        Seq(Ev("a"), Kleene(Ev("k")), Ev("c")),
+        where=attr("k", "value") > attr("c", "value"),
+    )
+    with pytest.raises(ValueError):
+        compile_pattern(pat)
+
+
+def test_duplicate_var_rejected():
+    with pytest.raises(ValueError):
+        compile_pattern(Pattern(Seq(Ev("a"), Ev("a"))))
+
+
+def test_needed_cols_pruning():
+    pat = Pattern(
+        Seq(Ev("a", role="user"), Ev("b")),
+        where=attr("b", "value") > attr("a", "value"),
+    )
+    cp = compile_pattern(pat)
+    assert set(cp.needed_cols["a"]) == {"role", "value"}
+    assert set(cp.needed_cols["b"]) == {"value"}
+
+
+def test_unary_hoist_from_leaf_multivar():
+    # Ev.where may carry multi-var conjuncts; they must land on transitions
+    pat = Pattern(Seq(Ev("a"), Ev("b", where=attr("b", "value") > attr("a", "value"))))
+    (alt,) = compile_pattern(pat).alternatives
+    conds = [c for st in alt.states for tr in st.transitions for c in tr.conds]
+    assert len(conds) == 1

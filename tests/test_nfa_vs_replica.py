@@ -1,0 +1,145 @@
+"""Property test: the vectorized NFA matcher ≡ the brute-force replica
+on randomized small groups (seeded), across all operator families —
+including timestamp ties and Kleene/negation interactions."""
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cep_spark.batch import match_group_nfa
+from cep_spark.compiler import compile_pattern
+from cep_spark.conditions import attr, lit
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Or_, Pattern, Seq
+from oracle_cep import match_group
+
+PATTERNS = {
+    "seq3": Pattern(
+        Seq(Ev("a", role="user"), Ev("b", role="assistant"), Ev("c", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    "seq3_cond": Pattern(
+        Seq(Ev("a", role="user"), Ev("b", role="assistant"), Ev("c", role="tool")),
+        where=(attr("c", "tool") == lit("python")) & (attr("b", "value") > attr("a", "value")),
+        window=timedelta(minutes=5),
+    ),
+    "and3": Pattern(
+        And_(Ev("a", role="user"), Ev("b", role="assistant"), Ev("c", role="tool")),
+        window=timedelta(minutes=2),
+    ),
+    "or2": Pattern(
+        Or_(
+            Seq(Ev("a", role="user"), Ev("t", role="tool")),
+            Seq(Ev("b", role="assistant"), Ev("t", role="tool")),
+        ),
+        window=timedelta(minutes=5),
+    ),
+    "neg": Pattern(
+        Seq(Ev("a", role="user"), Neg(Ev("n", role="tool")), Ev("b", role="assistant")),
+        window=timedelta(minutes=5),
+    ),
+    "neg_cond": Pattern(
+        Seq(
+            Ev("a", role="user"),
+            Neg(
+                Ev(
+                    "n",
+                    where=(attr("n", "role") == lit("tool"))
+                    & (attr("n", "value") > attr("a", "value")),
+                )
+            ),
+            Ev("b", role="assistant"),
+        ),
+        window=timedelta(minutes=5),
+    ),
+    "kleene": Pattern(
+        Seq(Ev("a", role="user"), Kleene(Ev("k", role="assistant")), Ev("c", role="tool")),
+        window=timedelta(minutes=10),
+    ),
+    "kleene_cond": Pattern(
+        Seq(Ev("a", role="user"), Kleene(Ev("k", role="assistant")), Ev("c", role="tool")),
+        where=attr("k", "value") > attr("a", "value"),
+        window=timedelta(minutes=10),
+    ),
+    "kleene_max2": Pattern(
+        Seq(
+            Ev("a", role="user"),
+            Kleene(Ev("k", role="assistant"), max_len=2),
+            Ev("c", role="tool"),
+        ),
+        window=timedelta(minutes=10),
+    ),
+    "nested_seq_and": Pattern(
+        Seq(
+            Ev("a", role="user"),
+            And_(Ev("b", role="assistant"), Ev("c", role="tool")),
+            Ev("d", role="user"),
+        ),
+        window=timedelta(minutes=10),
+    ),
+    "and_neg": Pattern(
+        And_(Ev("a", role="user"), Ev("b", role="tool"), Neg(Ev("n", role="assistant"))),
+        window=timedelta(minutes=3),
+    ),
+    "seq_kleene_neg": Pattern(
+        Seq(
+            Ev("a", role="user"),
+            Kleene(Ev("k", role="assistant")),
+            Neg(Ev("n", role="user")),
+            Ev("c", role="tool"),
+        ),
+        window=timedelta(minutes=10),
+    ),
+    "no_window": Pattern(Seq(Ev("a", role="user"), Ev("b", role="tool"))),
+}
+
+
+def _gen_group(rng, n, ties=True):
+    ts0 = pd.Timestamp("2026-01-01")
+    gaps = rng.integers(0 if ties else 1, 40, n)
+    return pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "role": rng.choice(["user", "assistant", "tool"], n),
+            "tool": rng.choice(["python", "sql", "search"], n),
+            "ts": ts0 + pd.to_timedelta(np.cumsum(gaps), unit="s"),
+            "value": rng.uniform(0, 100, n).round(1),
+        }
+    )
+
+
+def _canon_oracle(res):
+    out = []
+    for b in res:
+        alt = b.pop("_alt")
+        out.append(
+            (alt, tuple(sorted((v, p if isinstance(p, tuple) else (p,)) for v, p in b.items())))
+        )
+    return sorted(out)
+
+
+def _canon_nfa(res):
+    return sorted(
+        (alt, tuple(sorted((v, p if isinstance(p, tuple) else (p,)) for v, p in b.items())))
+        for alt, b in res
+    )
+
+
+@pytest.mark.parametrize("name", sorted(PATTERNS))
+def test_nfa_matches_replica(name):
+    pat = PATTERNS[name]
+    rng = np.random.default_rng(abs(hash(name)) % 2**32)
+    cp = compile_pattern(pat)
+    nonzero = 0
+    for _ in range(12):
+        g = _gen_group(rng, int(rng.integers(3, 14)))
+        o = _canon_oracle(match_group(pat, g.copy()))
+        m = _canon_nfa(
+            match_group_nfa(cp, g.sort_values(["ts", "turn_idx"]).reset_index(drop=True))
+        )
+        assert o == m, f"{name}: oracle={o} nfa={m}\n{g}"
+        nonzero += bool(o)
+    # the fixture must actually exercise the operator
+    assert nonzero > 0, f"{name}: no trial produced matches — weak fixture"
