@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, README "bench.py").
+
+Runs every query in __spark_entry__.queries() against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Execution is forced with a count() (no collect of payloads — measures
+the full plan incl. shuffle/join, not driver materialization).
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+    BENCH_QUERIES        comma-separated subset to run
+    BENCH_REPEAT         repetitions per query, min is reported (default 1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cep_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    only = os.environ.get("BENCH_QUERIES")
+    only_set = set(only.split(",")) if only else None
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if only_set is not None:
+        qs = {k: v for k, v in qs.items() if k in only_set}
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per_query: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t0 = time.perf_counter()
+    for name, fn in qs.items():
+        best = None
+        n = -1
+        for _ in range(repeat):
+            t = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 4)
+        rows[name] = n
+    total = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cep_spark_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "rows": rows,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
