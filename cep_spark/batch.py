@@ -389,10 +389,12 @@ def match_schema_array(pat, emit_cols=("turn_idx", "role", "tool", "ts"), key_ty
     )
 
 
-def matches_to_pdf_array(cp, gdf, key_val, emit_cols):
-    """Run the matcher on one sorted group -> array-mode output pdf."""
+def matches_to_pdf_array(cp, gdf, key_val, emit_cols, res=None):
+    """Matcher output for one sorted group -> array-mode pdf.  ``res``
+    overrides the match set (streaming passes the sealed subset)."""
     pat = cp.pattern
-    res = match_group_nfa(cp, gdf)
+    if res is None:
+        res = match_group_nfa(cp, gdf)
     rows = []
     for alt_id, binding in res:
         alt = cp.alternatives[alt_id]
@@ -435,10 +437,11 @@ def match_schema_flat(cp, key_type=None):
     return T.StructType(fields)
 
 
-def matches_to_pdf_flat(cp, gdf, key_val):
+def matches_to_pdf_flat(cp, gdf, key_val, res=None):
     pat = cp.pattern
     tb = gdf[pat.tiebreak_col].to_numpy()
-    res = match_group_nfa(cp, gdf)
+    if res is None:
+        res = match_group_nfa(cp, gdf)
     all_vars = cp.all_vars()
     kleene_all = set()
     for a in cp.alternatives:

@@ -1,0 +1,248 @@
+"""Structured-Streaming execution of compiled patterns.
+
+flatMapGroupsWithState-style stateful processing (SURVEY.md §3.4, M3;
+replaces the reference's push-loop over an in-memory queue — reference
+`CEP.py` run loop, SURVEY.md §3.1):
+
+    events readStream
+      .filter(union of unary conditions)        <- Catalyst pushdown
+      .withWatermark(ts, delay)
+      .groupBy(key)
+      .applyInPandasWithState(nfa_fn)           <- per-key event buffer
+                                                   (Arrow IPC in the state
+                                                   store), NFA re-advance,
+                                                   watermark-sealed emission
+
+Semantics (the parity contract — BASELINE "same input stream and
+watermark"):
+
+* A match is EMITTED in the first micro-batch whose watermark W is >=
+  the match's last event-time ("sealed"): no in-order event arriving
+  later can create, extend, or (via gap-negation) invalidate a match
+  with last.ts <= W, because such events have ts > W.
+* An arrival whose ts is <= the PREVIOUS emission watermark is LATE and
+  dropped (counted in state): admitting it could mint a match that was
+  already sealed shut, breaking exactly-once.  Arrivals inside the
+  current bracket (prev_wm, W] are admitted even though they are
+  behind max(event time) — bounded disorder is handled for free.
+* State per key = the retained event buffer: events with
+  ts > watermark - window cannot yet be excluded from a future match;
+  everything older is pruned.  With a window, state is bounded by the
+  key's event rate x window span.  Unbounded-window patterns keep the
+  full key history (documented limit; the reference behaves the same).
+* Exactly-once: a match seals in exactly one bracket (last_emit_wm, W].
+  On failure Spark replays the batch from the checkpoint with the same
+  state and the same watermark, reproducing the bracket byte-for-byte;
+  the sink (sink.py) is idempotent per batch id.
+
+The matcher is the SAME `match_group_nfa` as batch mode — batch ≡
+stream parity is structural.  Each batch re-advances the NFA over the
+retained buffer and emits only newly-sealed matches; partial-match
+tables are recomputed from the (window-bounded) buffer rather than
+persisted — the recompute-vs-checkpoint tradeoff taken on the
+recompute side because buffers are bounded while partial-match sets
+are not (Kleene is super-linear in buffer length in the worst case).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .batch import (
+    CompiledPattern,
+    match_group_nfa,
+    match_schema_array,
+    match_schema_flat,
+    matches_to_pdf_array,
+    matches_to_pdf_flat,
+    prefilter,
+)
+
+__all__ = ["run_stream", "stream_matches"]
+
+
+def _ser_buf(pdf: pd.DataFrame) -> bytes:
+    """Arrow-IPC encode the retained-event buffer (state-store value)."""
+    import pyarrow as pa
+
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def _de_buf(raw: bytes) -> pd.DataFrame:
+    import pyarrow as pa
+
+    return pa.ipc.open_stream(pa.BufferReader(raw)).read_all().to_pandas()
+
+
+def _match_last_ts_ns(binding: dict, ts_ns: np.ndarray) -> int:
+    last = -1
+    for p in binding.values():
+        for pos in p if isinstance(p, tuple) else (p,):
+            t = int(ts_ns[pos])
+            if t > last:
+                last = t
+    return last
+
+
+def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
+                   emit_cols=("turn_idx", "role", "tool", "ts")):
+    """Attach the stateful NFA to a streaming DataFrame.
+
+    Returns the streaming match DataFrame (append mode); the caller
+    attaches the sink (memory sink in tests, exactly-once parquet via
+    sink.py in production).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ._serde import ensure_shippable
+
+    ensure_shippable()
+    pat = cp.pattern
+    key_type = df.schema[pat.key].dataType
+    w_ns = None if pat.window is None else int(pat.window.total_seconds() * 1e9)
+
+    # watermarks require TIMESTAMP (tz-aware); the engine's event time is
+    # tz-naive — reinterpret under the pinned UTC session timezone
+    if isinstance(df.schema[pat.ts_col].dataType, T.TimestampNTZType):
+        df = df.withColumn(pat.ts_col, df[pat.ts_col].cast(T.TimestampType()))
+    # Watermark semantics: Spark advances the watermark from the rows
+    # reaching the EventTimeWatermark node, and Catalyst pushes the
+    # deterministic unary prefilter below it — so the effective
+    # watermark tracks PATTERN-RELEVANT events (standard Spark
+    # behavior).  Parity is stated against that watermark ("same input
+    # stream and watermark").
+    df = df.withWatermark(pat.ts_col, watermark)
+    df = prefilter(df, cp, extra_cols=emit_cols if mode == "array" else ())
+
+    if mode == "flat":
+        out_schema = match_schema_flat(cp, key_type)
+    else:
+        out_schema = match_schema_array(pat, emit_cols, key_type)
+
+    state_schema = T.StructType(
+        [
+            T.StructField("buf", T.BinaryType()),
+            T.StructField("last_emit_wm_ms", T.LongType()),
+            T.StructField("late_dropped", T.LongType()),
+        ]
+    )
+    ts_col, tb_col = pat.ts_col, pat.tiebreak_col
+
+    def fn(key, pdf_iter, state):
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_ns = wm_ms * 1_000_000
+        if state.exists:
+            buf_raw, last_emit_wm_ms, late_dropped = state.get
+            buf = _de_buf(buf_raw) if buf_raw else None
+        else:
+            buf, last_emit_wm_ms, late_dropped = None, -1, 0
+        lo_ns = last_emit_wm_ms * 1_000_000
+
+        chunks = [] if state.hasTimedOut else list(pdf_iter)
+        arrivals = pd.concat(chunks, ignore_index=True) if chunks else None
+        if arrivals is not None and len(arrivals):
+            a_ns = arrivals[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            late = a_ns <= lo_ns
+            if late.any():
+                late_dropped += int(late.sum())
+                arrivals = arrivals.loc[~late]
+            if buf is None or not len(buf):
+                buf = arrivals
+            elif len(arrivals):
+                buf = pd.concat([buf, arrivals], ignore_index=True)
+
+        min_unsealed_ns = None
+        if buf is not None and len(buf):
+            g = buf.sort_values([ts_col, tb_col], kind="mergesort").reset_index(drop=True)
+            ts_ns = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            res = match_group_nfa(cp, g)
+            sealed = []
+            for a, b in res:
+                lts = _match_last_ts_ns(b, ts_ns)
+                if lo_ns < lts <= wm_ns:
+                    sealed.append((a, b))
+                elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):
+                    min_unsealed_ns = lts
+            if sealed:
+                if mode == "flat":
+                    yield matches_to_pdf_flat(cp, g, key[0], res=sealed)
+                else:
+                    yield matches_to_pdf_array(cp, g, key[0], emit_cols, res=sealed)
+            if w_ns is not None and wm_ns > 0:
+                g = g.loc[ts_ns > wm_ns - w_ns]
+        else:
+            g = pd.DataFrame()
+
+        state.update(
+            (
+                _ser_buf(g) if len(g) else None,
+                max(wm_ms, last_emit_wm_ms),
+                late_dropped,
+            )
+        )
+        # Seal-driven timers (not a wakeup per watermark advance — at
+        # 10^12-turn scale a global per-key no-data sweep each batch is
+        # the difference between O(active keys) and O(all keys)):
+        #   * pending unsealed match -> fire when the watermark can first
+        #     seal it (ceil to ms, watermark granularity);
+        #   * else a non-empty buffer with a window -> one cleanup fire
+        #     after the window fully passes, so silent keys free their
+        #     state-store entry;
+        #   * else no timer — the next arrival re-triggers processing.
+        timer = None
+        if min_unsealed_ns is not None:
+            timer = max(-(-min_unsealed_ns // 1_000_000), wm_ms + 1)
+        elif len(g) and w_ns is not None:
+            timer = max(wm_ms + w_ns // 1_000_000 + 1, 1)
+        if timer is not None:
+            state.setTimeoutTimestamp(timer)
+        import os as _os
+
+        if _os.environ.get("CEP_STREAM_DEBUG"):
+            with open(_os.environ["CEP_STREAM_DEBUG"], "a") as _f:
+                _f.write(
+                    f"{key[0]} wm={wm_ms} lo={last_emit_wm_ms} timed_out={state.hasTimedOut} "
+                    f"buf={len(g)} timer={timer}\n"
+                )
+
+    return df.groupBy(pat.key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_stream(
+    spark,
+    source_dir: str,
+    cp: CompiledPattern,
+    watermark: str,
+    schema=None,
+    mode: str = "flat",
+    emit_cols=("turn_idx", "role", "tool", "ts"),
+    max_files_per_trigger: int | None = 1,
+):
+    """readStream a parquet directory -> streaming match DataFrame.
+
+    The parquet-dir source stands in for the BASELINE's Iceberg stream
+    (the Iceberg runtime jar is unavailable offline); the source is
+    behind this one call site so Iceberg drops in:
+    ``spark.readStream.format("iceberg").load(table)``.
+    """
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.schema(spark.read.parquet(source_dir).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return stream_matches(df, cp, watermark, mode=mode, emit_cols=emit_cols)

@@ -1,0 +1,247 @@
+"""Streaming NFA: batch≡stream parity, disorder, late drops, resume,
+exactly-once sink (SURVEY.md §5.2 items 5-6).
+
+Parity definition (stream.py docstring): the stream emits exactly the
+matches SEALED by the final watermark.  Because Spark watermarks are
+ms-floored and event times are µs, the globally-last events stay
+unsealed until a later event advances the watermark — tests either
+compare against the sealed subset or append a flush event.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cep_spark.batch import match_group_nfa, run_batch
+from cep_spark.compiler import compile_pattern
+from cep_spark.pattern import Ev, Kleene, Neg, Pattern, Seq
+from cep_spark.sink import ExactlyOnceParquetSink
+from cep_spark.stream import run_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pat(struct, window=timedelta(hours=24), where=None):
+    from cep_spark.conditions import TRUE
+
+    return Pattern(
+        struct,
+        where=where if where is not None else TRUE,
+        window=window,
+        key="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+def _write_pq(pdf: pd.DataFrame, path: str):
+    pdf = pdf.copy()
+    for c in pdf.columns:  # Spark cannot read TIMESTAMP(NANOS) parquet
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    pdf.to_parquet(path, index=False)
+
+
+def _split_files(pdf: pd.DataFrame, dirpath: str, k: int, order_col="ts"):
+    shutil.rmtree(dirpath, ignore_errors=True)
+    os.makedirs(dirpath, exist_ok=True)
+    pdf = pdf.sort_values(order_col).reset_index(drop=True)
+    n = len(pdf)
+    for i in range(k):
+        _write_pq(pdf.iloc[i * n // k : (i + 1) * n // k], f"{dirpath}/part{i:03d}.parquet")
+
+
+def _run(spark, src, cp, watermark, ckpt, name, timeout=240):
+    sm = run_stream(spark, src, cp, watermark=watermark)
+    q = (
+        sm.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def _sealed_batch(spark, events_pdf, cp, wm_ms):
+    """Batch matches restricted to last-event-ts <= watermark (ms)."""
+    rows = []
+    for uid, g in events_pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts_ns = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        from cep_spark.batch import matches_to_pdf_flat
+        from cep_spark.stream import _match_last_ts_ns
+
+        res = [
+            (a, b)
+            for a, b in match_group_nfa(cp, g)
+            if _match_last_ts_ns(b, ts_ns) <= wm_ms * 1_000_000
+        ]
+        if res:
+            rows.append(matches_to_pdf_flat(cp, g, uid, res=res))
+    if not rows:
+        return []
+    out = pd.concat(rows, ignore_index=True)
+    return [tuple(None if pd.isna(v) else int(v) if isinstance(v, (np.integer,)) else v for v in r)
+            for r in out.itertuples(index=False, name=None)]
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def _flush_row(events_pdf, days=30, event_type="signup"):
+    """One event on a fresh key far in the future: it must be
+    PATTERN-RELEVANT (survive the unary prefilter) because Spark's
+    watermark advances on the rows reaching the EventTimeWatermark node
+    — Catalyst pushes the prefilter below it.  It matches nothing (its
+    own key holds a single event)."""
+    r = events_pdf.iloc[[0]].copy()
+    r["user_id"] = -1
+    r["event_id"] = 10**12
+    r["event_type"] = event_type
+    r["ts"] = events_pdf["ts"].max() + pd.Timedelta(days=days)
+    return r
+
+
+def test_parity_with_flush(spark, events_pdf, tmp_path):
+    """With a flush event sealing everything: stream == batch exactly."""
+    pat = _pat(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")))
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)], ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_flush")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    assert got.count() == 88  # pinned from the verify recipe
+
+
+def test_parity_sealed_subset(spark, events_pdf, tmp_path):
+    """Without a flush: stream == batch restricted to sealed matches."""
+    pat = _pat(
+        Seq(Ev("a", event_type="signup"), Kleene(Ev("k", event_type="click"), max_len=3),
+            Ev("c", event_type="purchase"))
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    _split_files(events_pdf, src, k=4)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_sealed")
+    wm_ms = int(events_pdf["ts"].max().value // 1_000_000)  # delay=0 watermark
+    expected = _sealed_batch(spark, events_pdf, cp, wm_ms)
+    got_rows = [
+        tuple(None if v is None else v for v in r) for r in got.collect()
+    ]
+    assert sorted(got_rows) == sorted(expected)
+
+
+def test_disorder_within_watermark(spark, events_pdf, tmp_path):
+    """Arrival order shuffled within a bounded disorder window; watermark
+    covers the disorder -> same matches as in-order batch."""
+    pat = _pat(Seq(Ev("a", event_type="view"), Ev("b", event_type="purchase")),
+               window=timedelta(hours=12))
+    cp = compile_pattern(pat)
+    rng = np.random.default_rng(7)
+    arr = events_pdf.copy()
+    jitter = rng.integers(0, 10 * 60 * 1000, len(arr))  # <=10 min disorder
+    arr["arrival_key"] = arr["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64) + jitter
+    arr = arr.sort_values("arrival_key").drop(columns=["arrival_key"])
+    arr = pd.concat([arr, _flush_row(events_pdf, event_type="purchase")], ignore_index=True)
+    src = str(tmp_path / "src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    n = len(arr)
+    for i in range(6):  # split in ARRIVAL order (not ts order)
+        _write_pq(arr.iloc[i * n // 6 : (i + 1) * n // 6], f"{src}/p{i:03d}.parquet")
+    got = _run(spark, src, cp, "15 minutes", str(tmp_path / "ckpt"), "m_disorder")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+
+
+def test_late_events_dropped(spark, events_pdf, tmp_path):
+    """An event arriving after its ts was sealed is dropped; the stream
+    equals batch over the effective (on-time) input."""
+    pat = _pat(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")))
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    on_time = events_pdf.sort_values("ts").reset_index(drop=True)
+    late = on_time.iloc[[100]].copy()  # replayed much later
+    on_time_wo = on_time.drop(on_time.index[100]).reset_index(drop=True)
+    n = len(on_time_wo)
+    for i in range(3):
+        _write_pq(on_time_wo.iloc[i * n // 3 : (i + 1) * n // 3], f"{src}/p{i:03d}.parquet")
+    _write_pq(late, f"{src}/p900_late.parquet")  # arrives last
+    flush = _flush_row(events_pdf)
+    _write_pq(flush, f"{src}/p901_flush.parquet")
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_late")
+    eff = spark.createDataFrame(on_time_wo)
+    batch = run_batch(eff, cp, mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+
+
+def test_resume_from_checkpoint_exactly_once(spark, events_pdf, tmp_path):
+    """Stop after the first files, restart from the checkpoint with more
+    files + flush: the union of emissions equals batch, no duplicates."""
+    pat = _pat(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")))
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    sorted_ev = events_pdf.sort_values("ts").reset_index(drop=True)
+    n = len(sorted_ev)
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):  # first half in 3 files
+        _write_pq(sorted_ev.iloc[i * n // 6 : (i + 1) * n // 6], f"{src}/p{i:03d}.parquet")
+
+    def start():
+        sm = run_stream(spark, src, cp, watermark="0 seconds")
+        return (
+            sm.writeStream.foreachBatch(out.foreach_batch())
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(240)  # run 1 drains the first 3 files and stops
+
+    for i in range(3, 6):
+        _write_pq(sorted_ev.iloc[i * n // 6 : (i + 1) * n // 6], f"{src}/p{i:03d}.parquet")
+    _write_pq(_flush_row(events_pdf), f"{src}/p999_flush.parquet")
+    q = start()  # resume from the same checkpoint
+    q.awaitTermination(240)
+
+    got = out.read_committed(spark)
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    got_rows = _canon(got.collect())
+    assert got_rows == _canon(batch.collect())  # no loss, no duplicates
+
+
+def test_sink_idempotent_replay(spark, tmp_path):
+    """Replaying a committed batch id is a no-op (manifest guard)."""
+    out = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    df = spark.range(5).toDF("x")
+    out.write(df, 7)
+    files_before = sorted(os.listdir(os.path.join(out.data_dir, "batch_id=7")))
+    out.write(spark.range(999).toDF("x"), 7)  # replay with different data
+    files_after = sorted(os.listdir(os.path.join(out.data_dir, "batch_id=7")))
+    assert files_before == files_after
+    assert out.read_committed(spark).count() == 5
+    assert out.committed_batches() == [7]
