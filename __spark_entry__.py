@@ -144,24 +144,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from cep_spark import windows
+    from cep_spark.pipeline import registry as _pipeline_registry
+
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, pat in CEP_PATTERNS.items():
         out[name] = _cep_query(pat)
-    try:
-        from cep_spark.pipeline import registry as _pipeline_registry
-
-        out.update(_pipeline_registry.queries())
-    except ImportError:
-        pass
+    out.update(windows.QUERIES)
+    out.update(_pipeline_registry.queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    out = {name: oracle_sql_for(compile_pattern(pat), "events") for name, pat in CEP_PATTERNS.items()}
-    try:
-        from cep_spark.pipeline import registry as _pipeline_registry
+    from cep_spark import windows
+    from cep_spark.pipeline import registry as _pipeline_registry
 
-        out.update(_pipeline_registry.oracle_sql())
-    except ImportError:
-        pass
+    out = {name: oracle_sql_for(compile_pattern(pat), "events") for name, pat in CEP_PATTERNS.items()}
+    out.update(windows.ORACLES)
+    out.update(_pipeline_registry.oracle_sql())
     return out
