@@ -24,9 +24,9 @@ def ensure_shippable() -> None:
     except ImportError:  # pragma: no cover
         import cloudpickle  # type: ignore
     import cep_spark
-    from . import batch, compiler, conditions, pattern
+    from . import batch, compiler, conditions, pattern, skew, stream
 
-    for m in (cep_spark, conditions, pattern, compiler, batch):
+    for m in (cep_spark, conditions, pattern, compiler, batch, skew, stream):
         try:
             cloudpickle.register_pickle_by_value(m)
         except Exception:  # pragma: no cover - old cloudpickle

@@ -1,0 +1,92 @@
+"""Window-sliced hot-key execution == plain per-key NFA (exactness of
+the time-salting decomposition), incl. a zipf-hot conversation."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+
+from cep_spark.batch import run_batch
+from cep_spark.compiler import compile_pattern
+from cep_spark.conditions import TRUE, attr, lit
+from cep_spark.pattern import Ev, Kleene, Neg, Pattern, Seq
+from cep_spark.skew import run_batch_auto, run_batch_sliced
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "struct,where,window",
+    [
+        (Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")), None, 24),
+        (
+            Seq(Ev("a", event_type="view"), Ev("b", event_type="click"), Ev("c", event_type="purchase")),
+            (attr("b", "value") > attr("a", "value")),
+            12,
+        ),
+        (
+            Seq(Ev("a", event_type="signup"), Neg(Ev("n", event_type="error")), Ev("b", event_type="purchase")),
+            None,
+            24,
+        ),
+        (
+            Seq(Ev("a", event_type="signup"), Kleene(Ev("k", event_type="click"), max_len=3),
+                Ev("c", event_type="purchase")),
+            None,
+            12,
+        ),
+    ],
+)
+def test_sliced_equals_plain_events(spark, events_df, struct, where, window):
+    pat = Pattern(
+        struct,
+        where=where if where is not None else TRUE,
+        window=timedelta(hours=window),
+        key="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    cp = compile_pattern(pat)
+    assert _canon(run_batch_sliced(events_df, cp)) == _canon(run_batch(events_df, cp, mode="flat"))
+
+
+def test_sliced_equals_plain_hot_conversation(spark):
+    """One conversation holds ~50% of all turns (FIXTURES skew shape)."""
+    from cep_spark.transcripts import gen_transcripts
+
+    pdf = gen_transcripts(n_conv=40, seed=7, skew=0.5)
+    df = spark.createDataFrame(pdf)
+    pat = Pattern(
+        Seq(Ev("u", role="user"), Ev("a", role="assistant"), Ev("t", role="tool")),
+        window=timedelta(minutes=10),
+        key="conv_id",
+        ts_col="ts",
+        tiebreak_col="turn_idx",
+    )
+    cp = compile_pattern(pat)
+    plain = _canon(run_batch(df, cp, mode="flat"))
+    sliced = _canon(run_batch_sliced(df, cp))
+    assert sliced == plain and len(plain) > 0
+    # the hot key's work is actually split across many slice groups
+    hot_events = pdf[pdf.conv_id == "c00000000"]
+    span_s = (hot_events.ts.max() - hot_events.ts.min()).total_seconds()
+    assert span_s / 600 > 4  # >4 slices exist for the hot conversation
+
+
+def test_auto_path(spark, events_df):
+    pat = Pattern(
+        Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")),
+        window=timedelta(hours=24),
+        key="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    cp = compile_pattern(pat)
+    plain = _canon(run_batch(events_df, cp, mode="flat"))
+    assert _canon(run_batch_auto(events_df, cp, hot_threshold=10)) == plain
+    assert _canon(run_batch_auto(events_df, cp, hot_threshold=10**9)) == plain
