@@ -41,6 +41,12 @@ class _ColStore:
     def __init__(self, gdf: pd.DataFrame):
         self._cols = {c: gdf[c].to_numpy() for c in gdf.columns}
 
+    @classmethod
+    def from_cols(cls, cols: dict) -> "_ColStore":
+        self = cls.__new__(cls)
+        self._cols = cols
+        return self
+
     def row(self, i: int) -> dict:
         return {c: v[i] for c, v in self._cols.items()}
 
@@ -200,17 +206,45 @@ def _span_ok(spec_positions, spec, store, partials, alt):
     return ~bad
 
 
+def unary_masks(cp: CompiledPattern, cols: dict, n: int):
+    """Vectorized unary-condition masks over `n` rows for every slot and
+    negation of every alternative: {alt_id: ({sid: bool[n]}, [bool[n]])}.
+
+    Evaluated ONCE per pandas frame — per-partition in the partition
+    executor, per-group in the classic one."""
+    out = {}
+    for alt in cp.alternatives:
+        def mask_of(var, cond):
+            env = {var: _VarView(cols, np.arange(n))}
+            r = cond.pd(env)
+            if isinstance(r, (bool, np.bool_)):
+                return np.full(n, bool(r))
+            return np.asarray(r, dtype=bool)
+
+        slot_mask = {s.sid: mask_of(s.var, s.unary) for s in alt.slots}
+        neg_mask = [mask_of(sp.var, sp.unary) for sp in alt.negs]
+        out[alt.alt_id] = (slot_mask, neg_mask)
+    return out
+
+
 def match_group_nfa(cp: CompiledPattern, gdf: pd.DataFrame) -> list:
     """All matches in one key-group (gdf sorted by (ts, tiebreak)).
 
     Returns list of (alt_id, {var: pos | tuple(pos)}).  Same contract as
     tests/oracle_cep.match_group — the two are cross-checked in tests."""
-    pat = cp.pattern
     n = len(gdf)
     if n == 0:
         return []
     store = _ColStore(gdf)
-    ts_ns = gdf[pat.ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    ts_ns = gdf[cp.pattern.ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    masks = unary_masks(cp, store._cols, n)
+    return match_core(cp, store, ts_ns, masks)
+
+
+def match_core(cp: CompiledPattern, store, ts_ns, masks) -> list:
+    """NFA advance over one sorted group given precomputed unary masks."""
+    pat = cp.pattern
+    n = len(ts_ns)
     w_ns = None if pat.window is None else int(pat.window.total_seconds() * 1e9)
     out = []
 
@@ -218,22 +252,8 @@ def match_group_nfa(cp: CompiledPattern, gdf: pd.DataFrame) -> list:
         slots = {s.sid: s for s in alt.slots}
         svars = {st.sid: [slots[x].var for x in st.bound if not slots[x].kleene] for st in alt.states}
         kvars = {st.sid: [slots[x].var for x in st.bound if slots[x].kleene] for st in alt.states}
-
-        # precompute unary masks (vectorized over the whole group)
-        def unary_positions(var, cond):
-            env = {var: _VarView(store._cols, np.arange(n))}
-            r = cond.pd(env)
-            if isinstance(r, (bool, np.bool_)):
-                return np.arange(n) if r else np.empty(0, dtype=np.int64)
-            return np.nonzero(np.asarray(r, dtype=bool))[0]
-
-        slot_mask = {}
-        for s in alt.slots:
-            pos = unary_positions(s.var, s.unary)
-            m = np.zeros(n, dtype=bool)
-            m[pos] = True
-            slot_mask[s.sid] = m
-        neg_positions = [unary_positions(sp.var, sp.unary) for sp in alt.negs]
+        slot_mask, neg_mask = masks[alt.alt_id]
+        neg_positions = [np.nonzero(m)[0] for m in neg_mask]
 
         tables = {st.sid: _Partials(svars[st.sid], kvars[st.sid]) for st in alt.states}
         state_by_id = {st.sid: st for st in alt.states}
@@ -471,14 +491,33 @@ def matches_to_pdf_flat(cp, gdf, key_val, res=None):
     return pd.DataFrame(rows, columns=cols)
 
 
-def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role", "tool", "ts")):
-    """groupBy(key).applyInPandas NFA execution.
+def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role", "tool", "ts"),
+              strategy="auto"):
+    """Batch NFA execution.  Two physical strategies:
 
-    Pushes the union of unary conditions + column pruning into the scan
-    before the shuffle (Catalyst handles parquet pushdown from there)."""
+    * ``partition`` (default for flat output) — repartition(key) +
+      sortWithinPartitions(key, ts, tb) + ONE mapInPandas over each
+      whole partition: unary conditions evaluated vectorized ONCE per
+      partition, group boundaries found by key-change scan, one output
+      frame per partition.  Small-group fixed costs (per-group pandas
+      frames, per-group condition eval, per-group Arrow round trip)
+      amortize across the partition — the difference between ~10k and
+      ~100k turns/s when conversations are short.
+    * ``group`` — groupBy(key).applyInPandas, one call per key (used
+      for array output mode; also the reference implementation the
+      partition strategy is tested against).
+
+    Both push the union of unary conditions + column pruning into the
+    scan (Catalyst forwards them to parquet)."""
     from ._serde import ensure_shippable
 
     ensure_shippable()
+    if strategy == "auto":
+        strategy = "partition" if mode == "flat" else "group"
+    if strategy == "partition":
+        if mode != "flat":
+            raise ValueError("strategy='partition' supports mode='flat' only")
+        return _run_batch_partition(df, cp)
     pat = cp.pattern
     key_type = df.schema[pat.key].dataType
     df = prefilter(df, cp, extra_cols=emit_cols if mode == "array" else ())
@@ -497,6 +536,70 @@ def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role
             return matches_to_pdf_array(cp, g, key[0], emit_cols)
 
     return df.groupBy(pat.key).applyInPandas(fn, schema=schema)
+
+
+def _run_batch_partition(df, cp: CompiledPattern):
+    """Partition-amortized NFA execution (see run_batch docstring)."""
+    pat = cp.pattern
+    key_type = df.schema[pat.key].dataType
+    schema = match_schema_flat(cp, key_type)
+    out_cols = schema.fieldNames()
+    base = prefilter(df, cp)
+    rep = base.repartition(pat.key).sortWithinPartitions(
+        pat.key, pat.ts_col, pat.tiebreak_col
+    )
+    all_vars = cp.all_vars()
+    kleene_all = set()
+    for a in cp.alternatives:
+        kleene_all |= set(a.kleene_vars)
+    var_is_kleene = [(v, v in kleene_all) for v in all_vars]
+    ts_col, tb_col, key_col = pat.ts_col, pat.tiebreak_col, pat.key
+
+    def gen(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        n = len(pdf)
+        if n == 0:
+            return
+        cols_all = {c: pdf[c].to_numpy() for c in pdf.columns}
+        keys = cols_all[key_col]
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        bounds = np.concatenate([[0], change, [n]])
+        ts_all = cols_all[ts_col].astype("datetime64[ns]").astype(np.int64)
+        masks_all = unary_masks(cp, cols_all, n)
+        tb_all = cols_all[tb_col]
+        rows = []
+        for gi in range(len(bounds) - 1):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            sub_cols = {c: a[s:e] for c, a in cols_all.items()}
+            store = _ColStore.from_cols(sub_cols)
+            masks = {
+                aid: ({sid: m[s:e] for sid, m in sm.items()}, [m[s:e] for m in nm])
+                for aid, (sm, nm) in masks_all.items()
+            }
+            res = match_core(cp, store, ts_all[s:e], masks)
+            if not res:
+                continue
+            key_val = keys[s]
+            tb = tb_all[s:e]
+            for alt_id, binding in res:
+                row = [key_val, alt_id]
+                for v, is_k in var_is_kleene:
+                    p = binding.get(v)
+                    if is_k:
+                        if p is None:
+                            row += [None, None, None]
+                        else:
+                            pp = p if isinstance(p, tuple) else (p,)
+                            row += [len(pp), int(tb[pp[0]]), int(tb[pp[-1]])]
+                    else:
+                        row.append(None if p is None else int(tb[p]))
+                rows.append(tuple(row))
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    return rep.mapInPandas(gen, schema=schema)
 
 
 def prefilter(df, cp: CompiledPattern, extra_cols=()):
@@ -520,3 +623,63 @@ def prefilter(df, cp: CompiledPattern, extra_cols=()):
     if ors is not None:
         out = out.filter(ors)
     return out
+
+
+# --------------------------------------------------------------------------
+# multi-pattern execution (SURVEY.md §2.3 E7: the reference's CEP() takes a
+# pattern list; we run all compiled patterns in ONE scan + ONE shuffle)
+
+
+def prefilter_multi(df, cps, extra_cols=()):
+    """Union prefilter across patterns: a row survives if ANY pattern's
+    slot/negation could use it; columns = union of referenced columns."""
+    ors = None
+    needed = set(extra_cols)
+    for cp in cps:
+        pat = cp.pattern
+        needed |= {pat.key, pat.ts_col, pat.tiebreak_col}
+        for v, cols in cp.needed_cols.items():
+            needed.update(cols)
+        for alt in cp.alternatives:
+            for s in alt.slots:
+                c = s.unary.spark_col({s.var: df})
+                ors = c if ors is None else (ors | c)
+            for ng in alt.negs:
+                c = ng.unary.spark_col({ng.var: df})
+                ors = c if ors is None else (ors | c)
+    out = df.select(*[c for c in df.columns if c in needed])
+    if ors is not None:
+        out = out.filter(ors)
+    return out
+
+
+def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts")):
+    """Run N compiled patterns over one keyed scan: single shuffle,
+    single per-group sort, one matcher pass per pattern; output is the
+    array schema with ``pattern_id`` distinguishing the patterns.
+
+    All patterns must share (key, ts_col, tiebreak_col); give each a
+    distinct ``Pattern.pattern_id``."""
+    from ._serde import ensure_shippable
+
+    ensure_shippable()
+    if not cps:
+        raise ValueError("no patterns")
+    p0 = cps[0].pattern
+    for cp in cps[1:]:
+        p = cp.pattern
+        if (p.key, p.ts_col, p.tiebreak_col) != (p0.key, p0.ts_col, p0.tiebreak_col):
+            raise ValueError("run_batch_multi patterns must share key/ts/tiebreak columns")
+    ids = [cp.pattern.pattern_id for cp in cps]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"pattern_id values must be distinct, got {ids}")
+    key_type = df.schema[p0.key].dataType
+    schema = match_schema_array(p0, emit_cols, key_type)
+    base = prefilter_multi(df, cps, extra_cols=emit_cols)
+
+    def fn(key, pdf):
+        g = pdf.sort_values([p0.ts_col, p0.tiebreak_col]).reset_index(drop=True)
+        outs = [matches_to_pdf_array(cp, g, key[0], emit_cols) for cp in cps]
+        return pd.concat(outs, ignore_index=True)
+
+    return base.groupBy(p0.key).applyInPandas(fn, schema=schema)

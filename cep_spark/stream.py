@@ -179,6 +179,15 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
         else:
             g = pd.DataFrame()
 
+        if not len(g) and min_unsealed_ns is None:
+            # drained key: free the state-store entry entirely (at
+            # 10^12-turn scale a tombstone per finished conversation is
+            # the difference between bounded and unbounded state).  A
+            # later arrival for this key restarts from empty state and
+            # its stale events are re-admitted only if still inside the
+            # current watermark bracket — same contract as a new key.
+            state.remove()
+            return
         state.update(
             (
                 _ser_buf(g) if len(g) else None,

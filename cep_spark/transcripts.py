@@ -35,10 +35,12 @@ def gen_transcripts(
     mean_gap_s: float = 20.0,
     max_len: int = 200,
     skew: float | None = None,
+    geom_p: float = 0.15,
 ) -> pd.DataFrame:
-    """Deterministic transcripts; rows sorted by (conv_id, turn_idx)."""
+    """Deterministic transcripts; rows sorted by (conv_id, turn_idx).
+    ``geom_p`` sets conversation length ~ 1+Geometric(p) (mean 1+1/p)."""
     rng = np.random.default_rng(seed)
-    lens = 1 + rng.geometric(0.15, size=n_conv)
+    lens = 1 + rng.geometric(geom_p, size=n_conv)
     lens = np.minimum(lens, max_len)
     if skew is not None:
         # one hot conversation receives `skew` fraction of ALL turns

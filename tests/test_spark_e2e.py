@@ -127,3 +127,39 @@ def test_array_output_sorted(spark, transcripts_df):
         assert [m.var for m in ms] == ["a", "b"]
         assert ms[0].role == "user" and ms[1].role == "assistant"
         assert (ms[0].ts, ms[0].turn_idx) < (ms[1].ts, ms[1].turn_idx)
+
+
+def test_run_batch_multi(spark, events_df):
+    """One scan+shuffle for N patterns == union of individual runs."""
+    from dataclasses import replace
+    from datetime import timedelta
+
+    from cep_spark.batch import run_batch, run_batch_multi
+    from cep_spark.compiler import compile_pattern
+    from cep_spark.pattern import And_, Ev, Pattern, Seq
+
+    emit = ("event_id", "event_type", "ts")
+
+    def mk(struct, pid, hours):
+        return Pattern(struct, window=timedelta(hours=hours), key="user_id",
+                       ts_col="ts", tiebreak_col="event_id", pattern_id=pid)
+
+    pats = [
+        mk(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")), "seq2", 24),
+        mk(And_(Ev("x", event_type="view"), Ev("y", event_type="error")), "and2", 6),
+    ]
+    cps = [compile_pattern(p) for p in pats]
+    multi = run_batch_multi(events_df, cps, emit_cols=emit)
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["pattern_id"], r["alt_id"],
+             tuple((m["var"], m["event_id"]) for m in r["matched"]))
+            for r in df.collect()
+        )
+
+    singles = []
+    for cp in cps:
+        singles.extend(canon(run_batch(events_df, cp, mode="array", emit_cols=emit)))
+    assert canon(multi) == sorted(singles)
+    assert len(canon(multi)) > 0
