@@ -35,6 +35,8 @@ __all__ = [
     "TrueCond",
     "InSet",
     "IsNull",
+    "UserPred",
+    "udf_pred",
 ]
 
 
@@ -425,6 +427,72 @@ class BoolNot(Cond):
         return f"~{self.inner!r}"
 
 
+@dataclass(frozen=True, eq=False)
+class UserPred(Cond):
+    """Vectorized user predicate — the escape hatch mirroring the
+    reference's arbitrary Python-lambda conditions (reference
+    `Formula.py` getter lambdas, SURVEY.md §2.2), but batch-vectorized:
+    ``fn`` receives one pandas/NumPy series per AttrRef argument and
+    must return a boolean array (or scalar).  Never called per-row.
+
+    Engine-only: it evaluates in the NFA path (``pd``) and as an
+    Arrow-batched ``pandas_udf`` in DataFrame plans (``spark_col``);
+    it has NO SQL lowering, so patterns using it are excluded from the
+    DuckDB oracle (the driver records a rows-only check)."""
+
+    fn: Any
+    args: tuple  # tuple[AttrRef, ...]
+    name: str = "udf"
+
+    def vars(self):
+        out = set()
+        for a in self.args:
+            out |= a.vars()
+        return out
+
+    def cols(self):
+        out = set()
+        for a in self.args:
+            out |= a.cols()
+        return out
+
+    def pd(self, env):
+        return self.fn(*[a.pd(env) for a in self.args])
+
+    def sql(self, aliases):
+        raise NotImplementedError(
+            f"UserPred {self.name!r} has no SQL lowering (engine-only condition)"
+        )
+
+    def spark_col(self, var_cols=None):
+        import pandas as pd  # noqa: F401
+
+        from pyspark.sql.functions import pandas_udf
+
+        f = self.fn
+
+        @pandas_udf("boolean")
+        def _p(*series):
+            import numpy as np
+            import pandas as pd
+
+            r = f(*series)
+            if isinstance(r, (bool, np.bool_)):
+                return pd.Series([bool(r)] * len(series[0]))
+            return pd.Series(np.asarray(r, dtype=bool))
+
+        return _p(*[a.spark_col(var_cols) for a in self.args])
+
+    def __repr__(self):
+        return f"udf_pred[{self.name}]({', '.join(map(repr, self.args))})"
+
+
+def udf_pred(fn, *args: "AttrRef", name: str = "udf") -> UserPred:
+    """Wrap a vectorized callable as a pattern condition:
+    ``udf_pred(lambda v: v % 7 == 0, attr("a", "value"))``."""
+    return UserPred(fn, tuple(args), name)
+
+
 class TrueCond(Cond):
     def vars(self):
         return frozenset()
@@ -488,6 +556,8 @@ def subst(e: Expr, mapping: Mapping[str, str]) -> Expr:
         return BoolOr(subst(e.left, mapping), subst(e.right, mapping))
     if isinstance(e, BoolNot):
         return BoolNot(subst(e.inner, mapping))
+    if isinstance(e, UserPred):
+        return UserPred(e.fn, tuple(subst(a, mapping) for a in e.args), e.name)
     raise TypeError(f"unknown expr {e!r}")
 
 

@@ -128,3 +128,34 @@ def test_negation_exactly_at_boundary_does_not_kill():
 def test_empty_group():
     pat = Pattern(Seq(Ev("a", role="user"), Ev("b", role="assistant")))
     assert match_group_nfa(compile_pattern(pat), _df([])) == []
+
+
+def test_user_pred_vectorized(spark, events_df):
+    """udf_pred == the equivalent declarative condition (NFA + prefilter
+    paths), and is excluded from SQL lowering."""
+    from datetime import timedelta
+
+    import pytest
+
+    from cep_spark.batch import run_batch
+    from cep_spark.compiler import compile_pattern
+    from cep_spark.conditions import attr, lit, udf_pred
+    from cep_spark.join_planner import oracle_sql_for
+    from cep_spark.pattern import Ev, Pattern, Seq
+
+    def mk(cond_b):
+        return compile_pattern(
+            Pattern(
+                Seq(Ev("a", event_type="signup"), Ev("b", where=cond_b, event_type="purchase")),
+                window=timedelta(hours=24),
+                key="user_id", ts_col="ts", tiebreak_col="event_id",
+            )
+        )
+
+    cp_udf = mk(udf_pred(lambda v, w: v > w * 2, attr("b", "value"), attr("a", "value"), name="2x"))
+    cp_dec = mk(attr("b", "value") > attr("a", "value") * lit(2))
+    got = sorted(tuple(r) for r in run_batch(events_df, cp_udf, mode="flat").collect())
+    want = sorted(tuple(r) for r in run_batch(events_df, cp_dec, mode="flat").collect())
+    assert got == want and len(got) > 0
+    with pytest.raises(NotImplementedError):
+        oracle_sql_for(cp_udf, "events")
