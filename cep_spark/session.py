@@ -32,10 +32,16 @@ def get_spark(
     app_name: str = "cep-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    driver_memory: str | None = None,
 ) -> SparkSession:
+    """``driver_memory`` only takes effect for a fresh JVM (local mode
+    runs everything in the driver; the 1g default is far too small for
+    multi-million-row sorts — size it like cluster executor memory)."""
     master = master or os.environ.get("CEP_SPARK_MASTER", "local[*]")
     b = SparkSession.builder.master(master).appName(app_name)
     conf = dict(DEFAULTS)
+    if driver_memory or os.environ.get("CEP_DRIVER_MEM"):
+        conf["spark.driver.memory"] = driver_memory or os.environ["CEP_DRIVER_MEM"]
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:

@@ -255,3 +255,118 @@ def run_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
     return stream_matches(df, cp, watermark, mode=mode, emit_cols=emit_cols)
+
+
+def stream_matches_multi(df, cps, watermark: str,
+                         emit_cols=("turn_idx", "role", "tool", "ts")):
+    """Streaming multi-pattern execution (reference `CEP(patterns=[...])`,
+    SURVEY.md §2.3 E7): ONE keyed state stream runs every compiled
+    pattern — one watermark, one shuffle, one event buffer per key
+    (retention = the LARGEST pattern window), matchers run per pattern
+    per batch.  Output is the array schema with ``pattern_id``.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ._serde import ensure_shippable
+    from .batch import prefilter_multi
+
+    ensure_shippable()
+    if not cps:
+        raise ValueError("no patterns")
+    p0 = cps[0].pattern
+    for cp in cps[1:]:
+        p = cp.pattern
+        if (p.key, p.ts_col, p.tiebreak_col) != (p0.key, p0.ts_col, p0.tiebreak_col):
+            raise ValueError("patterns must share key/ts/tiebreak columns")
+    ids = [cp.pattern.pattern_id for cp in cps]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"pattern_id values must be distinct, got {ids}")
+    key_type = df.schema[p0.key].dataType
+    windows = [cp.pattern.window for cp in cps]
+    w_ns = (
+        None
+        if any(w is None for w in windows)
+        else int(max(w.total_seconds() for w in windows) * 1e9)
+    )
+
+    if isinstance(df.schema[p0.ts_col].dataType, T.TimestampNTZType):
+        df = df.withColumn(p0.ts_col, df[p0.ts_col].cast(T.TimestampType()))
+    df = df.withWatermark(p0.ts_col, watermark)
+    df = prefilter_multi(df, cps, extra_cols=emit_cols)
+
+    out_schema = match_schema_array(p0, emit_cols, key_type)
+    state_schema = T.StructType(
+        [
+            T.StructField("buf", T.BinaryType()),
+            T.StructField("last_emit_wm_ms", T.LongType()),
+            T.StructField("late_dropped", T.LongType()),
+        ]
+    )
+    ts_col, tb_col = p0.ts_col, p0.tiebreak_col
+
+    def fn(key, pdf_iter, state):
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_ns = wm_ms * 1_000_000
+        if state.exists:
+            buf_raw, last_emit_wm_ms, late_dropped = state.get
+            buf = _de_buf(buf_raw) if buf_raw else None
+        else:
+            buf, last_emit_wm_ms, late_dropped = None, -1, 0
+        lo_ns = last_emit_wm_ms * 1_000_000
+
+        chunks = [] if state.hasTimedOut else list(pdf_iter)
+        arrivals = pd.concat(chunks, ignore_index=True) if chunks else None
+        if arrivals is not None and len(arrivals):
+            a_ns = arrivals[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            late = a_ns <= lo_ns
+            if late.any():
+                late_dropped += int(late.sum())
+                arrivals = arrivals.loc[~late]
+            if buf is None or not len(buf):
+                buf = arrivals
+            elif len(arrivals):
+                buf = pd.concat([buf, arrivals], ignore_index=True)
+
+        min_unsealed_ns = None
+        if buf is not None and len(buf):
+            g = buf.sort_values([ts_col, tb_col], kind="mergesort").reset_index(drop=True)
+            ts_ns = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            outs = []
+            for cp in cps:
+                sealed = []
+                for a, b in match_group_nfa(cp, g):
+                    lts = _match_last_ts_ns(b, ts_ns)
+                    if lo_ns < lts <= wm_ns:
+                        sealed.append((a, b))
+                    elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):
+                        min_unsealed_ns = lts
+                if sealed:
+                    outs.append(matches_to_pdf_array(cp, g, key[0], emit_cols, res=sealed))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+            if w_ns is not None and wm_ns > 0:
+                g = g.loc[ts_ns > wm_ns - w_ns]
+        else:
+            g = pd.DataFrame()
+
+        if not len(g) and min_unsealed_ns is None:
+            state.remove()
+            return
+        state.update(
+            (_ser_buf(g) if len(g) else None, max(wm_ms, last_emit_wm_ms), late_dropped)
+        )
+        if min_unsealed_ns is not None:
+            state.setTimeoutTimestamp(max(-(-min_unsealed_ns // 1_000_000), wm_ms + 1))
+        elif len(g) and w_ns is not None:
+            state.setTimeoutTimestamp(max(wm_ms + w_ns // 1_000_000 + 1, 1))
+
+    return df.groupBy(p0.key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

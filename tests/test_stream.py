@@ -245,3 +245,55 @@ def test_sink_idempotent_replay(spark, tmp_path):
     assert files_before == files_after
     assert out.read_committed(spark).count() == 5
     assert out.committed_batches() == [7]
+
+
+def test_stream_multi_pattern_parity(spark, events_pdf, tmp_path):
+    """One keyed state stream running two patterns == union of the
+    individual batch runs (array mode), after a flush seals everything."""
+    from cep_spark.batch import run_batch
+    from cep_spark.pattern import And_
+    from cep_spark.stream import stream_matches_multi
+
+    emit = ("event_id", "event_type", "ts")
+
+    def mk(struct, pid, hours):
+        return Pattern(struct, window=timedelta(hours=hours), key="user_id",
+                       ts_col="ts", tiebreak_col="event_id", pattern_id=pid)
+
+    cps = [
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")), "seq2", 24)),
+        compile_pattern(mk(And_(Ev("x", event_type="view"), Ev("y", event_type="error")), "and2", 6)),
+    ]
+    src = str(tmp_path / "src")
+    with_flush = pd.concat(
+        [events_pdf, _flush_row(events_pdf), _flush_row(events_pdf, days=31, event_type="view")],
+        ignore_index=True,
+    )
+    # second flush row needs a distinct key: single-event keys match nothing
+    _split_files(with_flush, src, k=4)
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_matches_multi(sdf, cps, watermark="0 seconds", emit_cols=emit)
+    q = (
+        out.writeStream.format("memory").queryName("mp").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+
+    def canon(rows):
+        out = []
+        for r in rows:
+            ms = tuple((m["var"], m["event_id"]) for m in r["matched"])
+            out.append((r["user_id"], r["pattern_id"], r["alt_id"], ms))
+        return sorted(out)
+
+    got = canon(spark.sql("SELECT * FROM mp").collect())
+    ev_df = spark.read.parquet(f"{SF}/events.parquet")
+    want = []
+    for cp in cps:
+        want.extend(canon(run_batch(ev_df, cp, mode="array", emit_cols=emit).collect()))
+    assert got == sorted(want) and len(got) > 0
