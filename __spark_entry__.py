@@ -130,6 +130,59 @@ def _cep_query(pat: Pattern) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# UNBOUNDED Kleene: the join lowering cannot enumerate unbounded powersets,
+# so the Spark side is the NFA executor (run_batch) and the oracle is a
+# recursive CTE (SURVEY.md §5.2 item 4) — exact powerset semantics checked
+# end-to-end with no arity bound.
+
+_KLEENE_UNBOUNDED_PAT = _p(
+    Seq(
+        Ev("a", event_type="signup"),
+        Kleene(Ev("k", event_type="click")),
+        Ev("c", event_type="purchase"),
+    ),
+    window=timedelta(hours=24),
+)
+
+
+def _kleene_unbounded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_UNBOUNDED_PAT), mode="flat")
+
+
+def _kleene_unbounded_oracle() -> str:
+    w = int(_KLEENE_UNBOUNDED_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE seqs AS (
+  SELECT a.user_id, a.event_id AS a_id, a.ts AS a_ts,
+         k.event_id AS last_id, k.ts AS last_ts, 1 AS k_len, k.event_id AS k_first
+  FROM events a JOIN events k ON k.user_id = a.user_id
+  WHERE a.event_type = 'signup' AND k.event_type = 'click'
+    AND (a.ts < k.ts OR (a.ts = k.ts AND a.event_id < k.event_id))
+    AND ABS(EPOCH(k.ts) - EPOCH(a.ts)) <= {w}
+  UNION ALL
+  SELECT s.user_id, s.a_id, s.a_ts, k.event_id, k.ts, s.k_len + 1, s.k_first
+  FROM seqs s JOIN events k ON k.user_id = s.user_id
+  WHERE k.event_type = 'click'
+    AND (s.last_ts < k.ts OR (s.last_ts = k.ts AND s.last_id < k.event_id))
+    AND ABS(EPOCH(k.ts) - EPOCH(s.a_ts)) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.a_id AS BIGINT) AS a_event_id,
+       CAST(s.k_len AS BIGINT) AS k_len,
+       CAST(s.k_first AS BIGINT) AS k_first,
+       CAST(s.last_id AS BIGINT) AS k_last,
+       CAST(c.event_id AS BIGINT) AS c_event_id
+FROM seqs s JOIN events c ON c.user_id = s.user_id
+WHERE c.event_type = 'purchase'
+  AND (s.last_ts < c.ts OR (s.last_ts = c.ts AND s.last_id < c.event_id))
+  AND ABS(EPOCH(c.ts) - EPOCH(s.a_ts)) <= {w}
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -150,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, pat in CEP_PATTERNS.items():
         out[name] = _cep_query(pat)
+    out["cep_kleene_unbounded"] = _kleene_unbounded_query
     out.update(windows.QUERIES)
     out.update(_pipeline_registry.queries())
     return out
@@ -160,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
     from cep_spark.pipeline import registry as _pipeline_registry
 
     out = {name: oracle_sql_for(compile_pattern(pat), "events") for name, pat in CEP_PATTERNS.items()}
+    out["cep_kleene_unbounded"] = _kleene_unbounded_oracle()
     out.update(windows.ORACLES)
     out.update(_pipeline_registry.oracle_sql())
     return out
