@@ -531,3 +531,61 @@ ORACLES = {
     "doc_quality": SQL_QUALITY,
     "doc_tokens": SQL_TOKENS,
 }
+
+
+# ---------------------------------------------------------------------------
+# 9. winnowing fingerprints (Schleimer/Wilkerson/Aiken rolling-hash
+#    selection): per doc, hash the ORDERED trigram shingles, slide a
+#    window of WINNOW_W consecutive hashes, keep the min of each window,
+#    emit the distinct selected hashes.  Standard near-dup sketch whose
+#    size adapts to document length; both lowerings share the md5 hash
+#    and the same window-min formulation (Spark window function ≡ DuckDB
+#    window function), so the oracle is exact.
+
+WINNOW_W = 4
+
+
+def q_winnow(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = _read_docs(spark, sf_dir)
+    sh_expr = (
+        "transform(sequence(0, size({w}) - " + str(SHINGLE_W) + "), "
+        "i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2]))"
+    ).format(w=f"split({_spark_norm_sql_spark()}, ' ')")  # ordered, NOT distinct
+    ex = d.select("doc_id", F.posexplode(F.expr(sh_expr)).alias("i", "s")).select(
+        "doc_id", "i", F.expr(_SPARK_H_EXPR.format(s="s")).alias("h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    cnt = Window.partitionBy("doc_id")
+    sel = (
+        ex.withColumn("wmin", F.min("h").over(win))
+        .withColumn("n", F.count("*").over(cnt))
+        .filter(F.col("i") <= F.col("n") - WINNOW_W)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    return sel
+
+
+_SQL_WINNOW_SH = (
+    "list_transform(range(1, len({w}) - " + str(SHINGLE_W - 2) + "), "
+    "i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])"
+)
+
+SQL_WINNOW = f"""
+WITH t AS (SELECT doc_id, {_SQL_WINNOW_SH.format(w=_SQL_WORDS.format(t='text'))} AS sh FROM documents),
+ex AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS i,
+              {_SQL_H.format(s='unnest(sh)')} AS h FROM t),
+win AS (SELECT doc_id, i,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n
+        FROM ex)
+SELECT DISTINCT doc_id, wmin AS fp
+FROM win WHERE i <= n - {WINNOW_W}
+"""
+
+QUERIES["doc_winnow"] = q_winnow
+ORACLES["doc_winnow"] = SQL_WINNOW

@@ -162,3 +162,24 @@ ORACLES = {
     "win_sliding": SQL_SLIDING,
     "win_session": SQL_SESSION,
 }
+
+
+def stream_session_counts(df, watermark: str, key: str = "user_id", ts_col: str = "ts"):
+    """Watermarked session-window aggregation (30-min gap): a session
+    closes (and its state drops) once the watermark passes its end."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        df = df.withColumn(ts_col, df[ts_col].cast(T.TimestampType()))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key, F.session_window(ts_col, f"{SESSION_GAP_S} seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            _r6(F.sum("value")).alias("sum_value"),
+        )
+        .select(key, "first_ts", "last_ts", "n_events", "sum_value")
+    )

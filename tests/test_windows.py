@@ -75,3 +75,35 @@ def test_stream_tumbling_parity(spark, tmp_path):
         for r in windows.q_tumbling(spark, SF).collect()
     )
     assert got == batch and len(got) > 0
+
+
+def test_stream_session_parity(spark, tmp_path):
+    """Streaming session windows == batch session windows once the
+    watermark (flush row) closes every session."""
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    flush = ev.iloc[[0]].copy()
+    flush["user_id"] = -1
+    flush["ts"] = ev["ts"].max() + pd.Timedelta(days=30)
+    allv = pd.concat([ev, flush], ignore_index=True).sort_values("ts").reset_index(drop=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(allv)
+    for i in range(3):
+        part = allv.iloc[i * n // 3 : (i + 1) * n // 3].copy()
+        part["ts"] = part["ts"].astype("datetime64[us]")
+        part.to_parquet(src / f"p{i:03d}.parquet", index=False)
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windows.stream_session_counts(sdf, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("ws").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    got = _canon(tuple(r) for r in spark.sql("SELECT * FROM ws WHERE user_id != -1").collect())
+    batch = _canon(tuple(r) for r in windows.q_session(spark, SF).collect())
+    assert got == batch and len(got) > 0
