@@ -18,6 +18,7 @@ See SURVEY.md for the blueprint and semantics pinning.
 """
 
 from .batch import run_batch
+from .engine import CepEngine
 from .compiler import compile_pattern
 from .conditions import TRUE, attr, lit
 from .pattern import And_, Ev, Kleene, Neg, Or_, Pattern, Seq
@@ -35,4 +36,5 @@ __all__ = [
     "Seq",
     "compile_pattern",
     "run_batch",
+    "CepEngine",
 ]

@@ -1,0 +1,64 @@
+"""Engine facade — the reference's `CEP(eval_mechanism, patterns,
+events)` surface (reference `CEP.py`, SURVEY.md §2.3 E1/E7) on Spark
+idioms: construct once with one or more patterns, then run over batch
+DataFrames or streaming sources.
+
+    eng = CepEngine(pat)                  # or CepEngine(p1, p2, ...)
+    eng.run_batch(df)                     # flat rows (single pattern)
+    eng.run_batch(df, mode="array")       # array rows (+pattern_id)
+    eng.run_stream(stream_df, "10 minutes")
+    eng.explain(df)                       # physical plan of the batch lowering
+"""
+
+from __future__ import annotations
+
+from .batch import run_batch, run_batch_multi
+from .compiler import compile_pattern
+from .join_planner import oracle_sql_for, plan_join
+from .pattern import Pattern
+from .stream import stream_matches, stream_matches_multi
+
+__all__ = ["CepEngine"]
+
+
+class CepEngine:
+    def __init__(self, *patterns: Pattern):
+        if not patterns:
+            raise ValueError("CepEngine needs at least one pattern")
+        self.patterns = patterns
+        self.compiled = [compile_pattern(p) for p in patterns]
+
+    @property
+    def _single(self):
+        return self.compiled[0] if len(self.compiled) == 1 else None
+
+    def run_batch(self, df, mode: str = "flat", emit_cols=("turn_idx", "role", "tool", "ts")):
+        """NFA execution over a batch DataFrame.  Multi-pattern engines
+        always emit the array schema (pattern_id column)."""
+        if self._single is not None and mode == "flat":
+            return run_batch(df, self._single, mode="flat")
+        if self._single is not None:
+            return run_batch(df, self._single, mode="array", emit_cols=emit_cols)
+        return run_batch_multi(df, self.compiled, emit_cols=emit_cols)
+
+    def run_join(self, df, kleene_arities: int | None = None):
+        """Catalyst self-join lowering (single fixed-arity pattern)."""
+        if self._single is None:
+            raise ValueError("run_join supports a single pattern; use run_batch")
+        return plan_join(df, self._single, kleene_arities)
+
+    def run_stream(self, stream_df, watermark: str, mode: str = "flat",
+                   emit_cols=("turn_idx", "role", "tool", "ts")):
+        """Stateful streaming execution (watermark-sealed emission)."""
+        if self._single is not None:
+            return stream_matches(stream_df, self._single, watermark, mode=mode,
+                                  emit_cols=emit_cols)
+        return stream_matches_multi(stream_df, self.compiled, watermark,
+                                    emit_cols=emit_cols)
+
+    def oracle_sql(self, table: str, kleene_arities: int | None = None) -> list[str]:
+        """Equivalent ANSI SQL per pattern (DuckDB-compatible)."""
+        return [oracle_sql_for(cp, table, kleene_arities) for cp in self.compiled]
+
+    def explain(self, df) -> str:
+        return self.run_batch(df)._jdf.queryExecution().toString()

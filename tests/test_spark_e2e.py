@@ -163,3 +163,28 @@ def test_run_batch_multi(spark, events_df):
         singles.extend(canon(run_batch(events_df, cp, mode="array", emit_cols=emit)))
     assert canon(multi) == sorted(singles)
     assert len(canon(multi)) > 0
+
+
+def test_engine_facade(spark, events_df):
+    from datetime import timedelta
+
+    from cep_spark.engine import CepEngine
+    from cep_spark.pattern import Ev, Pattern, Seq
+
+    pat = Pattern(
+        Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")),
+        window=timedelta(hours=24), key="user_id",
+        ts_col="ts", tiebreak_col="event_id",
+    )
+    eng = CepEngine(pat)
+    assert eng.run_batch(events_df).count() == 88
+    assert eng.run_join(events_df).count() == 88
+    assert "events" in eng.oracle_sql("events")[0]
+    pat2 = Pattern(
+        Seq(Ev("x", event_type="view"), Ev("y", event_type="error")),
+        window=timedelta(hours=6), key="user_id",
+        ts_col="ts", tiebreak_col="event_id", pattern_id="p1",
+    )
+    multi = CepEngine(pat, pat2)
+    out = multi.run_batch(events_df, emit_cols=("event_id", "ts"))
+    assert set(r["pattern_id"] for r in out.select("pattern_id").distinct().collect()) == {"p0", "p1"}
