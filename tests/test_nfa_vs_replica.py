@@ -2,6 +2,7 @@
 on randomized small groups (seeded), across all operator families —
 including timestamp ties and Kleene/negation interactions."""
 
+import zlib
 from datetime import timedelta
 
 import numpy as np
@@ -130,7 +131,9 @@ def _canon_nfa(res):
 @pytest.mark.parametrize("name", sorted(PATTERNS))
 def test_nfa_matches_replica(name):
     pat = PATTERNS[name]
-    rng = np.random.default_rng(abs(hash(name)) % 2**32)
+    # crc32, not hash(): str hash is salted per process, which made the
+    # test nondeterministic (a rare seed produced 12 zero-match trials)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     cp = compile_pattern(pat)
     nonzero = 0
     for _ in range(12):
