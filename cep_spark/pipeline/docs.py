@@ -100,6 +100,34 @@ def _read_docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _words_df(spark, sf_dir):
+    """(doc_id, w: array<string>) with the split MATERIALIZED behind a
+    shuffle barrier.  Without it, Catalyst's projection collapsing
+    inlines the split+regexp expression into every `w[i]` access of the
+    shingle transform — O(words^2) regex evaluations per document
+    (measured 29x slower at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    d = _read_docs(spark, sf_dir)
+    # cache() is the materialization barrier: a plain repartition is NOT
+    # enough — the optimizer transposes the projection through it and
+    # re-inlines the regex into every element access downstream
+    return (
+        d.select("doc_id", F.split(F.expr(_spark_norm_sql_spark()), " ").alias("w"))
+        .repartition("doc_id")
+        .cache()
+    )
+
+
+def _shingle_list_df(spark, sf_dir):
+    """(doc_id, sh: array<string>) — DISTINCT trigram shingles."""
+    from pyspark.sql import functions as F
+
+    return _words_df(spark, sf_dir).select(
+        "doc_id", F.expr(_SPARK_SHINGLES_EXPR.format(w="w")).alias("sh")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 1. exact dedup: md5 of raw text; keep_id = min doc_id of the group
 
@@ -152,12 +180,10 @@ FROM documents
 def q_ngram_jaccard(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    d = _read_docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id", F.expr(_SPARK_SHINGLES_EXPR.format(w=f"split({_spark_norm_sql_spark()}, ' ')")).alias("sh")
-    )
+    sh = _shingle_list_df(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # both join sides read the inverted index: materialize it once
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).cache()
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -210,9 +236,7 @@ WHERE floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) / 1000000 >= {JACCARD
 def q_minhash_lsh(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    d = _read_docs(spark, sf_dir)
-    sh_expr = _SPARK_SHINGLES_EXPR.format(w=f"split({_spark_norm_sql_spark()}, ' ')")
-    sh_list = d.select("doc_id", F.expr(sh_expr).alias("sh"))
+    sh_list = _shingle_list_df(spark, sf_dir)
     ex = sh_list.select("doc_id", F.explode("sh").alias("sh_el")).select(
         "doc_id", F.expr(_SPARK_H_EXPR.format(s="sh_el")).alias("h")
     )
@@ -549,12 +573,13 @@ def q_winnow(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    d = _read_docs(spark, sf_dir)
     sh_expr = (
-        "transform(sequence(0, size({w}) - " + str(SHINGLE_W) + "), "
-        "i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2]))"
-    ).format(w=f"split({_spark_norm_sql_spark()}, ' ')")  # ordered, NOT distinct
-    ex = d.select("doc_id", F.posexplode(F.expr(sh_expr)).alias("i", "s")).select(
+        "transform(sequence(0, size(w) - " + str(SHINGLE_W) + "), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )  # ordered, NOT distinct
+    ex = _words_df(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.expr(sh_expr)).alias("i", "s")
+    ).select(
         "doc_id", "i", F.expr(_SPARK_H_EXPR.format(s="s")).alias("h")
     )
     win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)

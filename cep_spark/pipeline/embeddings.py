@@ -119,8 +119,10 @@ def q_ann_lsh_pairs(spark, sf_dir):
         band_structs.append(
             F.struct(F.lit(b).alias("band"), F.expr(f"concat({', '.join(bits)})").alias("bkey"))
         )
-    banded = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    banded = (
+        e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        .cache()  # 32 plane dot products per row; both join sides read it
     )
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
