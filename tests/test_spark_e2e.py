@@ -188,3 +188,35 @@ def test_engine_facade(spark, events_df):
     multi = CepEngine(pat, pat2)
     out = multi.run_batch(events_df, emit_cols=("event_id", "ts"))
     assert set(r["pattern_id"] for r in out.select("pattern_id").distinct().collect()) == {"p0", "p1"}
+
+
+def test_per_turn_text_equality(spark, transcripts_df, transcripts_pdf):
+    """North-rule invariant: matched output reproduces each turn's text
+    byte-for-byte under stable (conv_id, turn_idx) ordering."""
+    from datetime import timedelta
+
+    from cep_spark.batch import run_batch
+    from cep_spark.compiler import compile_pattern
+    from cep_spark.pattern import Ev, Pattern, Seq
+
+    pat = Pattern(
+        Seq(Ev("u", role="user"), Ev("a", role="assistant")),
+        window=timedelta(minutes=5),
+        key="conv_id", ts_col="ts", tiebreak_col="turn_idx",
+    )
+    out = run_batch(
+        transcripts_df, compile_pattern(pat), mode="array",
+        emit_cols=("turn_idx", "role", "tool", "ts", "text"),
+    ).collect()
+    assert len(out) > 0
+    src = {
+        (r.conv_id, int(r.turn_idx)): (r.text, r.role)
+        for r in transcripts_pdf.itertuples()
+    }
+    for row in out:
+        prev = None
+        for m in row["matched"]:  # stable (ts, turn_idx) order within match
+            assert (m["text"], m["role"]) == src[(row["conv_id"], m["turn_idx"])]
+            if prev is not None:
+                assert (m["ts"], m["turn_idx"]) >= prev
+            prev = (m["ts"], m["turn_idx"])
