@@ -297,3 +297,27 @@ def test_stream_multi_pattern_parity(spark, events_pdf, tmp_path):
     for cp in cps:
         want.extend(canon(run_batch(ev_df, cp, mode="array", emit_cols=emit).collect()))
     assert got == sorted(want) and len(got) > 0
+
+
+def test_rocksdb_state_store_parity(spark, events_pdf, tmp_path):
+    """Same stream on the RocksDB state-store provider (the spill-capable
+    store for 10^12-turn state) == batch result."""
+    pat = _pat(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")))
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)], ignore_index=True)
+    _split_files(with_flush, src, k=3)
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_rocks")
+        batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+        assert _canon(got.collect()) == _canon(batch.collect())
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
