@@ -466,25 +466,24 @@ def matches_to_pdf_flat(cp, gdf, key_val, res=None):
     kleene_all = set()
     for a in cp.alternatives:
         kleene_all |= set(a.kleene_vars)
+    var_is_kleene = [(v, v in kleene_all) for v in all_vars]
     rows = []
-    for alt_id, binding in res:
-        row = {pat.key: key_val, "alt_id": alt_id}
-        for v in all_vars:
+    for alt_id, binding in res:  # tuple rows: ~5x cheaper than dicts at
+        row = [key_val, alt_id]  # millions of emissions per batch
+        for v, is_k in var_is_kleene:
             p = binding.get(v)
-            if v in kleene_all:
+            if is_k:
                 if p is None:
-                    row[f"{v}_len"] = row[f"{v}_first"] = row[f"{v}_last"] = None
+                    row += [None, None, None]
                 else:
                     pp = p if isinstance(p, tuple) else (p,)
-                    row[f"{v}_len"] = len(pp)
-                    row[f"{v}_first"] = int(tb[pp[0]])
-                    row[f"{v}_last"] = int(tb[pp[-1]])
+                    row += [len(pp), int(tb[pp[0]]), int(tb[pp[-1]])]
             else:
-                row[f"{v}_{pat.tiebreak_col}"] = None if p is None else int(tb[p])
-        rows.append(row)
+                row.append(None if p is None else int(tb[p]))
+        rows.append(tuple(row))
     cols = [pat.key, "alt_id"]
-    for v in all_vars:
-        if v in kleene_all:
+    for v, is_k in var_is_kleene:
+        if is_k:
             cols += [f"{v}_len", f"{v}_first", f"{v}_last"]
         else:
             cols.append(f"{v}_{pat.tiebreak_col}")
