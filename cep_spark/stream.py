@@ -128,6 +128,7 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
     state_schema = T.StructType(
         [
             T.StructField("buf", T.BinaryType()),
+            T.StructField("pending", T.BinaryType()),
             T.StructField("last_emit_wm_ms", T.LongType()),
             T.StructField("late_dropped", T.LongType()),
         ]
@@ -138,10 +139,11 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
         wm_ms = state.getCurrentWatermarkMs()
         wm_ns = wm_ms * 1_000_000
         if state.exists:
-            buf_raw, last_emit_wm_ms, late_dropped = state.get
+            buf_raw, pend_raw, last_emit_wm_ms, late_dropped = state.get
             buf = _de_buf(buf_raw) if buf_raw else None
+            pend = _de_buf(pend_raw) if pend_raw else None
         else:
-            buf, last_emit_wm_ms, late_dropped = None, -1, 0
+            buf, pend, last_emit_wm_ms, late_dropped = None, None, -1, 0
         lo_ns = last_emit_wm_ms * 1_000_000
 
         chunks = [] if state.hasTimedOut else list(pdf_iter)
@@ -156,28 +158,91 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
                 buf = arrivals
             elif len(arrivals):
                 buf = pd.concat([buf, arrivals], ignore_index=True)
+        else:
+            arrivals = None
 
         min_unsealed_ns = None
-        if buf is not None and len(buf):
+        if arrivals is not None and len(arrivals) and buf is not None and len(buf):
+            # NEW EVENTS: rematch the buffer; emit the freshly-sealed
+            # bracket; park not-yet-sealed matches as PENDING rows (with
+            # their last-event-time) so timer wakeups below never rerun
+            # the matcher — they just filter this table.
             g = buf.sort_values([ts_col, tb_col], kind="mergesort").reset_index(drop=True)
             ts_ns = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
             res = match_group_nfa(cp, g)
-            sealed = []
+            sealed, pending = [], []
             for a, b in res:
                 lts = _match_last_ts_ns(b, ts_ns)
                 if lo_ns < lts <= wm_ns:
                     sealed.append((a, b))
-                elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):
-                    min_unsealed_ns = lts
+                elif lts > wm_ns:
+                    pending.append((lts, a, b))
             if sealed:
                 if mode == "flat":
                     yield matches_to_pdf_flat(cp, g, key[0], res=sealed)
                 else:
                     yield matches_to_pdf_array(cp, g, key[0], emit_cols, res=sealed)
+            if pending:
+                min_unsealed_ns = min(x[0] for x in pending)
+                # Park pending rows only while the table is small relative
+                # to the buffer: for selective patterns (the common case)
+                # timer wakeups then skip the matcher entirely; for
+                # match-dense patterns the Arrow round trip of a huge
+                # pending table costs more than the rematch, so store
+                # nothing and let the timer branch fall back to rematch.
+                if len(pending) <= max(4 * len(g), 256):
+                    if mode == "flat":
+                        pend = matches_to_pdf_flat(cp, g, key[0], res=[x[1:] for x in pending])
+                    else:
+                        pend = matches_to_pdf_array(
+                            cp, g, key[0], emit_cols, res=[x[1:] for x in pending]
+                        )
+                    pend["__lts"] = np.array([x[0] for x in pending], dtype=np.int64)
+                else:
+                    pend = None
+            else:
+                pend = None
+                pending = None
             if w_ns is not None and wm_ns > 0:
+                g = g.loc[ts_ns > wm_ns - w_ns]
+        elif buf is not None and len(buf):
+            if pend is not None and len(pend):
+                # TIMER WAKEUP with parked rows: emit the newly-sealed
+                # bracket; no matcher run, no sort — O(pending) only.
+                lts_arr = pend["__lts"].to_numpy()
+                emit_mask = (lts_arr > lo_ns) & (lts_arr <= wm_ns)
+                if emit_mask.any():
+                    yield pend.loc[emit_mask].drop(columns="__lts")
+                pend = pend.loc[~emit_mask & (lts_arr > wm_ns)]
+                if not len(pend):
+                    pend = None
+                else:
+                    min_unsealed_ns = int(pend["__lts"].min())
+                g = buf
+                ts_ns = None
+            else:
+                # TIMER WAKEUP, match-dense fallback: rematch the buffer
+                g = buf.sort_values([ts_col, tb_col], kind="mergesort").reset_index(drop=True)
+                ts_ns = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+                sealed = []
+                for a, b in match_group_nfa(cp, g):
+                    lts = _match_last_ts_ns(b, ts_ns)
+                    if lo_ns < lts <= wm_ns:
+                        sealed.append((a, b))
+                    elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):
+                        min_unsealed_ns = lts
+                if sealed:
+                    if mode == "flat":
+                        yield matches_to_pdf_flat(cp, g, key[0], res=sealed)
+                    else:
+                        yield matches_to_pdf_array(cp, g, key[0], emit_cols, res=sealed)
+            if w_ns is not None and wm_ns > 0:
+                if ts_ns is None:
+                    ts_ns = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
                 g = g.loc[ts_ns > wm_ns - w_ns]
         else:
             g = pd.DataFrame()
+            pend = None
 
         if not len(g) and min_unsealed_ns is None:
             # drained key: free the state-store entry entirely (at
@@ -191,6 +256,7 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
         state.update(
             (
                 _ser_buf(g) if len(g) else None,
+                _ser_buf(pend) if pend is not None and len(pend) else None,
                 max(wm_ms, last_emit_wm_ms),
                 late_dropped,
             )

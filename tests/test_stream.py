@@ -321,3 +321,38 @@ def test_rocksdb_state_store_parity(spark, events_pdf, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_stream_array_mode_parity(spark, events_pdf, tmp_path):
+    """Array-mode streaming (pending-row Arrow round trip incl. nested
+    struct column) == batch array mode."""
+    pat = _pat(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")))
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)], ignore_index=True)
+    _split_files(with_flush, src, k=4)
+    from cep_spark.stream import run_stream as _rs
+
+    emit = ("event_id", "event_type", "ts")
+    sm = _rs(spark, src, cp, watermark="0 seconds", mode="array", emit_cols=emit)
+    q = (
+        sm.writeStream.format("memory").queryName("m_arr").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+
+    def canon(rows):
+        out = []
+        for r in rows:
+            ms = tuple((m["var"], m["event_id"]) for m in r["matched"])
+            out.append((r["user_id"], r["pattern_id"], r["alt_id"], ms))
+        return sorted(out)
+
+    got = canon(spark.sql("SELECT * FROM m_arr").collect())
+    want = canon(
+        run_batch(
+            spark.read.parquet(f"{SF}/events.parquet"), cp, mode="array", emit_cols=emit
+        ).collect()
+    )
+    assert got == want and len(got) == 88
