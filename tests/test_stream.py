@@ -356,3 +356,18 @@ def test_stream_array_mode_parity(spark, events_pdf, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 88
+
+
+def test_sink_torn_batch_invisible(spark, tmp_path):
+    """A data dir without its manifest (torn write) is invisible to
+    read_committed — the exactly-once reader contract."""
+    import os
+
+    out = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    out.write(spark.range(3).toDF("x"), 0)
+    # simulate a torn batch: data present, no manifest
+    spark.range(99).toDF("x").write.parquet(
+        os.path.join(out.data_dir, "batch_id=1")
+    )
+    assert out.committed_batches() == [0]
+    assert out.read_committed(spark).count() == 3
