@@ -14,10 +14,10 @@ so the Spark plan and the oracle can never drift apart structurally.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .compiler import CompiledPattern
-from .conditions import Cond, TRUE, subst
+from .conditions import TRUE, subst
 
 __all__ = ["expand_fixed", "plan_join", "oracle_sql_for", "FixedAlt"]
 

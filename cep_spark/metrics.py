@@ -5,7 +5,7 @@ lag, batch latency) — SURVEY.md §7.1 M4."""
 from __future__ import annotations
 
 import json
-from datetime import datetime, timezone
+from datetime import datetime
 
 from pyspark.sql.streaming import StreamingQueryListener
 

@@ -41,8 +41,6 @@ def _slice_expr(ts_col: str, w_s: float):
 
 def run_batch_sliced(df, cp: CompiledPattern):
     """Window-sliced NFA execution: groupBy(key, slice).applyInPandas."""
-    import pandas as pd
-
     from pyspark.sql import functions as F
 
     from ._serde import ensure_shippable

@@ -1,6 +1,5 @@
 """Compiler unit tests — no Spark needed."""
 
-from datetime import timedelta
 
 import pytest
 

@@ -9,7 +9,7 @@ import pytest
 
 from cep_spark.batch import run_batch
 from cep_spark.compiler import compile_pattern
-from cep_spark.conditions import TRUE, attr, lit
+from cep_spark.conditions import TRUE, attr
 from cep_spark.pattern import Ev, Kleene, Neg, Pattern, Seq
 from cep_spark.skew import run_batch_auto, run_batch_sliced
 
