@@ -1,0 +1,132 @@
+"""Property-based testing: RANDOM pattern ASTs (not just the fixed
+corpus) against the brute-force replica on random event groups.
+
+Complements test_nfa_vs_replica's fixed corpus: hypothesis explores the
+operator-composition space (nesting, Kleene placement, negation
+scopes, condition mixes) far beyond hand-written cases."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cep_spark.batch import match_group_nfa
+from cep_spark.compiler import compile_pattern
+from cep_spark.conditions import TRUE, attr, lit
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Pattern, Seq
+from oracle_cep import match_group
+
+ROLES = ["user", "assistant", "tool"]
+_var_counter = [0]
+
+
+def _fresh(prefix):
+    _var_counter[0] += 1
+    return f"{prefix}{_var_counter[0]}"
+
+
+@st.composite
+def leaf(draw):
+    name = _fresh("v")
+    role = draw(st.sampled_from(ROLES))
+    return Ev(name, role=role)
+
+
+@st.composite
+def seq_node(draw, depth):
+    parts = []
+    n = draw(st.integers(2, 3))
+    has_pos = 0
+    for i in range(n):
+        kind = draw(st.sampled_from(["leaf", "kleene", "neg", "nested"]))
+        if kind == "neg" and 0 < i < n - 1 and has_pos:
+            parts.append(Neg(draw(leaf())))
+            continue
+        if kind == "kleene":
+            parts.append(Kleene(draw(leaf()), max_len=draw(st.sampled_from([None, 2]))))
+        elif kind == "nested" and depth > 0:
+            parts.append(draw(node(depth - 1)))
+        else:
+            parts.append(draw(leaf()))
+        has_pos += 1
+    return Seq(*parts)
+
+
+@st.composite
+def and_node(draw, depth):
+    n = draw(st.integers(2, 3))
+    parts = [draw(leaf()) for _ in range(n)]
+    if draw(st.booleans()):
+        parts.append(Neg(draw(leaf())))
+    return And_(*parts)
+
+
+@st.composite
+def node(draw, depth=1):
+    if draw(st.booleans()):
+        return draw(seq_node(depth))
+    return draw(and_node(depth))
+
+
+@st.composite
+def pattern(draw):
+    _var_counter[0] = 0
+    struct = draw(node(depth=1))
+    leaves = struct.var_names()
+    where = TRUE
+    if len(leaves) >= 2 and draw(st.booleans()):
+        a, b = draw(st.sampled_from([(x, y) for x in leaves for y in leaves if x != y]))
+        where = attr(a, "value") > attr(b, "value")
+    window = draw(st.sampled_from([timedelta(minutes=2), timedelta(minutes=10), None]))
+    return Pattern(struct, where=where, window=window)
+
+
+@st.composite
+def group(draw):
+    n = draw(st.integers(2, 10))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    ts0 = pd.Timestamp("2026-01-01")
+    gaps = rng.integers(0, 90, n)
+    return pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "role": rng.choice(ROLES, n),
+            "tool": rng.choice(["python", "sql"], n),
+            "ts": ts0 + pd.to_timedelta(np.cumsum(gaps), unit="s"),
+            "value": rng.uniform(0, 100, n).round(1),
+        }
+    )
+
+
+def _canon_oracle(res):
+    out = []
+    for b in res:
+        alt = b.pop("_alt")
+        out.append(
+            (alt, tuple(sorted((v, p if isinstance(p, tuple) else (p,)) for v, p in b.items())))
+        )
+    return sorted(out)
+
+
+def _canon_nfa(res):
+    return sorted(
+        (alt, tuple(sorted((v, p if isinstance(p, tuple) else (p,)) for v, p in b.items())))
+        for alt, b in res
+    )
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pat=pattern(), g=group())
+def test_random_pattern_vs_replica(pat, g):
+    try:
+        cp = compile_pattern(pat)
+    except ValueError:
+        return  # documented v1 limitation rejected at compile time — fine
+    o = _canon_oracle(match_group(pat, g.copy()))
+    m = _canon_nfa(match_group_nfa(cp, g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)))
+    assert o == m, f"{pat.structure!r}\n{g}\noracle={o}\nnfa={m}"
