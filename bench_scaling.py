@@ -364,7 +364,8 @@ def _write_md(summary):
             f"p95 micro-batch latency {b['p95_batch_ms']} ms over {b['batches']} batches, "
             f"max state rows {b['max_state_rows']}, exactly-once parquet sink.",
         ]
-    with open("BENCH/SCALING.md", "w") as f:
+    # auto-runs must not clobber the curated BENCH/SCALING.md narrative
+    with open("BENCH/SCALING_AUTO.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
