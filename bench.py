@@ -62,6 +62,18 @@ def main() -> None:
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm-up: absorb JVM/session/Arrow start-up cost (incl. a pandas-UDF
+    # round-trip) so the first timed query isn't ~5s of warm-up noise
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).select("ts").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(F.sum(_warm(F.col("id")))).collect()
+
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     t0 = time.perf_counter()

@@ -25,8 +25,10 @@ def ensure_shippable() -> None:
         import cloudpickle  # type: ignore
     import cep_spark
     from . import batch, compiler, conditions, pattern, skew, stream
+    from .pipeline import multimodal
 
-    for m in (cep_spark, conditions, pattern, compiler, batch, skew, stream):
+    for m in (cep_spark, conditions, pattern, compiler, batch, skew, stream,
+              multimodal):
         try:
             cloudpickle.register_pickle_by_value(m)
         except Exception:  # pragma: no cover - old cloudpickle

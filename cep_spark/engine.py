@@ -32,10 +32,30 @@ class CepEngine:
     def _single(self):
         return self.compiled[0] if len(self.compiled) == 1 else None
 
-    def run_batch(self, df, mode: str = "flat", emit_cols=("turn_idx", "role", "tool", "ts")):
-        """NFA execution over a batch DataFrame.  Multi-pattern engines
-        always emit the array schema (pattern_id column)."""
-        if self._single is not None and mode == "flat":
+    _DEFAULT_EMIT = ("turn_idx", "role", "tool", "ts")
+
+    def run_batch(self, df, mode: str | None = None, emit_cols=_DEFAULT_EMIT):
+        """NFA execution over a batch DataFrame.  mode=None auto-picks:
+        flat for a single pattern, array (pattern_id column) for multi.
+        Explicitly asking a multi-pattern engine for mode='flat' is an
+        error, as is customizing emit_cols on the flat path (the flat
+        schema is fixed) — no silent schema surprises."""
+        if mode is None:
+            mode = "flat" if self._single is not None else "array"
+        if mode not in ("flat", "array"):
+            raise ValueError(f"mode must be 'flat' or 'array', got {mode!r}")
+        if mode == "flat":
+            if self._single is None:
+                raise ValueError(
+                    "mode='flat' is only valid for single-pattern engines; "
+                    "multi-pattern output carries a pattern_id column — use "
+                    "mode='array'"
+                )
+            if tuple(emit_cols) != self._DEFAULT_EMIT:
+                raise ValueError(
+                    "emit_cols has no effect on the flat path (fixed schema); "
+                    "use mode='array' to select emitted columns"
+                )
             return run_batch(df, self._single, mode="flat")
         if self._single is not None:
             return run_batch(df, self._single, mode="array", emit_cols=emit_cols)
@@ -47,9 +67,17 @@ class CepEngine:
             raise ValueError("run_join supports a single pattern; use run_batch")
         return plan_join(df, self._single, kleene_arities)
 
-    def run_stream(self, stream_df, watermark: str, mode: str = "flat",
-                   emit_cols=("turn_idx", "role", "tool", "ts")):
-        """Stateful streaming execution (watermark-sealed emission)."""
+    def run_stream(self, stream_df, watermark: str, mode: str | None = None,
+                   emit_cols=_DEFAULT_EMIT):
+        """Stateful streaming execution (watermark-sealed emission).
+        mode=None auto-picks like run_batch."""
+        if mode is None:
+            mode = "flat" if self._single is not None else "array"
+        if mode == "flat" and self._single is None:
+            raise ValueError(
+                "mode='flat' is only valid for single-pattern engines; "
+                "multi-pattern output carries a pattern_id column"
+            )
         if self._single is not None:
             return stream_matches(stream_df, self._single, watermark, mode=mode,
                                   emit_cols=emit_cols)

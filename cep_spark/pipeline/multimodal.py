@@ -103,6 +103,10 @@ def media_features(df):
     scale this is the column-pruning boundary)."""
     from pyspark.sql import types as T
 
+    from .._serde import ensure_shippable
+
+    ensure_shippable()
+
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),

@@ -25,6 +25,8 @@ the common case pays no duplication.
 
 from __future__ import annotations
 
+from datetime import timedelta
+
 import numpy as np
 
 from .batch import match_group_nfa, match_schema_flat, matches_to_pdf_flat, prefilter
@@ -33,10 +35,22 @@ from .compiler import CompiledPattern
 __all__ = ["run_batch_sliced", "run_batch_auto"]
 
 
-def _slice_expr(ts_col: str, w_s: float):
+def _slice_expr(ts_col: str, w_us: int):
+    """floor(epoch_us / w_us) in exact integer arithmetic.
+
+    unix_timestamp() truncates to whole seconds, which mis-buckets events
+    when the window is not a whole number of seconds (timedelta carries
+    ms/us); unix_micros keeps full precision and timedelta resolution IS
+    microseconds, so this is exact.  pmod-based floordiv keeps floor
+    semantics for any sign; (m - pmod) / w is an exact double division
+    because both operands and the integer quotient fit in 53 bits."""
     from pyspark.sql import functions as F
 
-    return F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(float(w_s))).cast("long")
+    # cast handles TIMESTAMP_NTZ parquet columns; the session timezone is
+    # pinned to UTC (session.py), so the cast is shift-free and the slice
+    # agrees with the naive pandas-side ns bounds in fn()
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return ((m - F.pmod(m, F.lit(w_us))) / F.lit(w_us)).cast("long")
 
 
 def run_batch_sliced(df, cp: CompiledPattern):
@@ -49,12 +63,12 @@ def run_batch_sliced(df, cp: CompiledPattern):
     pat = cp.pattern
     if pat.window is None:
         raise ValueError("run_batch_sliced requires a pattern window (the slice width)")
-    w_s = pat.window.total_seconds()
-    w_ns = int(w_s * 1e9)
+    w_us = pat.window // timedelta(microseconds=1)
+    w_ns = w_us * 1000
     key_type = df.schema[pat.key].dataType
     base = prefilter(df, cp)
 
-    own = _slice_expr(pat.ts_col, w_s)
+    own = _slice_expr(pat.ts_col, w_us)
     sliced = base.withColumn("__slice", F.explode(F.array(own, own - 1)))
 
     schema = match_schema_flat(cp, key_type)
@@ -83,33 +97,45 @@ def run_batch_sliced(df, cp: CompiledPattern):
 
 
 def hot_keys(df, cp: CompiledPattern, threshold: int):
-    """Keys whose (pattern-relevant) event count exceeds `threshold` —
-    one cheap aggregate over the prefiltered scan."""
+    """Keys whose (pattern-relevant) event count exceeds `threshold`, as
+    a one-column DataFrame — never collected to the driver, so a skewed
+    tail with many hot keys cannot blow up driver memory; callers route
+    with a broadcast semi/anti join."""
     from pyspark.sql import functions as F
 
     pat = cp.pattern
-    return [
-        r[0]
-        for r in prefilter(df, cp)
+    return (
+        prefilter(df, cp)
+        .filter(F.col(pat.key).isNotNull())
         .groupBy(pat.key)
         .count()
         .filter(F.col("count") > threshold)
-        .collect()
-    ]
+        .select(pat.key)
+    )
 
 
 def run_batch_auto(df, cp: CompiledPattern, hot_threshold: int = 100_000):
-    """Plain per-key NFA for normal keys; window-sliced for hot keys."""
+    """Plain per-key NFA for normal keys; window-sliced for hot keys.
+
+    Hot/cold routing is a broadcast semi/anti join against the hot-key
+    aggregate (no collect + isin literals).  Null-key rows never match
+    the semi join and always survive the anti join, so they flow down
+    the plain path — identical grouping to `run_batch`."""
     from pyspark.sql import functions as F
 
     from .batch import run_batch
 
     pat = cp.pattern
-    hot = hot_keys(df, cp, hot_threshold)
-    if not hot or pat.window is None:
+    if pat.window is None:
         return run_batch(df, cp, mode="flat")
-    cold_df = df.filter(~F.col(pat.key).isin(hot))
-    hot_df = df.filter(F.col(pat.key).isin(hot))
+    # cache: the aggregate feeds isEmpty + two broadcast joins — one scan,
+    # not three, and the cached side is tiny (only keys above threshold)
+    hot = hot_keys(df, cp, hot_threshold).cache()
+    if hot.isEmpty():
+        hot.unpersist()
+        return run_batch(df, cp, mode="flat")
+    cold_df = df.join(F.broadcast(hot), on=pat.key, how="left_anti")
+    hot_df = df.join(F.broadcast(hot), on=pat.key, how="left_semi")
     return run_batch(cold_df, cp, mode="flat").unionByName(
         run_batch_sliced(hot_df, cp)
     )

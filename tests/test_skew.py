@@ -78,6 +78,54 @@ def test_sliced_equals_plain_hot_conversation(spark):
     assert span_s / 600 > 4  # >4 slices exist for the hot conversation
 
 
+def test_sliced_fractional_second_window(spark):
+    """Slices are computed in exact microsecond arithmetic — a window
+    that is not a whole number of seconds must still partition matches
+    exactly (regression: unix_timestamp() second-truncation)."""
+    from cep_spark.transcripts import gen_transcripts
+
+    pdf = gen_transcripts(n_conv=30, seed=11)
+    df = spark.createDataFrame(pdf)
+    pat = Pattern(
+        Seq(Ev("u", role="user"), Ev("a", role="assistant")),
+        window=timedelta(seconds=90, milliseconds=500),
+        key="conv_id",
+        ts_col="ts",
+        tiebreak_col="turn_idx",
+    )
+    cp = compile_pattern(pat)
+    plain = _canon(run_batch(df, cp, mode="flat"))
+    assert _canon(run_batch_sliced(df, cp)) == plain and len(plain) > 0
+
+
+def test_auto_path_null_keys(spark):
+    """Null-key rows must flow to the plain path (grouped as one null
+    key, same as run_batch), not silently vanish from both branches."""
+    import pandas as pd
+
+    from cep_spark.transcripts import gen_transcripts
+
+    pdf = gen_transcripts(n_conv=20, seed=13)
+    null_part = gen_transcripts(n_conv=2, seed=14)
+    null_part["conv_id"] = None
+    both = pd.concat([pdf, null_part], ignore_index=True)
+    df = spark.createDataFrame(both)
+    pat = Pattern(
+        Seq(Ev("u", role="user"), Ev("a", role="assistant")),
+        window=timedelta(minutes=10),
+        key="conv_id",
+        ts_col="ts",
+        tiebreak_col="turn_idx",
+    )
+    cp = compile_pattern(pat)
+    from collections import Counter
+
+    plain = Counter(tuple(r) for r in run_batch(df, cp, mode="flat").collect())
+    auto = Counter(tuple(r) for r in run_batch_auto(df, cp, hot_threshold=5).collect())
+    assert auto == plain
+    assert any(k[0] is None for k in plain)  # null-key matches exist
+
+
 def test_auto_path(spark, events_df):
     pat = Pattern(
         Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")),
