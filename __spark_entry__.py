@@ -183,6 +183,54 @@ WHERE c.event_type = 'purchase'
 
 
 # ---------------------------------------------------------------------------
+# Multi-pattern (SURVEY.md §2.3 E7): N patterns in ONE scan + ONE shuffle
+# (run_batch_multi).  The array schema isn't hashable by the driver, so
+# the entry flattens each match to a sorted event-id key; the oracle is
+# a UNION ALL of the same generated per-pattern SQL, wrapped to build
+# the identical key.  This gives E7 a real CORRECTNESS row.
+
+_MULTI_SPECS = [("seq2", "cep_seq2"), ("and3", "cep_and3"), ("neg", "cep_neg")]
+
+
+def _multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from cep_spark.batch import run_batch_multi
+
+    cps = [
+        compile_pattern(dataclasses.replace(CEP_PATTERNS[name], pattern_id=pid))
+        for pid, name in _MULTI_SPECS
+    ]
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = run_batch_multi(df, cps, emit_cols=("event_id",))
+    return out.select(
+        "user_id",
+        "pattern_id",
+        "alt_id",
+        F.expr(
+            "concat_ws(',', transform(array_sort(transform(matched, m -> m.event_id)), "
+            "x -> cast(x as string)))"
+        ).alias("match_key"),
+    )
+
+
+def _multi_oracle() -> str:
+    parts = []
+    for pid, name in _MULTI_SPECS:
+        cp = compile_pattern(CEP_PATTERNS[name])
+        vars_ = cp.alternatives[0].var_order
+        ids = ", ".join(f"{v}_event_id" for v in vars_)
+        parts.append(
+            f"SELECT user_id, '{pid}' AS pattern_id, alt_id,\n"
+            f"       array_to_string(list_sort([{ids}]), ',') AS match_key\n"
+            f"FROM ({oracle_sql_for(cp, 'events')})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -204,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, pat in CEP_PATTERNS.items():
         out[name] = _cep_query(pat)
     out["cep_kleene_unbounded"] = _kleene_unbounded_query
+    out["cep_multi"] = _multi_query
     out.update(windows.QUERIES)
     out.update(_pipeline_registry.queries())
     return out
@@ -215,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
 
     out = {name: oracle_sql_for(compile_pattern(pat), "events") for name, pat in CEP_PATTERNS.items()}
     out["cep_kleene_unbounded"] = _kleene_unbounded_oracle()
+    out["cep_multi"] = _multi_oracle()
     out.update(windows.ORACLES)
     out.update(_pipeline_registry.oracle_sql())
     return out

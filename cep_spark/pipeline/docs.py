@@ -177,13 +177,37 @@ FROM documents
 # 3. n-gram Jaccard near-dup pairs via inverted-index self-join
 
 
-def q_ngram_jaccard(spark, sf_dir):
+def q_ngram_jaccard(spark, sf_dir, max_df: int | None = None):
+    """Inverted-index near-dup join.  `max_df` engages the documented
+    fan-out bound: shingles appearing in more than `max_df` documents
+    are dropped BEFORE the self-join (a stopword-like shingle otherwise
+    makes the join quadratic at 100 TB).  The cap is never silent — the
+    dropped-shingle count is computed and logged — and it changes the
+    result (jaccard is over surviving shingles), so the capped variant
+    is a separate queries() entry whose oracle replicates the cap."""
+    import logging
+
     from pyspark.sql import functions as F
 
     sh = _shingle_list_df(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
     # both join sides read the inverted index: materialize it once
     ex = sh.select("doc_id", F.explode("sh").alias("s")).cache()
+    if max_df is not None:
+        df_tbl = ex.groupBy("s").count()
+        n_dropped = df_tbl.filter(F.col("count") > max_df).count()
+        logging.getLogger(__name__).info(
+            "ngram_jaccard df-cap: dropping %d shingles with df > %d",
+            n_dropped, max_df,
+        )
+        kept = (
+            ex.join(df_tbl.filter(F.col("count") <= max_df).select("s"), "s")
+            .select("doc_id", "s")
+            .cache()
+        )
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+        ex = kept
+    else:
+        sizes = sh.select("doc_id", F.size("sh").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -225,6 +249,38 @@ SELECT doc_id_a, doc_id_b,
 FROM cand
 JOIN sizes sa ON sa.doc_id = doc_id_a
 JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) / 1000000 >= {JACCARD_T}
+"""
+)
+
+# 3b. df-capped variant: the 100-TB fan-out bound as a first-class entry.
+# A stopword-like shingle with document frequency f contributes O(f^2)
+# candidate rows; capping df bounds the worst shingle's fan-out at
+# max_df^2.  The literal cap is shared by both lowerings so the oracle
+# is exact.
+
+NGRAM_MAX_DF = 10  # test-vocab df(max)=25, so the cap genuinely drops shingles
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    return q_ngram_jaccard(spark, sf_dir, max_df=NGRAM_MAX_DF)
+
+
+SQL_NGRAM_JACCARD_CAPPED = (
+    _SQL_SHINGLE_CTE
+    + f"""
+, df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s WHERE df.df <= {NGRAM_MAX_DF}),
+ksizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b,
+       floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM cand
+JOIN ksizes sa ON sa.doc_id = doc_id_a
+JOIN ksizes sb ON sb.doc_id = doc_id_b
 WHERE floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) / 1000000 >= {JACCARD_T}
 """
 )
@@ -536,6 +592,7 @@ QUERIES = {
     "doc_dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_fingerprint,
     "doc_ngram_jaccard": q_ngram_jaccard,
+    "doc_ngram_jaccard_capped": q_ngram_jaccard_capped,
     "doc_minhash_lsh": q_minhash_lsh,
     "doc_simhash": q_simhash,
     "doc_simhash_pairs": q_simhash_pairs,
@@ -548,6 +605,7 @@ ORACLES = {
     "doc_dedup_exact": SQL_DEDUP_EXACT,
     "doc_fingerprint": SQL_FINGERPRINT,
     "doc_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "doc_ngram_jaccard_capped": SQL_NGRAM_JACCARD_CAPPED,
     "doc_minhash_lsh": SQL_MINHASH_LSH,
     "doc_simhash": SQL_SIMHASH,
     "doc_simhash_pairs": SQL_SIMHASH_PAIRS,
