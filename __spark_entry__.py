@@ -89,6 +89,17 @@ CEP_PATTERNS = {
         ),
         window=timedelta(hours=24),
     ),
+    # O6: LEADING negation — "purchase not preceded by an error within
+    # the window" (position-free Neg, reference NegationOperator)
+    "cep_neg_leading": _p(
+        Seq(Neg(Ev("n", event_type="error")), Ev("a", event_type="signup"), Ev("b", event_type="purchase")),
+        window=timedelta(hours=24),
+    ),
+    # O6: TRAILING negation — "no error after the purchase within the window"
+    "cep_neg_trailing": _p(
+        Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase"), Neg(Ev("n", event_type="error"))),
+        window=timedelta(hours=24),
+    ),
     # O5: Kleene closure (bounded here so the DuckDB oracle is exact; the
     # unbounded powerset path is exercised by the NFA executor in pytest)
     "cep_kleene": _p(

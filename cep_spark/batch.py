@@ -206,6 +206,54 @@ def _span_ok(spec_positions, spec, store, partials, alt):
     return ~bad
 
 
+def _edge_ok(spec_positions, spec, store, partials, ts_ns, w_ns, leading: bool):
+    """Leading/trailing negation (accept-time, window-bounded).
+
+    leading:  no qualifying neg strictly before first_pos with
+              last.ts - neg.ts <= window;
+    trailing: no qualifying neg strictly after last_pos with
+              neg.ts - first.ts <= window.
+    Positions are (ts, tiebreak)-sorted, so position order IS the event
+    order and ts_ns[spec_positions] is non-decreasing — both bounds are
+    searchsorted lookups."""
+    if len(spec_positions) == 0:
+        return np.ones(len(partials), dtype=bool)
+    np_pos = spec_positions
+    neg_ts = ts_ns[np_pos]
+    if leading:
+        hi = np.searchsorted(np_pos, partials.first_pos, side="left")
+        lo = np.searchsorted(neg_ts, ts_ns[partials.last_pos] - w_ns, side="left")
+    else:
+        lo = np.searchsorted(np_pos, partials.last_pos, side="right")
+        hi = np.searchsorted(neg_ts, partials.first_ts + w_ns, side="right")
+    counts = np.maximum(hi - lo, 0)
+    if not spec.multi:
+        return counts <= 0
+    ok = np.ones(len(partials), dtype=bool)
+    hot = np.nonzero(counts > 0)[0]
+    if len(hot) == 0:
+        return ok
+    reps = counts[hot]
+    pair_partial = np.repeat(hot, reps)
+    pair_neg = np.concatenate([np_pos[lo[h] : hi[h]] for h in hot])
+    sub = partials.select(pair_partial)
+    neg_view = store.gather(pair_neg)
+
+    class _Env:
+        def __getitem__(self, var):
+            if var == spec.var:
+                return neg_view
+            return store.gather(sub.scalar[var])
+
+    env = _Env()
+    m = np.ones(len(pair_partial), dtype=bool)
+    for c in spec.multi:
+        r = c.pd(env)
+        m = m & (np.asarray(r, dtype=bool) if not isinstance(r, (bool, np.bool_)) else r)
+    bad = np.bincount(pair_partial[m], minlength=len(partials)) > 0
+    return ~bad
+
+
 def unary_masks(cp: CompiledPattern, cols: dict, n: int):
     """Vectorized unary-condition masks over `n` rows for every slot and
     negation of every alternative: {alt_id: ({sid: bool[n]}, [bool[n]])}.
@@ -260,10 +308,17 @@ def match_core(cp: CompiledPattern, store, ts_ns, masks) -> list:
 
         def emit(sub: _Partials, state_sid):
             st = state_by_id[state_sid]
-            # span negation check at accept
+            # accept-time negation checks: span + leading/trailing edges
             okm = np.ones(len(sub), dtype=bool)
             for si in alt.span_negs:
-                okm &= _span_ok(neg_positions[si], alt.negs[si], store, sub, alt)
+                spec = alt.negs[si]
+                if spec.kind == "span":
+                    okm &= _span_ok(neg_positions[si], spec, store, sub, alt)
+                else:
+                    okm &= _edge_ok(
+                        neg_positions[si], spec, store, sub, ts_ns, w_ns,
+                        leading=(spec.kind == "leading"),
+                    )
             sel = sub.select(okm) if not okm.all() else sub
             for j in range(len(sel)):
                 b = {v: int(sel.scalar[v][j]) for v in sel.scalar}

@@ -56,11 +56,19 @@ class NegSpec:
     var: str
     unary: Cond
     multi: tuple  # multi-var conjuncts, vars ⊆ {var} ∪ available vars
-    kind: str  # "gap" | "span"
+    kind: str  # "gap" | "span" | "leading" | "trailing"
     # gap: checked on transitions that bind a slot in `post_slots` from a
     #   state where none of `post_slots` is bound; interval =
     #   (partial.last_pos, candidate.pos) exclusive.
     # span: checked at accept; interval = (first_pos, last_pos) exclusive.
+    # leading (Seq(Neg(n), ...)): checked at accept; forbidden = any
+    #   qualifying n strictly before the match's first event with
+    #   last.ts - n.ts <= window (the window bounds the look-back, so a
+    #   pattern window is required).
+    # trailing (Seq(..., Neg(n))): checked at accept; forbidden = any
+    #   qualifying n strictly after the match's last event with
+    #   n.ts - first.ts <= window.  Streaming seals such matches at
+    #   first.ts + window instead of last.ts (stream.py).
     post_slots: frozenset = frozenset()
 
 
@@ -247,7 +255,27 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
     for alt_id, struct in enumerate(_expand_or(pat.structure)):
         slots: list = []
         raw_negs: list = []
+        # leading/trailing Neg at the ROOT Seq: no gap boundary exists,
+        # so they become window-bounded accept-time checks (the pattern
+        # window is the look-back/look-ahead bound and is required).
+        edge_negs: list = []  # (Neg, "leading" | "trailing")
+        if isinstance(struct, Seq):
+            parts = list(struct.parts)
+            while parts and isinstance(parts[0], Neg):
+                edge_negs.append((parts.pop(0), "leading"))
+            while parts and isinstance(parts[-1], Neg):
+                edge_negs.append((parts.pop(), "trailing"))
+            if not parts:
+                raise ValueError("pattern has no positive event leaf")
+            if edge_negs:
+                if pat.window is None:
+                    raise ValueError(
+                        "leading/trailing negation requires a pattern window "
+                        "(it bounds the forbidden interval)"
+                    )
+                struct = Seq(*parts)
         _collect(struct, frozenset(), slots, raw_negs, [])
+        raw_negs.extend(edge_negs)
         if not slots:
             raise ValueError("pattern has no positive event leaf")
 
@@ -285,9 +313,15 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
                 if ng.name in c.vars():
                     extra.append(c)
                     multi.remove(c)
-            kind = "span" if post is None else "gap"
+            if post is None:
+                kind = "span"
+            elif isinstance(post, str):
+                kind = post  # "leading" | "trailing"
+            else:
+                kind = "gap"
             neg_specs.append(
-                NegSpec(ng.name, u, tuple(extra), kind, post if post is not None else frozenset())
+                NegSpec(ng.name, u, tuple(extra), kind,
+                        post if isinstance(post, frozenset) else frozenset())
             )
             note_cols(u)
             for c in extra:
@@ -323,7 +357,11 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
         vars_of_set = {st.bound: frozenset(var_of[i] for i in st.bound) for st in states}
 
         gap_idx = [i for i, n in enumerate(neg_specs) if n.kind == "gap"]
-        span_idx = tuple(i for i, n in enumerate(neg_specs) if n.kind == "span")
+        # accept-time negs: span + the window-bounded edge kinds
+        span_idx = tuple(
+            i for i, n in enumerate(neg_specs)
+            if n.kind in ("span", "leading", "trailing")
+        )
 
         for st in states:
             bound_vars = vars_of_set[st.bound]

@@ -143,9 +143,10 @@ def _expand_one(cp, alt, arities) -> FixedAlt:
             for sid in spec.post_slots:
                 pre_slots |= set(slots[sid].prereq)
             pre_last = [expansion[sid][-1] for sid in pre_slots]
-            negs.append((spec.unary, list(spec.multi), spec.var, pre_last, post_first, None))
+            negs.append((spec.unary, list(spec.multi), spec.var, pre_last, post_first, None, "gap"))
         else:
-            negs.append((spec.unary, list(spec.multi), spec.var, None, None, names))
+            # span / leading / trailing all quantify over every positive var
+            negs.append((spec.unary, list(spec.multi), spec.var, None, None, names, spec.kind))
 
     kleene_emit = {}
     for s in alt.slots:
@@ -261,15 +262,28 @@ def plan_join(df, cp: CompiledPattern, kleene_arities: int | None = None):
             cur = cur.filter(c.spark_col(var_cols))
 
         # negation: left-anti joins
-        for ni, (n_unary, n_multi, nvar, pre, post, span) in enumerate(fa.negs):
+        for ni, (n_unary, n_multi, nvar, pre, post, span, nkind) in enumerate(fa.negs):
             nalias = f"__neg{ni}"
             ndf = base.filter(subst(n_unary, {nvar: nalias}).spark_col()).alias(nalias)
             on = F.col(f"{bound[0]}.{key}") == F.col(f"{nalias}.{key}")
-            if span is None:
+            if nkind == "gap":
                 for p in pre:
                     on = on & _lex_lt_col(p, nalias, ts, tb)
                 for p in post:
                     on = on & _lex_lt_col(nalias, p, ts, tb)
+            elif nkind in ("leading", "trailing"):
+                # n strictly before (after) EVERY positive ≡ before the
+                # earliest (after the latest); window bounds the reach:
+                # leading  : p.ts - n.ts <= W for all p (binds the max)
+                # trailing : n.ts - p.ts <= W for all p (binds the min)
+                iv = F.expr(f"INTERVAL '{w}' SECOND")
+                for p in span:
+                    if nkind == "leading":
+                        on = on & _lex_lt_col(nalias, p, ts, tb)
+                        on = on & (F.col(f"{p}.{ts}") <= F.col(f"{nalias}.{ts}") + iv)
+                    else:
+                        on = on & _lex_lt_col(p, nalias, ts, tb)
+                        on = on & (F.col(f"{p}.{ts}") >= F.col(f"{nalias}.{ts}") - iv)
             else:
                 after_any = None
                 before_any = None
@@ -358,17 +372,25 @@ def oracle_sql_for(cp: CompiledPattern, table: str, kleene_arities: int | None =
                 wh.append(unary.sql(aliases))
         for c in fa.conds:
             wh.append(c.sql(aliases))
-        for n_unary, n_multi, nvar, pre, post, span in fa.negs:
+        for n_unary, n_multi, nvar, pre, post, span, nkind in fa.negs:
             na = {nvar: "n", **aliases}
             inner = [f"n.{key} = {names[0]}.{key}"]
             u = n_unary.sql({nvar: "n"})
             if u != "TRUE":
                 inner.append(u)
-            if span is None:
+            if nkind == "gap":
                 for p in pre:
                     inner.append(_lex_lt_sql(p, "n", ts, tb))
                 for p in post:
                     inner.append(_lex_lt_sql("n", p, ts, tb))
+            elif nkind in ("leading", "trailing"):
+                for p in span:
+                    if nkind == "leading":
+                        inner.append(_lex_lt_sql("n", p, ts, tb))
+                        inner.append(f"EPOCH({p}.{ts}) - EPOCH(n.{ts}) <= {w!r}")
+                    else:
+                        inner.append(_lex_lt_sql(p, "n", ts, tb))
+                        inner.append(f"EPOCH(n.{ts}) - EPOCH({p}.{ts}) <= {w!r}")
             else:
                 inner.append("(" + " OR ".join(_lex_lt_sql(p, "n", ts, tb) for p in span) + ")")
                 inner.append("(" + " OR ".join(_lex_lt_sql("n", p, ts, tb) for p in span) + ")")

@@ -31,8 +31,11 @@ Pinned semantics (SURVEY.md §2.4, encoded in tests/oracle_cep.py):
 4. Kleene: one-or-more; emits every non-empty ordered subset of
    qualifying events (powerset semantics).
 5. Neg inside Seq guards the gap between its positive neighbours
-   (strictly between in (ts, tiebreak) order); leading/trailing Neg is
-   rejected at compile time (v1 limitation, documented).
+   (strictly between in (ts, tiebreak) order).  Leading/trailing Neg at
+   the root Seq is position-free (reference NegationOperator): the
+   forbidden interval is window-bounded before the first / after the
+   last positive event, so a pattern window is required.  Streaming
+   seals trailing-neg matches at first.ts + window.
 6. AND binds distinct events, any arrival order, all assignments
    (permutations of distinct events count separately when both satisfy
    the per-variable conditions).
@@ -195,7 +198,8 @@ class Kleene(Node):
 class Neg(Node):
     """Negated leaf (reference NegationOperator): the match is invalid if
     a qualifying event occurs in the guarded scope (between the positive
-    neighbours for Seq; anywhere inside the match span for And_)."""
+    neighbours for Seq; window-bounded before/after the match for
+    leading/trailing position; anywhere inside the match span for And_)."""
 
     inner: Ev
 

@@ -89,6 +89,46 @@ def _match_last_ts_ns(binding: dict, ts_ns: np.ndarray) -> int:
     return last
 
 
+def _trailing_alt_ids(cp: CompiledPattern) -> frozenset:
+    """Alternatives carrying a trailing negation: their matches can be
+    invalidated by a neg event up to first.ts + window, so they seal at
+    that instant instead of the match's last event-time."""
+    return frozenset(
+        alt.alt_id
+        for alt in cp.alternatives
+        if any(n.kind == "trailing" for n in alt.negs)
+    )
+
+
+def _retention_w_ns(cp: CompiledPattern, w_ns):
+    """Buffer-retention horizon.  2x window when an alternative has BOTH
+    leading and trailing negs: a match parked for its trailing-neg seal
+    (first.ts + W > wm) can still be killed by a leading neg as old as
+    last.ts - W > wm - 2W, so those events must survive eviction."""
+    if w_ns is None:
+        return None
+    for alt in cp.alternatives:
+        kinds = {n.kind for n in alt.negs}
+        if "trailing" in kinds and "leading" in kinds:
+            return 2 * w_ns
+    return w_ns
+
+
+def _seal_ts_ns(binding: dict, ts_ns: np.ndarray, alt_id, trailing_ids, w_ns) -> int:
+    """Watermark instant at which a match becomes immutable."""
+    first, last = None, -1
+    for p in binding.values():
+        for pos in p if isinstance(p, tuple) else (p,):
+            t = int(ts_ns[pos])
+            if t > last:
+                last = t
+            if first is None or t < first:
+                first = t
+    if alt_id in trailing_ids:
+        return first + w_ns
+    return last
+
+
 def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
                    emit_cols=("turn_idx", "role", "tool", "ts")):
     """Attach the stateful NFA to a streaming DataFrame.
@@ -106,6 +146,8 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
     pat = cp.pattern
     key_type = df.schema[pat.key].dataType
     w_ns = None if pat.window is None else int(pat.window.total_seconds() * 1e9)
+    trailing_ids = _trailing_alt_ids(cp)
+    ret_ns = _retention_w_ns(cp, w_ns)
 
     # watermarks require TIMESTAMP (tz-aware); the engine's event time is
     # tz-naive — reinterpret under the pinned UTC session timezone
@@ -172,7 +214,7 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
             res = match_group_nfa(cp, g)
             sealed, pending = [], []
             for a, b in res:
-                lts = _match_last_ts_ns(b, ts_ns)
+                lts = _seal_ts_ns(b, ts_ns, a, trailing_ids, w_ns)
                 if lo_ns < lts <= wm_ns:
                     sealed.append((a, b))
                 elif lts > wm_ns:
@@ -203,8 +245,8 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
             else:
                 pend = None
                 pending = None
-            if w_ns is not None and wm_ns > 0:
-                g = g.loc[ts_ns > wm_ns - w_ns]
+            if ret_ns is not None and wm_ns > 0:
+                g = g.loc[ts_ns > wm_ns - ret_ns]
         elif buf is not None and len(buf):
             if pend is not None and len(pend):
                 # TIMER WAKEUP with parked rows: emit the newly-sealed
@@ -226,7 +268,7 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
                 ts_ns = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
                 sealed = []
                 for a, b in match_group_nfa(cp, g):
-                    lts = _match_last_ts_ns(b, ts_ns)
+                    lts = _seal_ts_ns(b, ts_ns, a, trailing_ids, w_ns)
                     if lo_ns < lts <= wm_ns:
                         sealed.append((a, b))
                     elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):
@@ -236,10 +278,10 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
                         yield matches_to_pdf_flat(cp, g, key[0], res=sealed)
                     else:
                         yield matches_to_pdf_array(cp, g, key[0], emit_cols, res=sealed)
-            if w_ns is not None and wm_ns > 0:
+            if ret_ns is not None and wm_ns > 0:
                 if ts_ns is None:
                     ts_ns = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
-                g = g.loc[ts_ns > wm_ns - w_ns]
+                g = g.loc[ts_ns > wm_ns - ret_ns]
         else:
             g = pd.DataFrame()
             pend = None
@@ -273,8 +315,8 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
         timer = None
         if min_unsealed_ns is not None:
             timer = max(-(-min_unsealed_ns // 1_000_000), wm_ms + 1)
-        elif len(g) and w_ns is not None:
-            timer = max(wm_ms + w_ns // 1_000_000 + 1, 1)
+        elif len(g) and ret_ns is not None:
+            timer = max(wm_ms + ret_ns // 1_000_000 + 1, 1)
         if timer is not None:
             state.setTimeoutTimestamp(timer)
         import os as _os
@@ -352,11 +394,12 @@ def stream_matches_multi(df, cps, watermark: str,
         raise ValueError(f"pattern_id values must be distinct, got {ids}")
     key_type = df.schema[p0.key].dataType
     windows = [cp.pattern.window for cp in cps]
-    w_ns = (
-        None
-        if any(w is None for w in windows)
-        else int(max(w.total_seconds() for w in windows) * 1e9)
-    )
+    w_ns_of = [
+        None if w is None else int(w.total_seconds() * 1e9) for w in windows
+    ]
+    trailing_of = [_trailing_alt_ids(cp) for cp in cps]
+    rets = [_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of)]
+    w_ns = None if any(r is None for r in rets) else max(rets)
 
     if isinstance(df.schema[p0.ts_col].dataType, T.TimestampNTZType):
         df = df.withColumn(p0.ts_col, df[p0.ts_col].cast(T.TimestampType()))
@@ -401,10 +444,10 @@ def stream_matches_multi(df, cps, watermark: str,
             g = buf.sort_values([ts_col, tb_col], kind="mergesort").reset_index(drop=True)
             ts_ns = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
             outs = []
-            for cp in cps:
+            for ci, cp in enumerate(cps):
                 sealed = []
                 for a, b in match_group_nfa(cp, g):
-                    lts = _match_last_ts_ns(b, ts_ns)
+                    lts = _seal_ts_ns(b, ts_ns, a, trailing_of[ci], w_ns_of[ci])
                     if lo_ns < lts <= wm_ns:
                         sealed.append((a, b))
                     elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):

@@ -114,6 +114,7 @@ def match_group(pat: Pattern, df) -> list[dict]:
             # negation
             failed = False
             for spec in alt.negs:
+                ts_guard = None  # extra per-candidate time bound (leading/trailing)
                 if spec.kind == "gap":
                     post_min = min(min(positions[sid]) for sid in spec.post_slots)
                     pre_slots = set()
@@ -123,10 +124,20 @@ def match_group(pat: Pattern, df) -> list[dict]:
                         )
                     lo = max(max(positions[sid]) for sid in pre_slots & set(positions))
                     hi = post_min
+                elif spec.kind == "leading":
+                    lo, hi = -1, min(flat)
+                    last_ts = df[pat.ts_col].iloc[max(flat)]
+                    ts_guard = lambda t: (last_ts - t).total_seconds() <= W  # noqa: E731
+                elif spec.kind == "trailing":
+                    lo, hi = max(flat), n
+                    first_ts = df[pat.ts_col].iloc[min(flat)]
+                    ts_guard = lambda t: (t - first_ts).total_seconds() <= W  # noqa: E731
                 else:  # span
                     lo, hi = min(flat), max(flat)
                 for j in range(lo + 1, hi):
                     if j in flat:
+                        continue
+                    if ts_guard is not None and not ts_guard(df[pat.ts_col].iloc[j]):
                         continue
                     env1 = {spec.var: {c: df[c].iloc[j] for c in df.columns}}
                     if not bool(spec.unary.pd(env1)):

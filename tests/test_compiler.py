@@ -62,11 +62,22 @@ def test_conditions_pushed_to_first_full_binding():
     assert len(by_target.get(2, [])) == 1
 
 
-def test_trailing_and_leading_neg_rejected():
-    with pytest.raises(ValueError):
+def test_edge_neg_requires_window():
+    """Leading/trailing Neg compiles WITH a window (the forbidden
+    interval bound); without one it is rejected."""
+    with pytest.raises(ValueError, match="window"):
         compile_pattern(Pattern(Seq(Ev("a"), Neg(Ev("n")))))
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="window"):
         compile_pattern(Pattern(Seq(Neg(Ev("n")), Ev("a"))))
+    from datetime import timedelta
+
+    cp = compile_pattern(Pattern(Seq(Neg(Ev("n")), Ev("a"), Neg(Ev("m"))),
+                                 window=timedelta(minutes=5)))
+    (alt,) = cp.alternatives
+    assert sorted(n.kind for n in alt.negs) == ["leading", "trailing"]
+    # a pattern that is ONLY negations has no positive leaf
+    with pytest.raises(ValueError, match="positive"):
+        compile_pattern(Pattern(Seq(Neg(Ev("n"))), window=timedelta(minutes=5)))
 
 
 def test_kleene_inside_and_rejected():

@@ -93,6 +93,45 @@ PATTERNS = {
         window=timedelta(minutes=10),
     ),
     "no_window": Pattern(Seq(Ev("a", role="user"), Ev("b", role="tool"))),
+    "neg_leading": Pattern(
+        Seq(Neg(Ev("n", role="tool")), Ev("a", role="user"), Ev("b", role="assistant")),
+        window=timedelta(minutes=3),
+    ),
+    "neg_trailing": Pattern(
+        Seq(Ev("a", role="user"), Ev("b", role="assistant"), Neg(Ev("n", role="tool"))),
+        window=timedelta(minutes=3),
+    ),
+    "neg_leading_cond": Pattern(
+        Seq(
+            Neg(
+                Ev(
+                    "n",
+                    where=(attr("n", "role") == lit("tool"))
+                    & (attr("n", "value") > attr("a", "value")),
+                )
+            ),
+            Ev("a", role="user"),
+            Ev("b", role="assistant"),
+        ),
+        window=timedelta(minutes=3),
+    ),
+    "neg_both_edges": Pattern(
+        Seq(
+            Neg(Ev("n", role="tool")),
+            Ev("a", role="user"),
+            Ev("b", role="assistant"),
+            Neg(Ev("m", role="user")),
+        ),
+        window=timedelta(minutes=3),
+    ),
+    "neg_trailing_kleene": Pattern(
+        Seq(
+            Ev("a", role="user"),
+            Kleene(Ev("k", role="assistant"), max_len=2),
+            Neg(Ev("n", role="tool")),
+        ),
+        window=timedelta(minutes=3),
+    ),
 }
 
 

@@ -40,10 +40,12 @@ def leaf(draw):
 def seq_node(draw, depth):
     parts = []
     n = draw(st.integers(2, 3))
-    has_pos = 0
     for i in range(n):
         kind = draw(st.sampled_from(["leaf", "kleene", "neg", "nested"]))
-        if kind == "neg" and 0 < i < n - 1 and has_pos:
+        if kind == "neg":
+            # any position: interior = gap neg; first/last at the root =
+            # leading/trailing (compile-rejected without a window — the
+            # test's except path covers that branch)
             parts.append(Neg(draw(leaf())))
             continue
         if kind == "kleene":
@@ -52,7 +54,6 @@ def seq_node(draw, depth):
             parts.append(draw(node(depth - 1)))
         else:
             parts.append(draw(leaf()))
-        has_pos += 1
     return Seq(*parts)
 
 

@@ -358,6 +358,36 @@ def test_stream_array_mode_parity(spark, events_pdf, tmp_path):
     assert got == want and len(got) == 88
 
 
+def test_stream_edge_negation_parity(spark, events_pdf, tmp_path):
+    """Leading AND trailing negation in one pattern: stream == batch.
+    Trailing negs seal matches at first.ts + window (not last event),
+    and leading+trailing together widen buffer retention to 2x window —
+    this test exercises both paths end-to-end."""
+    pat = _pat(
+        Seq(
+            Neg(Ev("n", event_type="error")),
+            Ev("a", event_type="signup"),
+            Ev("b", event_type="purchase"),
+            Neg(Ev("m", event_type="view")),
+        )
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)], ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_edge_neg")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = run_batch(ev, cp, mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    # the edge negations must actually suppress matches vs the plain SEQ
+    plain = run_batch(
+        ev,
+        compile_pattern(_pat(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")))),
+        mode="flat",
+    )
+    assert 0 < got.count() < plain.count()
+
+
 def test_sink_torn_batch_invisible(spark, tmp_path):
     """A data dir without its manifest (torn write) is invisible to
     read_committed — the exactly-once reader contract."""
