@@ -110,6 +110,33 @@ CEP_PATTERNS = {
         ),
         window=timedelta(hours=24),
     ),
+    # O5: Kleene over a COMPOSITE sub-structure — one-or-more (view,click)
+    # repetitions then a purchase; expanded at compile time to fixed
+    # repetition chains, so the generated SQL oracle is exact
+    "cep_kleene_composite": _p(
+        Seq(
+            Kleene(Seq(Ev("v", event_type="view"), Ev("c", event_type="click")), max_len=2),
+            Ev("p", event_type="purchase"),
+        ),
+        window=timedelta(hours=24),
+    ),
+    # O5+C: adjacent-pair Kleene condition — strictly-rising click values
+    # between consecutive chosen events (the reference's lambda over
+    # successive Kleene bindings)
+    "cep_kleene_rising": _p(
+        Seq(
+            Ev("a", event_type="signup"),
+            Kleene(Ev("k", event_type="click"), max_len=3,
+                   adjacent=attr("k", "value") > attr("k__prev", "value")),
+            Ev("c", event_type="purchase"),
+        ),
+        window=timedelta(hours=24),
+    ),
+    # O3+O5: Kleene directly inside And_ (unordered closure + sibling)
+    "cep_and_kleene": _p(
+        And_(Kleene(Ev("k", event_type="click"), max_len=2), Ev("a", event_type="signup")),
+        window=timedelta(hours=6),
+    ),
     # O7: nesting SEQ(a, AND(b,c), d)
     "cep_nested": _p(
         Seq(

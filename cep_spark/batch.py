@@ -405,6 +405,17 @@ def match_core(cp: CompiledPattern, store, ts_ns, masks) -> list:
                         continue
                     s = slots[ksid]
                     mask = _eval_conds(kconds, store, tbl, s.var, cur_row)
+                    if s.adjacent is not None:
+                        # consecutive-chosen condition: prev = each
+                        # partial's last chosen event, next = current
+                        prev_pos = np.fromiter(
+                            (t[-1] for t in tbl.kleene[s.var]),
+                            dtype=np.int64, count=len(tbl),
+                        )
+                        mask &= _eval_conds(
+                            (s.adjacent,), store, tbl, s.var, cur_row,
+                            extra_scalar={f"{s.var}__prev": store.gather(prev_pos)},
+                        )
                     if s.kleene_max is not None:
                         lens = np.fromiter(
                             (len(t) for t in tbl.kleene[s.var]), dtype=np.int64, count=len(tbl)

@@ -35,7 +35,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from .conditions import Cond, TRUE, split_conditions
+from .conditions import Cond, TRUE, split_conditions, subst
 from .pattern import And_, Ev, Kleene, Neg, Node, Or_, Pattern, Seq
 
 __all__ = ["compile_pattern", "CompiledPattern", "CompiledAlternative", "Slot", "NegSpec"]
@@ -49,6 +49,9 @@ class Slot:
     kleene: bool = False
     kleene_max: Optional[int] = None
     prereq: frozenset = frozenset()  # slot ids that must be bound first
+    # leaf-Kleene adjacent-pair condition over ({var}__prev, {var}):
+    # checked between each pair of consecutive CHOSEN events
+    adjacent: Optional[Cond] = None
 
 
 @dataclass(frozen=True)
@@ -120,6 +123,70 @@ class CompiledPattern:
 
 
 # --------------------------------------------------------------------------
+# composite-Kleene expansion: Kleene over a sub-structure -> Or_ of fixed
+# repetition chains (bounded powerset over sub-matches, resolved at
+# compile time so every executor + the SQL oracle handle it unchanged)
+
+
+def _all_names(node: Node) -> list[str]:
+    """Every variable name in the sub-structure, INCLUDING negated vars
+    (they must be renamed per repetition too to stay unique)."""
+    if isinstance(node, Ev):
+        return [node.name]
+    if isinstance(node, (Kleene, Neg)):
+        return _all_names(node.inner)
+    return [n for p in node.parts for n in _all_names(p)]
+
+
+def _rename_node(node: Node, mapping: dict) -> Node:
+    if isinstance(node, Ev):
+        return Ev(mapping.get(node.name, node.name), where=subst(node.where, mapping))
+    if isinstance(node, Kleene):
+        adj = node.adjacent
+        if adj is not None and isinstance(node.inner, Ev):
+            old = node.inner.name
+            new = mapping.get(old, old)
+            adj = subst(adj, {old: new, f"{old}__prev": f"{new}__prev"})
+        return Kleene(_rename_node(node.inner, mapping), max_len=node.max_len,
+                      adjacent=adj)
+    if isinstance(node, Neg):
+        return Neg(_rename_node(node.inner, mapping))
+    if isinstance(node, (Seq, And_, Or_)):
+        return type(node)(*[_rename_node(p, mapping) for p in node.parts])
+    raise TypeError(f"unknown node {node!r}")
+
+
+def _expand_composite_kleene(node: Node, reps: list) -> Node:
+    """Bottom-up rewrite of every composite-inner Kleene.  `reps`
+    collects (inner_names, [per-repetition rename mapping]) so
+    compile_pattern can replicate `where` conjuncts that reference the
+    inner variables (ALL-repetitions semantics, mirroring the leaf
+    Kleene's per-event condition rule)."""
+    if isinstance(node, (Ev, Neg)):
+        return node
+    if isinstance(node, Kleene):
+        inner = _expand_composite_kleene(node.inner, reps)
+        if isinstance(inner, Ev):
+            return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
+        if node.max_len is None:
+            raise ValueError(
+                "Kleene over a composite sub-structure requires max_len "
+                "(repetitions are expanded at compile time)"
+            )
+        names = _all_names(inner)
+        mappings = [{v: f"{v}__{j}" for v in names} for j in range(1, node.max_len + 1)]
+        reps.append((names, mappings))
+        chains = []
+        for r in range(1, node.max_len + 1):
+            insts = [_rename_node(inner, mappings[j]) for j in range(r)]
+            chains.append(insts[0] if r == 1 else Seq(*insts))
+        return chains[0] if len(chains) == 1 else Or_(*chains)
+    if isinstance(node, (Seq, And_, Or_)):
+        return type(node)(*[_expand_composite_kleene(p, reps) for p in node.parts])
+    raise TypeError(f"unknown node {node!r}")
+
+
+# --------------------------------------------------------------------------
 # Or_ expansion
 
 
@@ -167,7 +234,8 @@ def _collect(
     if isinstance(node, Kleene):
         sid = len(slots)
         slots.append(
-            Slot(sid, node.name, node.inner.where, kleene=True, kleene_max=node.max_len, prereq=prereq)
+            Slot(sid, node.name, node.inner.where, kleene=True,
+                 kleene_max=node.max_len, prereq=prereq, adjacent=node.adjacent)
         )
         return frozenset({sid})
     if isinstance(node, Seq):
@@ -202,8 +270,6 @@ def _collect(
             if isinstance(part, Neg):
                 negs.append((part, None))  # span-scoped
                 continue
-            if isinstance(part, Kleene):
-                raise ValueError("Kleene directly inside And_ is unsupported (v1); wrap in Seq")
             ids = _collect(part, prereq, slots, negs, pending_gap)
             acc |= ids
         return acc
@@ -245,6 +311,34 @@ def _open_kleenes(bound: frozenset, slots: list) -> list:
 
 
 def compile_pattern(pat: Pattern) -> CompiledPattern:
+    # composite-Kleene pre-pass: rewrite Kleene(sub-structure) into an
+    # Or_ of repetition chains; `where` conjuncts referencing the inner
+    # variables replicate per repetition (ALL must hold — conjuncts for
+    # repetitions absent from a lower-arity alternative drop out via the
+    # standard per-alternative variable filter below).
+    reps: list = []
+    expanded = _expand_composite_kleene(pat.structure, reps)
+    if reps:
+        from dataclasses import replace as _dc_replace
+
+        new_conjs = []
+        for c in pat.where.conjuncts():
+            hits = [(names, maps) for names, maps in reps if set(c.vars()) & set(names)]
+            if not hits:
+                new_conjs.append(c)
+                continue
+            if len(hits) > 1:
+                raise ValueError(
+                    f"condition {c!r} references variables of multiple "
+                    f"composite Kleene groups"
+                )
+            _, maps = hits[0]
+            new_conjs.extend(subst(c, mp) for mp in maps)
+        w: Cond = TRUE
+        for c in new_conjs:
+            w = w & c
+        pat = _dc_replace(pat, structure=expanded, where=w)
+
     alternatives = []
     needed: dict[str, set] = {}
 
@@ -296,7 +390,14 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
             if s.var in unary:
                 u = u & unary[s.var]
             multi.extend(s_multi)
-            slot_list.append(Slot(s.sid, s.var, u, s.kleene, s.kleene_max, s.prereq))
+            slot_list.append(
+                Slot(s.sid, s.var, u, s.kleene, s.kleene_max, s.prereq, s.adjacent)
+            )
+            if s.adjacent is not None:
+                # {var}__prev reads the same physical columns as {var}
+                for v, col in s.adjacent.cols():
+                    base_v = v[: -len("__prev")] if v.endswith("__prev") else v
+                    needed.setdefault(base_v, set()).add(col)
         slots = slot_list
         alt_vars = set(names)
         neg_names = {ng.name for ng, _ in raw_negs}

@@ -134,6 +134,12 @@ def _expand_one(cp, alt, arities) -> FixedAlt:
                 final_conds.append(subst(c, {ks.var: v}))
         else:
             final_conds.append(c)
+    # adjacent-pair kleene conditions: one instance per consecutive pair
+    for s in alt.slots:
+        if s.kleene and s.adjacent is not None:
+            evs = expansion[s.sid]
+            for a, b in zip(evs, evs[1:]):
+                final_conds.append(subst(s.adjacent, {f"{s.var}__prev": a, s.var: b}))
 
     negs = []
     for spec in alt.negs:

@@ -165,30 +165,59 @@ class Or_(Node):
 
 @dataclass(frozen=True, eq=False)
 class Kleene(Node):
-    """One-or-more closure over a leaf (reference KleeneClosureOperator).
+    """One-or-more closure (reference KleeneClosureOperator).
 
-    Emits every non-empty ordered subset of qualifying events (powerset
-    semantics).  ``max_len`` bounds emission arity; ``None`` = unbounded
-    (exact parity mode).  A bound is parity-breaking and exists for the
-    SQL oracle and for hot-key protection — the executor logs when it
-    truncates (no silent caps).
+    Over a leaf: emits every non-empty ordered subset of qualifying
+    events (powerset semantics).  ``max_len`` bounds emission arity;
+    ``None`` = unbounded (exact parity mode).  A bound is
+    parity-breaking and exists for the SQL oracle and for hot-key
+    protection — the executor logs when it truncates (no silent caps).
+
+    Over a composite sub-structure (``Kleene(Seq(a, b), max_len=r)``):
+    one-or-more sequential repetitions of the sub-structure, each
+    repetition binding fresh instances of its variables (renamed
+    ``v__1 .. v__r``), with every event of repetition j strictly before
+    every event of repetition j+1.  Composite closure requires
+    ``max_len`` — the compiler expands it into an Or_ of fixed
+    repetition chains (compiler._expand_composite_kleene), so every
+    executor and the SQL oracle handle it for free.
+
+    ``adjacent`` (leaf Kleene only): a condition between each pair of
+    CONSECUTIVE CHOSEN events, written over the pseudo-variable
+    ``{name}__prev`` and ``{name}`` — e.g. a strictly-rising run:
+    ``Kleene(Ev("k"), adjacent=attr("k","value") > attr("k__prev","value"))``
+    (the reference's lambda over successive Kleene bindings).
     """
 
-    inner: Ev
+    inner: Node
     max_len: Optional[int] = None
+    adjacent: Optional[Cond] = None
 
-    def __init__(self, inner: Ev, max_len: Optional[int] = None):
-        if not isinstance(inner, Ev):
-            raise ValueError("v1 supports Kleene over a single event leaf")
+    def __init__(self, inner: Node, max_len: Optional[int] = None,
+                 adjacent: Optional[Cond] = None):
+        if not isinstance(inner, Node):
+            raise ValueError("Kleene inner must be a pattern node")
+        if adjacent is not None:
+            if not isinstance(inner, Ev):
+                raise ValueError("adjacent conditions require a leaf Kleene")
+            allowed = {inner.name, f"{inner.name}__prev"}
+            if not set(adjacent.vars()) <= allowed:
+                raise ValueError(
+                    f"adjacent condition may only reference {sorted(allowed)}; "
+                    f"got {sorted(adjacent.vars())}"
+                )
         object.__setattr__(self, "inner", inner)
         object.__setattr__(self, "max_len", max_len)
+        object.__setattr__(self, "adjacent", adjacent)
 
     @property
     def name(self):
+        if not isinstance(self.inner, Ev):
+            raise AttributeError("composite Kleene has no single variable name")
         return self.inner.name
 
     def leaves(self):
-        return [self.inner]
+        return self.inner.leaves()
 
     def __repr__(self):
         return f"Kleene({self.inner!r})"

@@ -111,6 +111,23 @@ def match_group(pat: Pattern, df) -> list[dict]:
                     conds.update(kcs)
             if not all(_eval_scalar(c, df, binding) for c in conds):
                 continue
+            # adjacent-pair kleene conditions (consecutive chosen events)
+            adj_ok = True
+            for s in alt.slots:
+                if s.kleene and s.adjacent is not None:
+                    ps = binding[s.var]
+                    for p_prev, p_next in zip(ps, ps[1:]):
+                        env = {
+                            f"{s.var}__prev": {c: df[c].iloc[p_prev] for c in df.columns},
+                            s.var: {c: df[c].iloc[p_next] for c in df.columns},
+                        }
+                        if not bool(s.adjacent.pd(env)):
+                            adj_ok = False
+                            break
+                if not adj_ok:
+                    break
+            if not adj_ok:
+                continue
             # negation
             failed = False
             for spec in alt.negs:

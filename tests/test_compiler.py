@@ -80,9 +80,35 @@ def test_edge_neg_requires_window():
         compile_pattern(Pattern(Seq(Neg(Ev("n"))), window=timedelta(minutes=5)))
 
 
-def test_kleene_inside_and_rejected():
-    with pytest.raises(ValueError):
-        compile_pattern(Pattern(And_(Kleene(Ev("k")), Ev("a"))))
+def test_kleene_inside_and_compiles():
+    cp = compile_pattern(Pattern(And_(Kleene(Ev("k")), Ev("a"))))
+    (alt,) = cp.alternatives
+    assert any(s.kleene for s in alt.slots) and len(alt.slots) == 2
+
+
+def test_composite_kleene_expansion():
+    from datetime import timedelta
+
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u"), Ev("v")), max_len=2), Ev("t")),
+        window=timedelta(minutes=5),
+    )
+    cp = compile_pattern(pat)
+    # arity 1 and arity 2 alternatives
+    assert sorted(len(a.slots) for a in cp.alternatives) == [3, 5]
+    assert set(cp.all_vars()) == {"u__1", "v__1", "u__2", "v__2", "t"}
+    # unbounded composite is rejected
+    with pytest.raises(ValueError, match="max_len"):
+        compile_pattern(Pattern(Seq(Kleene(Seq(Ev("u"), Ev("v"))), Ev("t"))))
+
+
+def test_adjacent_condition_validation():
+    Kleene(Ev("k"), adjacent=attr("k", "value") > attr("k__prev", "value"))
+    with pytest.raises(ValueError, match="adjacent"):
+        Kleene(Ev("k"), adjacent=attr("k", "value") > attr("other", "value"))
+    with pytest.raises(ValueError, match="leaf"):
+        Kleene(Seq(Ev("a"), Ev("b")), max_len=2,
+               adjacent=attr("a", "value") > attr("a__prev", "value"))
 
 
 def test_kleene_condition_forward_reference_rejected():

@@ -132,6 +132,38 @@ PATTERNS = {
         ),
         window=timedelta(minutes=3),
     ),
+    "and_kleene": Pattern(
+        And_(Kleene(Ev("k", role="assistant"), max_len=3), Ev("a", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    "and_kleene_unbounded": Pattern(
+        And_(Kleene(Ev("k", role="assistant")), Ev("a", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    "composite_kleene": Pattern(
+        Seq(
+            Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant")), max_len=2),
+            Ev("t", role="tool"),
+        ),
+        window=timedelta(minutes=5),
+    ),
+    "composite_kleene_cond": Pattern(
+        Seq(
+            Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant")), max_len=2),
+            Ev("t", role="tool"),
+        ),
+        where=attr("w", "value") > attr("u", "value"),
+        window=timedelta(minutes=5),
+    ),
+    "kleene_adjacent_rising": Pattern(
+        Seq(
+            Ev("a", role="user"),
+            Kleene(Ev("k", role="assistant"),
+                   adjacent=attr("k", "value") > attr("k__prev", "value")),
+            Ev("c", role="tool"),
+        ),
+        window=timedelta(minutes=7),
+    ),
 }
 
 

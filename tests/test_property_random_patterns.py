@@ -49,7 +49,7 @@ def seq_node(draw, depth):
             parts.append(Neg(draw(leaf())))
             continue
         if kind == "kleene":
-            parts.append(Kleene(draw(leaf()), max_len=draw(st.sampled_from([None, 2]))))
+            parts.append(draw(kleene_node()))
         elif kind == "nested" and depth > 0:
             parts.append(draw(node(depth - 1)))
         else:
@@ -58,9 +58,31 @@ def seq_node(draw, depth):
 
 
 @st.composite
+def kleene_node(draw):
+    """Leaf Kleene (sometimes with an adjacent-pair condition) or a
+    bounded composite Kleene over Seq of two leaves."""
+    shape = draw(st.sampled_from(["leaf", "leaf", "adjacent", "composite"]))
+    if shape == "composite":
+        return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=2)
+    l = draw(leaf())
+    if shape == "adjacent":
+        from cep_spark.conditions import attr as _attr
+
+        return Kleene(
+            l,
+            max_len=draw(st.sampled_from([None, 2])),
+            adjacent=_attr(l.name, "value") > _attr(f"{l.name}__prev", "value"),
+        )
+    return Kleene(l, max_len=draw(st.sampled_from([None, 2])))
+
+
+@st.composite
 def and_node(draw, depth):
     n = draw(st.integers(2, 3))
-    parts = [draw(leaf()) for _ in range(n)]
+    parts = [
+        draw(kleene_node()) if draw(st.integers(0, 3)) == 0 else draw(leaf())
+        for _ in range(n)
+    ]
     if draw(st.booleans()):
         parts.append(Neg(draw(leaf())))
     return And_(*parts)
