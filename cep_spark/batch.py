@@ -291,10 +291,23 @@ def match_group_nfa(cp: CompiledPattern, gdf: pd.DataFrame) -> list:
 
 def match_core(cp: CompiledPattern, store, ts_ns, masks) -> list:
     """NFA advance over one sorted group given precomputed unary masks."""
+    out, _ = advance_core(cp, store, ts_ns, masks)
+    return out
+
+
+def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start=0):
+    """Resumable NFA advance: process events [start, n) against partial
+    tables carried over from a previous call (the incremental streaming
+    executor persists them in the state store and advances only over
+    newly-sealed arrivals — stream.py).  `tables_in` maps
+    alt_id -> {state_sid: _Partials} with positions indexing `store`;
+    returns (matches, tables_out) — tables_out is safe to persist.
+    tables_in=None, start=0 is a full from-scratch match."""
     pat = cp.pattern
     n = len(ts_ns)
     w_ns = None if pat.window is None else int(pat.window.total_seconds() * 1e9)
     out = []
+    tables_out = {}
 
     for alt in cp.alternatives:
         slots = {s.sid: s for s in alt.slots}
@@ -303,7 +316,14 @@ def match_core(cp: CompiledPattern, store, ts_ns, masks) -> list:
         slot_mask, neg_mask = masks[alt.alt_id]
         neg_positions = [np.nonzero(m)[0] for m in neg_mask]
 
-        tables = {st.sid: _Partials(svars[st.sid], kvars[st.sid]) for st in alt.states}
+        if tables_in is not None and alt.alt_id in tables_in:
+            tables = tables_in[alt.alt_id]
+            for st in alt.states:  # serialization skips empty states
+                if st.sid not in tables:
+                    tables[st.sid] = _Partials(svars[st.sid], kvars[st.sid])
+        else:
+            tables = {st.sid: _Partials(svars[st.sid], kvars[st.sid]) for st in alt.states}
+        tables_out[alt.alt_id] = tables
         state_by_id = {st.sid: st for st in alt.states}
 
         def emit(sub: _Partials, state_sid):
@@ -326,7 +346,7 @@ def match_core(cp: CompiledPattern, store, ts_ns, masks) -> list:
                     b[v] = tuple(sel.kleene[v][j])
                 out.append((alt.alt_id, b))
 
-        for i in range(n):
+        for i in range(start, n):
             cur_ts = ts_ns[i]
             cur_row = store.row(i)
             staged = []  # (target_state_id, _Partials)
@@ -440,7 +460,7 @@ def match_core(cp: CompiledPattern, store, ts_ns, masks) -> list:
             for target, npart in staged:
                 tables[target].extend(npart)
 
-    return out
+    return out, tables_out
 
 
 # --------------------------------------------------------------------------

@@ -51,12 +51,17 @@ import pandas as pd
 
 from .batch import (
     CompiledPattern,
+    _ColStore,
+    _Partials,
+    _obj_array,
+    advance_core,
     match_group_nfa,
     match_schema_array,
     match_schema_flat,
     matches_to_pdf_array,
     matches_to_pdf_flat,
     prefilter,
+    unary_masks,
 )
 
 __all__ = ["run_stream", "stream_matches"]
@@ -77,6 +82,82 @@ def _de_buf(raw: bytes) -> pd.DataFrame:
     import pyarrow as pa
 
     return pa.ipc.open_stream(pa.BufferReader(raw)).read_all().to_pandas()
+
+
+# --------------------------------------------------------------------------
+# partial-table (de)serialization for the incremental executor
+
+
+def _ser_tables(tables) -> bytes | None:
+    """pickle the non-empty per-state partial tables ({alt: {sid: ...}})."""
+    import pickle
+
+    plain = {}
+    total = 0
+    for alt_id, tmap in tables.items():
+        sub = {}
+        for sid, p in tmap.items():
+            if len(p) == 0:
+                continue
+            sub[sid] = (p.scalar, p.kleene, p.first_pos, p.last_pos, p.first_ts)
+            total += len(p)
+        if sub:
+            plain[alt_id] = sub
+    if not total:
+        return None
+    return pickle.dumps(plain, protocol=5)
+
+
+def _de_tables(raw: bytes | None) -> dict:
+    import pickle
+
+    if not raw:
+        return {}
+    out = {}
+    for alt_id, sub in pickle.loads(raw).items():
+        tmap = {}
+        for sid, (scalar, kleene, fp, lp, fts) in sub.items():
+            p = _Partials(scalar, kleene)
+            p.scalar, p.kleene = scalar, kleene
+            p.first_pos, p.last_pos, p.first_ts = fp, lp, fts
+            tmap[sid] = p
+        out[alt_id] = tmap
+    return out
+
+
+def _tables_rows(tables) -> int:
+    return sum(len(p) for tmap in tables.values() for p in tmap.values())
+
+
+def _prune_tables(tables, min_first_ts_excl: int) -> None:
+    """Drop partials that can no longer complete: a future event has
+    ts' > wm, so completable partials have first_ts > wm - W."""
+    for tmap in tables.values():
+        for sid, p in list(tmap.items()):
+            if len(p):
+                alive = p.first_ts > min_first_ts_excl
+                if not alive.all():
+                    tmap[sid] = p.select(alive)
+
+
+def _shift_tables(tables, off: int) -> None:
+    """Re-base stored positions after evicting `off` prefix rows of the
+    sealed buffer (eviction is always a sorted-order prefix, so the
+    shift is uniform)."""
+    if off == 0:
+        return
+    for tmap in tables.values():
+        for p in tmap.values():
+            if len(p) == 0:
+                continue
+            for v in p.scalar:
+                p.scalar[v] = p.scalar[v] - off
+            for v in p.kleene:
+                p.kleene[v] = _obj_array(
+                    [tuple(x - off for x in t) for t in p.kleene[v]]
+                )
+            p.first_pos = p.first_pos - off
+            p.last_pos = p.last_pos - off
 
 
 def _match_last_ts_ns(binding: dict, ts_ns: np.ndarray) -> int:
@@ -130,12 +211,32 @@ def _seal_ts_ns(binding: dict, ts_ns: np.ndarray, alt_id, trailing_ids, w_ns) ->
 
 
 def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
-                   emit_cols=("turn_idx", "role", "tool", "ts")):
+                   emit_cols=("turn_idx", "role", "tool", "ts"),
+                   strategy: str = "auto"):
     """Attach the stateful NFA to a streaming DataFrame.
 
     Returns the streaming match DataFrame (append mode); the caller
     attaches the sink (memory sink in tests, exactly-once parquet via
     sink.py in production).
+
+    ``strategy``:
+      * ``"incremental"`` — persist the per-state partial-match tables in
+        the state store and advance the NFA ONLY over newly-sealed
+        arrivals (O(new events) per batch instead of O(buffer)).  Sealed
+        matches involve only sealed events (every event of a match has
+        ts <= the match's seal instant <= watermark), so limbo events
+        above the watermark need no matching at all — each event is
+        matched exactly once, in the batch where it seals, which is also
+        exactly the batch the rematch executor would emit it in
+        (identical emission brackets).  A per-key guard falls back to
+        rematch when the partial set outgrows the buffer (Kleene-dense
+        patterns — the powerset partial count can exceed serialization
+        budget).
+      * ``"rematch"`` — re-run the matcher over the retained buffer each
+        batch (the v1 path; required for trailing negations, whose
+        accept check looks ahead of the match's last event).
+      * ``"auto"`` — incremental unless the pattern has a trailing
+        negation.
     """
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -166,6 +267,18 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
         out_schema = match_schema_flat(cp, key_type)
     else:
         out_schema = match_schema_array(pat, emit_cols, key_type)
+
+    if strategy == "auto":
+        strategy = "rematch" if trailing_ids else "incremental"
+    if strategy not in ("incremental", "rematch"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "incremental":
+        if trailing_ids:
+            raise ValueError(
+                "incremental strategy cannot evaluate trailing negations "
+                "(the accept check looks ahead of the match); use rematch"
+            )
+        return _stream_incremental(df, cp, out_schema, mode, emit_cols, w_ns)
 
     state_schema = T.StructType(
         [
@@ -337,6 +450,183 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
     )
 
 
+def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_ns):
+    """Incremental stateful executor (stream_matches strategy docstring).
+
+    State per key:
+      * ``buf``   — SEALED events (ts <= watermark) inside the retention
+        horizon, in (ts, tiebreak) order; the attribute store for partial
+        positions and negation candidates.
+      * ``limbo`` — events above the watermark, unmatched (no sealed
+        match can involve them; they advance the NFA when they seal).
+      * ``parts`` — pickled per-(alt, state) partial tables, positions
+        indexing ``buf``.
+    Sealed arrivals sort strictly after the stored buffer (their ts is
+    above the previous watermark, the buffer's below), so the advance is
+    a pure append; buffer eviction is a sorted prefix, so stored
+    positions re-base by a uniform shift.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pat = cp.pattern
+    ts_col, tb_col = pat.ts_col, pat.tiebreak_col
+    state_schema = T.StructType(
+        [
+            T.StructField("buf", T.BinaryType()),
+            T.StructField("limbo", T.BinaryType()),
+            T.StructField("parts", T.BinaryType()),
+            T.StructField("last_wm_ms", T.LongType()),
+            T.StructField("late_dropped", T.LongType()),
+            T.StructField("fellback", T.IntegerType()),
+        ]
+    )
+
+    def _ts_i8(pdf):
+        return pdf[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+
+    def _emit(g, key_val, res):
+        if mode == "flat":
+            return matches_to_pdf_flat(cp, g, key_val, res=res)
+        return matches_to_pdf_array(cp, g, key_val, emit_cols, res=res)
+
+    def fn(key, pdf_iter, state):
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_ns = wm_ms * 1_000_000
+        if state.exists:
+            buf_raw, limbo_raw, parts_raw, last_wm_ms, late_dropped, fellback = state.get
+            sealed = _de_buf(buf_raw) if buf_raw else None
+            limbo = _de_buf(limbo_raw) if limbo_raw else None
+        else:
+            sealed, limbo, parts_raw = None, None, None
+            last_wm_ms, late_dropped, fellback = -1, 0, 0
+        lo_ns = last_wm_ms * 1_000_000
+
+        chunks = [] if state.hasTimedOut else list(pdf_iter)
+        arrivals = pd.concat(chunks, ignore_index=True) if chunks else None
+        if arrivals is not None and len(arrivals):
+            a_ns = _ts_i8(arrivals)
+            late = a_ns <= lo_ns
+            if late.any():
+                late_dropped += int(late.sum())
+                arrivals = arrivals.loc[~late]
+            if len(arrivals):
+                limbo = (
+                    arrivals
+                    if limbo is None or not len(limbo)
+                    else pd.concat([limbo, arrivals], ignore_index=True)
+                )
+
+        # move limbo events at or below the watermark into the sealed buffer
+        n_new = 0
+        if limbo is not None and len(limbo):
+            l_ns = _ts_i8(limbo)
+            seal_mask = l_ns <= wm_ns
+            if seal_mask.any():
+                fresh = limbo.loc[seal_mask].sort_values(
+                    [ts_col, tb_col], kind="mergesort"
+                )
+                limbo = limbo.loc[~seal_mask]
+                n_new = len(fresh)
+                sealed = (
+                    fresh
+                    if sealed is None or not len(sealed)
+                    else pd.concat([sealed, fresh], ignore_index=True)
+                )
+            if not len(limbo):
+                limbo = None
+
+        tables = {}
+        if fellback:
+            # per-key rematch fallback (partial set outgrew the buffer):
+            # matcher over everything retained, emission by seal bracket
+            allb = [x for x in (sealed, limbo) if x is not None and len(x)]
+            if allb:
+                g = pd.concat(allb, ignore_index=True).sort_values(
+                    [ts_col, tb_col], kind="mergesort"
+                ).reset_index(drop=True)
+                ts_ns = _ts_i8(g)
+                res = [
+                    (a, b)
+                    for a, b in match_group_nfa(cp, g)
+                    if lo_ns < _match_last_ts_ns(b, ts_ns) <= wm_ns
+                ]
+                if res:
+                    yield _emit(g, key[0], res)
+                if w_ns is not None and wm_ns > 0:
+                    g = g.loc[ts_ns > wm_ns - w_ns]
+                sealed, limbo = (g if len(g) else None), None
+            parts_out = None
+        else:
+            tables = _de_tables(parts_raw)
+            if n_new:
+                g = sealed.reset_index(drop=True)
+                sealed = g
+                store = _ColStore(g)
+                ts_ns = _ts_i8(g)
+                masks = unary_masks(cp, store._cols, len(g))
+                res, tables = advance_core(
+                    cp, store, ts_ns, masks,
+                    tables_in=tables or None, start=len(g) - n_new,
+                )
+                if res:
+                    yield _emit(g, key[0], res)
+            # prune dead partials, then evict the buffer prefix and
+            # re-base stored positions (order matters: the prune bound
+            # first_ts > wm - W guarantees no live partial references an
+            # evicted row)
+            if w_ns is not None and wm_ns > 0:
+                _prune_tables(tables, wm_ns - w_ns)
+                if sealed is not None and len(sealed):
+                    keep = _ts_i8(sealed) > wm_ns - w_ns
+                    off = int((~keep).sum())
+                    if off:
+                        sealed = sealed.loc[keep].reset_index(drop=True)
+                        _shift_tables(tables, off)
+                        if not len(sealed):
+                            sealed = None
+            nrows = _tables_rows(tables)
+            buflen = (len(sealed) if sealed is not None else 0) + (
+                len(limbo) if limbo is not None else 0
+            )
+            if nrows > max(256, 8 * buflen):
+                fellback = 1
+                parts_out = None
+            else:
+                parts_out = _ser_tables(tables)
+
+        has_buf = sealed is not None and len(sealed)
+        has_limbo = limbo is not None and len(limbo)
+        if not has_buf and not has_limbo and parts_out is None:
+            state.remove()
+            return
+        state.update(
+            (
+                _ser_buf(sealed) if has_buf else None,
+                _ser_buf(limbo) if has_limbo else None,
+                parts_out,
+                max(wm_ms, last_wm_ms),
+                late_dropped,
+                fellback,
+            )
+        )
+        # timers: wake when the earliest limbo event can seal; else one
+        # cleanup fire after the window passes so silent keys free state
+        if has_limbo:
+            min_limbo = int(_ts_i8(limbo).min())
+            state.setTimeoutTimestamp(max(-(-min_limbo // 1_000_000), wm_ms + 1))
+        elif (has_buf or parts_out is not None) and w_ns is not None:
+            state.setTimeoutTimestamp(max(wm_ms + w_ns // 1_000_000 + 1, 1))
+
+    return df.groupBy(pat.key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_stream(
     spark,
     source_dir: str,
@@ -346,6 +636,7 @@ def run_stream(
     mode: str = "flat",
     emit_cols=("turn_idx", "role", "tool", "ts"),
     max_files_per_trigger: int | None = 1,
+    strategy: str = "auto",
 ):
     """readStream a parquet directory -> streaming match DataFrame.
 
@@ -362,7 +653,8 @@ def run_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    return stream_matches(df, cp, watermark, mode=mode, emit_cols=emit_cols)
+    return stream_matches(df, cp, watermark, mode=mode, emit_cols=emit_cols,
+                          strategy=strategy)
 
 
 def stream_matches_multi(df, cps, watermark: str,

@@ -388,6 +388,66 @@ def test_stream_edge_negation_parity(spark, events_pdf, tmp_path):
     assert 0 < got.count() < plain.count()
 
 
+def test_incremental_equals_rematch_strategy(spark, events_pdf, tmp_path):
+    """The incremental executor (persisted partial tables, advance over
+    newly-sealed events only) emits exactly what the rematch executor
+    emits, on a multi-batch out-of-order feed."""
+    pat = _pat(
+        Seq(Ev("a", event_type="signup"), Kleene(Ev("k", event_type="click"), max_len=2),
+            Ev("c", event_type="purchase"))
+    )
+    cp = compile_pattern(pat)
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)], ignore_index=True)
+    outs = {}
+    for strat in ("incremental", "rematch"):
+        src = str(tmp_path / f"src_{strat}")
+        _split_files(with_flush, src, k=6)
+        sm = run_stream(spark, src, cp, watermark="0 seconds", strategy=strat)
+        q = (
+            sm.writeStream.format("memory").queryName(f"m_{strat}").outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{strat}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(240)
+        outs[strat] = _canon(spark.sql(f"SELECT * FROM m_{strat}").collect())
+    assert outs["incremental"] == outs["rematch"] and len(outs["incremental"]) > 0
+
+
+def test_incremental_fallback_on_partial_explosion(spark, tmp_path):
+    """A Kleene-dense key whose partial set outgrows the buffer trips the
+    per-key fallback guard; results must still equal batch."""
+    n = 14
+    ts0 = pd.Timestamp("2026-01-01")
+    rows = pd.DataFrame(
+        {
+            "user_id": 1,
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": ["signup"] + ["click"] * (n - 2) + ["purchase"],
+            "ts": [ts0 + pd.Timedelta(seconds=10 * i) for i in range(n)],
+            "value": np.linspace(1, 2, n),
+        }
+    )
+    flush = rows.iloc[[0]].copy()
+    flush["user_id"], flush["event_id"], flush["ts"] = -1, 10**12, ts0 + pd.Timedelta(days=9)
+    feed = pd.concat([rows, flush], ignore_index=True)
+    src = str(tmp_path / "src")
+    _split_files(feed, src, k=7)
+    pat = _pat(Seq(Ev("a", event_type="signup"), Kleene(Ev("k", event_type="click")),
+                   Ev("c", event_type="purchase")), window=timedelta(hours=1))
+    cp = compile_pattern(pat)
+    sm = run_stream(spark, src, cp, watermark="0 seconds", strategy="incremental")
+    q = (
+        sm.writeStream.format("memory").queryName("m_boom").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    got = _canon(spark.sql("SELECT * FROM m_boom").collect())
+    batch = run_batch(spark.createDataFrame(rows), cp, mode="flat")
+    want = _canon(batch.collect())
+    assert got == want and len(want) == 2 ** (n - 2) - 1  # non-empty click subsets
+
+
 def test_sink_torn_batch_invisible(spark, tmp_path):
     """A data dir without its manifest (torn write) is invisible to
     read_committed — the exactly-once reader contract."""
