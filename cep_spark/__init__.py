@@ -22,8 +22,10 @@ from .engine import CepEngine
 from .compiler import compile_pattern
 from .conditions import TRUE, attr, lit
 from .pattern import And_, Ev, Kleene, Neg, Or_, Pattern, Seq
+from .sources import PushStream
 
 __all__ = [
+    "PushStream",
     "attr",
     "lit",
     "TRUE",

@@ -448,6 +448,38 @@ def test_incremental_fallback_on_partial_explosion(spark, tmp_path):
     assert got == want and len(want) == 2 ** (n - 2) - 1  # non-empty click subsets
 
 
+def test_push_stream_source(spark, events_pdf, tmp_path):
+    """E3 push-source ergonomics: add_item()/flush()/close() feeding the
+    engine == batch over the same rows (reference Stream.add_item)."""
+    from cep_spark.sources import PushStream
+
+    pat = _pat(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")))
+    cp = compile_pattern(pat)
+    ps = PushStream(str(tmp_path / "feed"), schema_like=events_pdf)
+    ordered = events_pdf.sort_values("ts").reset_index(drop=True)
+    n = len(ordered)
+    for i in range(4):  # four pushed micro-batches
+        ps.add_items(ordered.iloc[i * n // 4 : (i + 1) * n // 4])
+        ps.flush()
+    flush = _flush_row(events_pdf).iloc[0].to_dict()
+    ps.close(flush_row=flush)
+    with pytest.raises(ValueError):
+        ps.add_item(flush)  # closed
+
+    from cep_spark.stream import stream_matches
+
+    sm = stream_matches(ps.readStream(spark), cp, "0 seconds")
+    q = (
+        sm.writeStream.format("memory").queryName("m_push").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    got = _canon(spark.sql("SELECT * FROM m_push").collect())
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert got == _canon(batch.collect())
+
+
 def test_sink_torn_batch_invisible(spark, tmp_path):
     """A data dir without its manifest (torn write) is invisible to
     read_committed — the exactly-once reader contract."""
