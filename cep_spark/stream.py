@@ -662,8 +662,12 @@ def stream_matches_multi(df, cps, watermark: str,
     """Streaming multi-pattern execution (reference `CEP(patterns=[...])`,
     SURVEY.md §2.3 E7): ONE keyed state stream runs every compiled
     pattern — one watermark, one shuffle, one event buffer per key
-    (retention = the LARGEST pattern window), matchers run per pattern
-    per batch.  Output is the array schema with ``pattern_id``.
+    (retention = the LARGEST pattern window).  Each pattern uses the
+    incremental executor (persisted partial tables, advance over
+    newly-sealed events) unless it has a trailing negation or its
+    partial set outgrew the buffer (per-pattern rematch fallback,
+    tracked as a state bitmask).  Output is the array schema with
+    ``pattern_id``.
     """
     import pandas as pd
 
@@ -702,67 +706,168 @@ def stream_matches_multi(df, cps, watermark: str,
     state_schema = T.StructType(
         [
             T.StructField("buf", T.BinaryType()),
+            T.StructField("limbo", T.BinaryType()),
+            T.StructField("parts", T.BinaryType()),
             T.StructField("last_emit_wm_ms", T.LongType()),
             T.StructField("late_dropped", T.LongType()),
+            T.StructField("fellback", T.LongType()),  # per-pattern bitmask
         ]
     )
     ts_col, tb_col = p0.ts_col, p0.tiebreak_col
+    # patterns that must rematch (trailing-neg look-ahead), statically
+    static_rematch = sum(1 << ci for ci, t in enumerate(trailing_of) if t)
 
     def fn(key, pdf_iter, state):
+        import pickle
+
         wm_ms = state.getCurrentWatermarkMs()
         wm_ns = wm_ms * 1_000_000
         if state.exists:
-            buf_raw, last_emit_wm_ms, late_dropped = state.get
-            buf = _de_buf(buf_raw) if buf_raw else None
+            buf_raw, limbo_raw, parts_raw, last_emit_wm_ms, late_dropped, fellback = state.get
+            sealed = _de_buf(buf_raw) if buf_raw else None
+            limbo = _de_buf(limbo_raw) if limbo_raw else None
+            parts = pickle.loads(parts_raw) if parts_raw else {}
         else:
-            buf, last_emit_wm_ms, late_dropped = None, -1, 0
+            sealed, limbo, parts = None, None, {}
+            last_emit_wm_ms, late_dropped, fellback = -1, 0, 0
         lo_ns = last_emit_wm_ms * 1_000_000
+        rematch_mask = static_rematch | fellback
+
+        def ts_i8(pdf):
+            return pdf[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
 
         chunks = [] if state.hasTimedOut else list(pdf_iter)
         arrivals = pd.concat(chunks, ignore_index=True) if chunks else None
         if arrivals is not None and len(arrivals):
-            a_ns = arrivals[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            a_ns = ts_i8(arrivals)
             late = a_ns <= lo_ns
             if late.any():
                 late_dropped += int(late.sum())
                 arrivals = arrivals.loc[~late]
-            if buf is None or not len(buf):
-                buf = arrivals
-            elif len(arrivals):
-                buf = pd.concat([buf, arrivals], ignore_index=True)
+            if len(arrivals):
+                limbo = (
+                    arrivals if limbo is None or not len(limbo)
+                    else pd.concat([limbo, arrivals], ignore_index=True)
+                )
+
+        n_new = 0
+        if limbo is not None and len(limbo):
+            l_ns = ts_i8(limbo)
+            seal_mask = l_ns <= wm_ns
+            if seal_mask.any():
+                fresh = limbo.loc[seal_mask].sort_values([ts_col, tb_col], kind="mergesort")
+                limbo = limbo.loc[~seal_mask]
+                n_new = len(fresh)
+                sealed = (
+                    fresh if sealed is None or not len(sealed)
+                    else pd.concat([sealed, fresh], ignore_index=True)
+                )
+            if not len(limbo):
+                limbo = None
 
         min_unsealed_ns = None
-        if buf is not None and len(buf):
-            g = buf.sort_values([ts_col, tb_col], kind="mergesort").reset_index(drop=True)
-            ts_ns = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
-            outs = []
-            for ci, cp in enumerate(cps):
-                sealed = []
-                for a, b in match_group_nfa(cp, g):
-                    lts = _seal_ts_ns(b, ts_ns, a, trailing_of[ci], w_ns_of[ci])
+        outs = []
+        g_sealed = sealed.reset_index(drop=True) if sealed is not None else None
+        sealed = g_sealed
+        store = ts_s = masks = None
+        g_all = ts_all = None
+        tables_out = {}
+        for ci, cp in enumerate(cps):
+            if rematch_mask & (1 << ci):
+                if g_all is None:
+                    allb = [x for x in (sealed, limbo) if x is not None and len(x)]
+                    if not allb:
+                        continue
+                    g_all = pd.concat(allb, ignore_index=True).sort_values(
+                        [ts_col, tb_col], kind="mergesort"
+                    ).reset_index(drop=True)
+                    ts_all = ts_i8(g_all)
+                res_sealed = []
+                for a, b in match_group_nfa(cp, g_all):
+                    lts = _seal_ts_ns(b, ts_all, a, trailing_of[ci], w_ns_of[ci])
                     if lo_ns < lts <= wm_ns:
-                        sealed.append((a, b))
+                        res_sealed.append((a, b))
                     elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):
                         min_unsealed_ns = lts
-                if sealed:
-                    outs.append(matches_to_pdf_array(cp, g, key[0], emit_cols, res=sealed))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-            if w_ns is not None and wm_ns > 0:
-                g = g.loc[ts_ns > wm_ns - w_ns]
-        else:
-            g = pd.DataFrame()
+                if res_sealed:
+                    outs.append(matches_to_pdf_array(cp, g_all, key[0], emit_cols, res=res_sealed))
+            else:
+                tables = _de_tables(parts.get(ci))
+                if n_new and g_sealed is not None:
+                    if store is None:
+                        store = _ColStore(g_sealed)
+                        ts_s = ts_i8(g_sealed)
+                    masks_ci = unary_masks(cp, store._cols, len(g_sealed))
+                    res, tables = advance_core(
+                        cp, store, ts_s, masks_ci,
+                        tables_in=tables or None, start=len(g_sealed) - n_new,
+                    )
+                    if res:
+                        outs.append(matches_to_pdf_array(cp, g_sealed, key[0], emit_cols, res=res))
+                tables_out[ci] = tables
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
-        if not len(g) and min_unsealed_ns is None:
+        # prune per-pattern partials; evict at the SHARED max-retention
+        # horizon; shift positions by the shared prefix offset
+        if w_ns is not None and wm_ns > 0:
+            for ci, tables in tables_out.items():
+                if w_ns_of[ci] is not None:
+                    _prune_tables(tables, wm_ns - w_ns_of[ci])
+            if sealed is not None and len(sealed):
+                keep = ts_i8(sealed) > wm_ns - w_ns
+                off = int((~keep).sum())
+                if off:
+                    sealed = sealed.loc[keep].reset_index(drop=True)
+                    for tables in tables_out.values():
+                        _shift_tables(tables, off)
+                    if not len(sealed):
+                        sealed = None
+            if limbo is not None and len(limbo):
+                keepl = ts_i8(limbo) > wm_ns - w_ns
+                if not keepl.all():
+                    limbo = limbo.loc[keepl]
+                    if not len(limbo):
+                        limbo = None
+
+        buflen = (len(sealed) if sealed is not None else 0) + (
+            len(limbo) if limbo is not None else 0
+        )
+        parts_out = {}
+        for ci, tables in tables_out.items():
+            if _tables_rows(tables) > max(256, 8 * buflen):
+                fellback |= 1 << ci
+            else:
+                raw = _ser_tables(tables)
+                if raw is not None:
+                    parts_out[ci] = raw
+
+        has_buf = sealed is not None and len(sealed)
+        has_limbo = limbo is not None and len(limbo)
+        if not has_buf and not has_limbo and not parts_out and min_unsealed_ns is None:
             state.remove()
             return
         state.update(
-            (_ser_buf(g) if len(g) else None, max(wm_ms, last_emit_wm_ms), late_dropped)
+            (
+                _ser_buf(sealed) if has_buf else None,
+                _ser_buf(limbo) if has_limbo else None,
+                pickle.dumps(parts_out, protocol=5) if parts_out else None,
+                max(wm_ms, last_emit_wm_ms),
+                late_dropped,
+                fellback,
+            )
         )
+        timer = None
+        if has_limbo:
+            min_limbo = int(ts_i8(limbo).min())
+            timer = max(-(-min_limbo // 1_000_000), wm_ms + 1)
         if min_unsealed_ns is not None:
-            state.setTimeoutTimestamp(max(-(-min_unsealed_ns // 1_000_000), wm_ms + 1))
-        elif len(g) and w_ns is not None:
-            state.setTimeoutTimestamp(max(wm_ms + w_ns // 1_000_000 + 1, 1))
+            t2 = max(-(-min_unsealed_ns // 1_000_000), wm_ms + 1)
+            timer = t2 if timer is None else min(timer, t2)
+        if timer is None and (has_buf or parts_out) and w_ns is not None:
+            timer = max(wm_ms + w_ns // 1_000_000 + 1, 1)
+        if timer is not None:
+            state.setTimeoutTimestamp(timer)
 
     return df.groupBy(p0.key).applyInPandasWithState(
         fn,

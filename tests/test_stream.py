@@ -448,6 +448,58 @@ def test_incremental_fallback_on_partial_explosion(spark, tmp_path):
     assert got == want and len(want) == 2 ** (n - 2) - 1  # non-empty click subsets
 
 
+def test_stream_multi_pattern_mixed_modes(spark, events_pdf, tmp_path):
+    """Multi-pattern stream mixing executors per pattern: a plain SEQ
+    (incremental, persisted partials) alongside a trailing-neg pattern
+    (static rematch with first+W sealing) — union equals batch."""
+    from cep_spark.stream import stream_matches_multi
+
+    emit = ("event_id", "event_type", "ts")
+
+    def mk(struct, pid, hours):
+        return Pattern(struct, window=timedelta(hours=hours), key="user_id",
+                       ts_col="ts", tiebreak_col="event_id", pattern_id=pid)
+
+    cps = [
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")), "seq2", 24)),
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase"),
+                               Neg(Ev("n", event_type="error"))), "seq2_tneg", 24)),
+    ]
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)], ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_matches_multi(sdf, cps, watermark="0 seconds", emit_cols=emit)
+    q = (
+        out.writeStream.format("memory").queryName("mpmix").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+
+    def canon(rows):
+        return sorted(
+            (r["user_id"], r["pattern_id"], r["alt_id"],
+             tuple((m["var"], m["event_id"]) for m in r["matched"]))
+            for r in rows
+        )
+
+    got = canon(spark.sql("SELECT * FROM mpmix").collect())
+    ev_df = spark.read.parquet(f"{SF}/events.parquet")
+    want = []
+    for cp in cps:
+        want.extend(canon(run_batch(ev_df, cp, mode="array", emit_cols=emit).collect()))
+    assert got == sorted(want) and len(got) > 0
+    # the trailing-neg pattern must emit strictly fewer matches
+    n_plain = sum(1 for r in got if r[1] == "seq2")
+    n_tneg = sum(1 for r in got if r[1] == "seq2_tneg")
+    assert 0 < n_tneg < n_plain
+
+
 def test_push_stream_source(spark, events_pdf, tmp_path):
     """E3 push-source ergonomics: add_item()/flush()/close() feeding the
     engine == batch over the same rows (reference Stream.add_item)."""
