@@ -132,6 +132,17 @@ CEP_PATTERNS = {
         ),
         window=timedelta(hours=24),
     ),
+    # O5+C: condition between Kleene elements and a LATER-bound variable
+    # (per-element ALL semantics, pair-expanded at the completing bind)
+    "cep_kleene_forward": _p(
+        Seq(
+            Ev("a", event_type="signup"),
+            Kleene(Ev("k", event_type="click"), max_len=3),
+            Ev("c", event_type="purchase"),
+        ),
+        where=attr("k", "value") < attr("c", "value"),
+        window=timedelta(hours=24),
+    ),
     # O3+O5: Kleene directly inside And_ (unordered closure + sibling)
     "cep_and_kleene": _p(
         And_(Kleene(Ev("k", event_type="click"), max_len=2), Ev("a", event_type="signup")),

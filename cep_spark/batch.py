@@ -101,7 +101,10 @@ def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None):
     """Vectorized evaluation of conjuncts over a partial table.
 
     cur_var's attributes come from the current event (scalars, broadcast);
-    bound vars gather from the store.  Returns boolean ndarray."""
+    bound vars gather from the store.  A conjunct referencing an
+    already-bound Kleene variable evaluates per ELEMENT of each
+    partial's tuple via (partial, element) pair expansion — ALL elements
+    must satisfy it.  Returns boolean ndarray."""
     n = len(partials)
     mask = np.ones(n, dtype=bool)
     if not conds:
@@ -119,6 +122,15 @@ def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None):
 
     env = _Env()
     for c in conds:
+        kref = [
+            v for v in c.vars()
+            if v != cur_var and v in partials.kleene
+            and not (extra_scalar and v in extra_scalar)
+        ]
+        if kref:
+            (k,) = kref  # compile_pattern rejects two-kleene conjuncts
+            mask &= _eval_kleene_cond(c, k, store, partials, cur_var, cur_row)
+            continue
         r = c.pd(env)
         if isinstance(r, (bool, np.bool_)):
             if not r:
@@ -126,6 +138,40 @@ def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None):
         else:
             mask &= np.asarray(r, dtype=bool)
     return mask
+
+
+def _eval_kleene_cond(c, k, store, partials, cur_var, cur_row):
+    """ALL-elements evaluation of a conjunct over each partial's bound
+    Kleene tuple for variable `k` (cross-variable conditions like
+    `k.value > c.value` where c binds after the closure)."""
+    n = len(partials)
+    if n == 0:
+        return np.ones(0, dtype=bool)
+    lens = np.fromiter((len(t) for t in partials.kleene[k]), dtype=np.int64, count=n)
+    pair_partial = np.repeat(np.arange(n), lens)
+    if len(pair_partial) == 0:
+        return np.ones(n, dtype=bool)
+    pair_elem = np.concatenate(
+        [np.asarray(t, dtype=np.int64) for t in partials.kleene[k] if len(t)]
+    )
+    sub = partials.select(pair_partial)
+    elem_view = store.gather(pair_elem)
+
+    class _Env:
+        def __getitem__(self, var):
+            if var == k:
+                return elem_view
+            if var == cur_var:
+                return cur_row
+            return store.gather(sub.scalar[var])
+
+    r = c.pd(_Env())
+    if isinstance(r, (bool, np.bool_)):
+        m = np.full(len(pair_partial), bool(r))
+    else:
+        m = np.asarray(r, dtype=bool)
+    ok = np.bincount(pair_partial, weights=m.astype(np.int64), minlength=n)
+    return ok == lens
 
 
 def _gap_ok(spec_positions, spec, store, partials, cur_var, cur_row, i):
@@ -185,10 +231,15 @@ def _span_ok(spec_positions, spec, store, partials, alt):
     pair_partial = np.repeat(hot, reps)
     pair_neg = np.concatenate([np_pos[lo[h] : hi[h]] for h in hot])
     sub = partials.select(pair_partial)
-    # exclude events bound to positive variables
+    # exclude events bound to positive variables (scalar AND kleene tuples)
     keep = np.ones(len(pair_partial), dtype=bool)
     for v, arr in sub.scalar.items():
         keep &= pair_neg != arr
+    for v, karr in sub.kleene.items():
+        keep &= np.fromiter(
+            (int(pn) not in t for pn, t in zip(pair_neg, karr)),
+            dtype=bool, count=len(pair_partial),
+        )
     neg_view = store.gather(pair_neg)
 
     class _Env:

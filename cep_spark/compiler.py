@@ -414,6 +414,12 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
                 if ng.name in c.vars():
                     extra.append(c)
                     multi.remove(c)
+            for c in extra:
+                if c.vars() & kleene_vars:
+                    raise ValueError(
+                        f"negation condition {c!r} may not reference a Kleene "
+                        f"variable (per-element negation scope is undefined)"
+                    )
             if post is None:
                 kind = "span"
             elif isinstance(post, str):
@@ -428,23 +434,15 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
             for c in extra:
                 note_cols(c)
 
-        # conjuncts referencing a kleene var must be evaluable per-event at
-        # kleene bind time: other vars must be prerequisites of the kleene slot
-        prereq_vars = {
-            s.sid: frozenset(var_of[i] for i in s.prereq) for s in slots
-        }
+        # conjuncts referencing a kleene var are evaluated per-element
+        # (ALL must hold): at the kleene self-extension when the other
+        # vars are already bound, or by (partial, element) pair expansion
+        # at the transition that completes the variable set (batch.py
+        # _eval_conds kleene expansion).  Two kleene vars in one conjunct
+        # would need a cross product of element tuples — rejected.
         for c in multi:
-            kv = c.vars() & kleene_vars
-            if kv:
-                (k,) = list(kv) if len(kv) == 1 else (None,)
-                if k is None:
-                    raise ValueError(f"condition references two Kleene vars: {c!r}")
-                kslot = next(s for s in slots if s.var == k)
-                if not (c.vars() - {k}) <= prereq_vars[kslot.sid]:
-                    raise ValueError(
-                        f"condition {c!r} on Kleene var {k!r} may only reference "
-                        f"variables bound before the Kleene slot"
-                    )
+            if len(c.vars() & kleene_vars) > 1:
+                raise ValueError(f"condition references two Kleene vars: {c!r}")
 
         for s in slots:
             note_cols(s.unary)
@@ -494,10 +492,16 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
                 st.transitions.append(
                     Transition(s.sid, state_of[nb], conds, gnegs, nb == frozenset(x.sid for x in slots))
                 )
-            # kleene self-loops: per-event conds = conjuncts mentioning the kleene var
+            # kleene self-loops: per-event conds = conjuncts mentioning the
+            # kleene var whose OTHER vars are already bound in this state
+            # (cross conds with later vars are enforced by pair expansion
+            # at the completing transition instead)
             for ksid in _open_kleenes(st.bound, slots):
                 k = slot_by_id[ksid]
-                kconds = tuple(c for c in multi if k.var in c.vars())
+                kconds = tuple(
+                    c for c in multi
+                    if k.var in c.vars() and c.vars() <= bound_vars | {k.var}
+                )
                 st.kleene_loops.append((ksid, kconds))
 
         # span-neg conditions must be evaluable with all vars bound (they are)

@@ -111,13 +111,23 @@ def test_adjacent_condition_validation():
                adjacent=attr("a", "value") > attr("a__prev", "value"))
 
 
-def test_kleene_condition_forward_reference_rejected():
+def test_kleene_condition_forward_reference_compiles():
+    """Conditions between a Kleene var and a LATER-bound var compile:
+    evaluated per element via pair expansion at the completing
+    transition (previously a v1 compile error)."""
     pat = Pattern(
         Seq(Ev("a"), Kleene(Ev("k")), Ev("c")),
         where=attr("k", "value") > attr("c", "value"),
     )
-    with pytest.raises(ValueError):
-        compile_pattern(pat)
+    compile_pattern(pat)
+    # two kleene vars in one conjunct stays rejected
+    with pytest.raises(ValueError, match="two Kleene"):
+        compile_pattern(
+            Pattern(
+                Seq(Kleene(Ev("j")), Kleene(Ev("k"))),
+                where=attr("k", "value") > attr("j", "value"),
+            )
+        )
 
 
 def test_duplicate_var_rejected():

@@ -155,6 +155,29 @@ PATTERNS = {
         where=attr("w", "value") > attr("u", "value"),
         window=timedelta(minutes=5),
     ),
+    "kleene_forward_cond": Pattern(
+        Seq(Ev("a", role="user"), Kleene(Ev("k", role="assistant")), Ev("c", role="tool")),
+        where=attr("k", "value") < attr("c", "value"),
+        window=timedelta(minutes=7),
+    ),
+    "kleene_forward_cond_bounded": Pattern(
+        Seq(Ev("a", role="user"), Kleene(Ev("k", role="assistant"), max_len=2),
+            Ev("c", role="tool")),
+        where=attr("k", "value") < attr("c", "value"),
+        window=timedelta(minutes=10),
+    ),
+    "and_kleene_neg_span": Pattern(
+        # pins the _span_ok kleene-element exclusion (a negated event must
+        # not count when it IS a chosen kleene element of the match)
+        And_(Kleene(Ev("k", role="assistant"), max_len=3), Ev("a", role="user"),
+             Neg(Ev("n", role="assistant"))),
+        window=timedelta(minutes=4),
+    ),
+    "and_kleene_cross_cond": Pattern(
+        And_(Kleene(Ev("k", role="assistant"), max_len=2), Ev("a", role="user")),
+        where=attr("k", "value") > attr("a", "value"),
+        window=timedelta(minutes=5),
+    ),
     "kleene_adjacent_rising": Pattern(
         Seq(
             Ev("a", role="user"),
