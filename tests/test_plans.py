@@ -68,6 +68,59 @@ def test_knn_broadcasts_queries(spark):
     assert "Broadcast" in plan  # query side broadcast, corpus streams
 
 
+def test_edge_neg_anti_join_is_keyed(spark, events):
+    """Leading/trailing-neg anti joins must be key-equi joins (never a
+    cartesian/broadcast-nested-loop over the whole table)."""
+    from cep_spark.pattern import Neg
+
+    pat = Pattern(
+        Seq(Neg(Ev("n", event_type="error")), Ev("a", event_type="signup"),
+            Ev("b", event_type="purchase"), Neg(Ev("m", event_type="view"))),
+        window=timedelta(hours=24),
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+    )
+    plan = _formatted(plan_join(events, compile_pattern(pat)))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    # both negation unaries reach the parquet scan
+    assert "EqualTo(event_type,error)" in plan
+    assert "EqualTo(event_type,view)" in plan
+
+
+def test_multi_pattern_single_shuffle(spark, events):
+    """run_batch_multi: N patterns share ONE scan and ONE shuffle."""
+    import re
+
+    from __spark_entry__ import _multi_query
+
+    plan = _formatted(_multi_query(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+
+
+def test_capped_jaccard_no_cartesian(spark):
+    from cep_spark.pipeline.docs import q_ngram_jaccard_capped
+
+    plan = _explain(q_ngram_jaccard_capped(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_composite_kleene_join_pushdown(spark, events):
+    from cep_spark.pattern import Kleene
+
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("v", event_type="view"), Ev("c", event_type="click")), max_len=2),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=24),
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+    )
+    plan = _formatted(plan_join(events, compile_pattern(pat)))
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(event_type,view)" in plan  # unaries pushed per instance
+    assert "props" not in plan
+
+
 def test_whole_stage_codegen_in_join_path(spark, events):
     pat = Pattern(
         Seq(Ev("a", event_type="view"), Ev("b", event_type="purchase")),
