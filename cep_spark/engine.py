@@ -68,9 +68,10 @@ class CepEngine:
         return plan_join(df, self._single, kleene_arities)
 
     def run_stream(self, stream_df, watermark: str, mode: str | None = None,
-                   emit_cols=_DEFAULT_EMIT):
+                   emit_cols=_DEFAULT_EMIT, strategy: str = "auto"):
         """Stateful streaming execution (watermark-sealed emission).
-        mode=None auto-picks like run_batch."""
+        mode=None auto-picks like run_batch; `strategy` selects the
+        incremental vs rematch executor (stream_matches docstring)."""
         if mode is None:
             mode = "flat" if self._single is not None else "array"
         if mode == "flat" and self._single is None:
@@ -80,7 +81,7 @@ class CepEngine:
             )
         if self._single is not None:
             return stream_matches(stream_df, self._single, watermark, mode=mode,
-                                  emit_cols=emit_cols)
+                                  emit_cols=emit_cols, strategy=strategy)
         return stream_matches_multi(stream_df, self.compiled, watermark,
                                     emit_cols=emit_cols)
 

@@ -57,6 +57,40 @@ EVENT_PATTERNS = {
         ),
         window=timedelta(hours=24),
     ),
+    # round-2 shapes
+    "neg_leading": _p(
+        Seq(Neg(Ev("n", event_type="error")), Ev("a", event_type="signup"),
+            Ev("b", event_type="purchase")),
+        window=timedelta(hours=24),
+    ),
+    "neg_trailing": _p(
+        Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase"),
+            Neg(Ev("n", event_type="error"))),
+        window=timedelta(hours=24),
+    ),
+    "kleene_composite": _p(
+        Seq(Kleene(Seq(Ev("v", event_type="view"), Ev("c", event_type="click")), max_len=2),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=24),
+    ),
+    "and_kleene": _p(
+        And_(Kleene(Ev("k", event_type="click"), max_len=2), Ev("a", event_type="signup")),
+        window=timedelta(hours=6),
+    ),
+    "kleene_rising": _p(
+        Seq(Ev("a", event_type="signup"),
+            Kleene(Ev("k", event_type="click"), max_len=3,
+                   adjacent=attr("k", "value") > attr("k__prev", "value")),
+            Ev("c", event_type="purchase")),
+        window=timedelta(hours=24),
+    ),
+    "kleene_forward_cond": _p(
+        Seq(Ev("a", event_type="signup"),
+            Kleene(Ev("k", event_type="click"), max_len=3),
+            Ev("c", event_type="purchase")),
+        where=attr("k", "value") < attr("c", "value"),
+        window=timedelta(hours=24),
+    ),
 }
 
 
