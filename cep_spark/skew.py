@@ -69,7 +69,17 @@ def run_batch_sliced(df, cp: CompiledPattern):
     base = prefilter(df, cp)
 
     own = _slice_expr(pat.ts_col, w_us)
-    sliced = base.withColumn("__slice", F.explode(F.array(own, own - 1)))
+    # group k normally holds events in [kW, (k+2)W): every match whose
+    # first event lies in [kW, (k+1)W) is contained (span <= W), and so
+    # are gap/span/trailing negation candidates.  LEADING negation looks
+    # BACK up to W before the first event — into [(k-1)W, kW) — so those
+    # patterns replicate events into a third group (own+1): 3x
+    # duplication instead of 2x, still exact.
+    has_leading = any(
+        n.kind == "leading" for alt in cp.alternatives for n in alt.negs
+    )
+    replicas = [own, own - 1] + ([own + 1] if has_leading else [])
+    sliced = base.withColumn("__slice", F.explode(F.array(*replicas)))
 
     schema = match_schema_flat(cp, key_type)
     ts_col, tb_col = pat.ts_col, pat.tiebreak_col

@@ -40,6 +40,20 @@ def _canon(df):
             None,
             12,
         ),
+        # leading neg: candidates reach one slice further back (3-replica path)
+        (
+            Seq(Neg(Ev("n", event_type="error")), Ev("a", event_type="signup"),
+                Ev("b", event_type="purchase")),
+            None,
+            12,
+        ),
+        # trailing neg: candidates stay inside the 2-replica range
+        (
+            Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase"),
+                Neg(Ev("n", event_type="error"))),
+            None,
+            12,
+        ),
     ],
 )
 def test_sliced_equals_plain_events(spark, events_df, struct, where, window):
@@ -124,6 +138,34 @@ def test_auto_path_null_keys(spark):
     auto = Counter(tuple(r) for r in run_batch_auto(df, cp, hot_threshold=5).collect())
     assert auto == plain
     assert any(k[0] is None for k in plain)  # null-key matches exist
+
+
+def test_sliced_leading_neg_crosses_slice_boundary(spark):
+    """A leading-neg candidate in the PREVIOUS slice must still kill the
+    match (the 3-replica path): error at 9.5min (slice 0), signup at
+    10.5min + purchase at 11min (slice 1), window 10min — the forbidden
+    event is outside the 2-replica group of the match's slice."""
+    import pandas as pd
+
+    ts0 = pd.Timestamp("2026-01-01")  # epoch-aligned slice boundaries
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "event_id": [1, 2, 3],
+            "event_type": ["error", "signup", "purchase"],
+            "ts": [ts0 + pd.Timedelta(minutes=m) for m in (9.5, 10.5, 11.0)],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    pat = Pattern(
+        Seq(Neg(Ev("n", event_type="error")), Ev("a", event_type="signup"),
+            Ev("b", event_type="purchase")),
+        window=timedelta(minutes=10),
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+    )
+    cp = compile_pattern(pat)
+    assert run_batch(df, cp, mode="flat").count() == 0  # plain: suppressed
+    assert run_batch_sliced(df, cp).count() == 0  # sliced must agree
 
 
 def test_auto_path(spark, events_df):
