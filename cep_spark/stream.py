@@ -470,7 +470,6 @@ def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     pat = cp.pattern
-    ts_col, tb_col = pat.ts_col, pat.tiebreak_col
     state_schema = T.StructType(
         [
             T.StructField("buf", T.BinaryType()),
@@ -481,6 +480,24 @@ def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_
             T.StructField("fellback", T.IntegerType()),
         ]
     )
+    fn = _make_incremental_fn(cp, mode, emit_cols, w_ns)
+
+    return df.groupBy(pat.key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
+    """Build the per-key state function for the incremental executor.
+    Exposed separately so tests can drive it directly against a fake
+    GroupState (fast randomized semantics checks without a Spark
+    streaming query)."""
+    pat = cp.pattern
+    ts_col, tb_col = pat.ts_col, pat.tiebreak_col
 
     def _ts_i8(pdf):
         return pdf[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
@@ -618,13 +635,7 @@ def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_
         elif (has_buf or parts_out is not None) and w_ns is not None:
             state.setTimeoutTimestamp(max(wm_ms + w_ns // 1_000_000 + 1, 1))
 
-    return df.groupBy(pat.key).applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    return fn
 
 
 def run_stream(

@@ -1,0 +1,188 @@
+"""Randomized semantics checks of the incremental streaming state
+function, driven DIRECTLY against a fake GroupState — no Spark
+streaming query, so hypothesis can explore arrival orders, batch
+splits, watermark lags, and timer wakeups orders of magnitude faster
+than end-to-end tests.
+
+Contract checked: for any in-disorder-bound feed, the union of
+emissions across batches + timer wakeups equals the batch matcher's
+match set over the delivered events, each match emitted EXACTLY once.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cep_spark.batch import match_group_nfa, matches_to_pdf_flat
+from cep_spark.compiler import compile_pattern
+from cep_spark.conditions import attr
+from cep_spark.pattern import Ev, Kleene, Neg, Pattern, Seq
+from cep_spark.stream import _make_incremental_fn, match_schema_flat
+
+ROLES = ["user", "assistant", "tool"]
+
+
+class FakeState:
+    """Mimics pyspark GroupState for driving the state fn in-process."""
+
+    def __init__(self):
+        self._val = None
+        self.exists = False
+        self.hasTimedOut = False
+        self.wm_ms = 0
+        self.timer_ms = None
+        self.removed = False
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+        self.exists = True
+        self.removed = False
+
+    def remove(self):
+        self._val = None
+        self.exists = False
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timer_ms = ms
+
+
+PATTERNS = {
+    "seq2": Pattern(Seq(Ev("a", role="user"), Ev("b", role="assistant")),
+                    window=timedelta(seconds=120)),
+    "seq3": Pattern(Seq(Ev("a", role="user"), Ev("b", role="assistant"), Ev("c", role="tool")),
+                    window=timedelta(seconds=180)),
+    "kleene": Pattern(Seq(Ev("a", role="user"), Kleene(Ev("k", role="assistant")),
+                          Ev("c", role="tool")), window=timedelta(seconds=180)),
+    "neg": Pattern(Seq(Ev("a", role="user"), Neg(Ev("n", role="tool")),
+                       Ev("b", role="assistant")), window=timedelta(seconds=120)),
+    "neg_leading": Pattern(Seq(Neg(Ev("n", role="tool")), Ev("a", role="user"),
+                               Ev("b", role="assistant")), window=timedelta(seconds=120)),
+    "cond": Pattern(Seq(Ev("a", role="user"), Ev("b", role="assistant")),
+                    where=attr("b", "value") > attr("a", "value"),
+                    window=timedelta(seconds=120)),
+}
+
+
+def _drive(cp, batches, final_wm_ms):
+    """Feed arrival batches through the state fn; watermark after batch i
+    = max event ms seen so far (delay 0, applied NEXT batch like Spark);
+    then fire timers until drained.  Returns (emitted rows, state)."""
+    fn = _make_incremental_fn(cp, "flat", (), None if cp.pattern.window is None
+                              else int(cp.pattern.window.total_seconds() * 1e9))
+    state = FakeState()
+    out = []
+    wm = 0
+    seen_max_ms = 0
+    for b in batches:
+        state.hasTimedOut = False
+        state.wm_ms = wm
+        state.timer_ms = None
+        for pdf in fn(("k0",), iter([b]), state):
+            out.append(pdf)
+        if len(b):
+            seen_max_ms = max(seen_max_ms,
+                              int(b["ts"].max().value // 1_000_000))
+        wm = seen_max_ms  # Spark: watermark advances AFTER the batch
+    # drain: advance the watermark to the end and fire timers
+    wm = final_wm_ms
+    for _ in range(64):
+        if state.removed or not state.exists:
+            break
+        if state.timer_ms is None or state.timer_ms > wm:
+            break
+        state.hasTimedOut = True
+        state.wm_ms = wm
+        state.timer_ms = None
+        for pdf in fn(("k0",), iter([]), state):
+            out.append(pdf)
+    return out, state
+
+
+def _canon_rows(pdfs):
+    rows = []
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False, name=None):
+            rows.append(tuple(None if pd.isna(v) else int(v) if isinstance(v, (np.integer, float)) else v
+                              for v in r))
+    return sorted(rows, key=repr)
+
+
+@st.composite
+def scenario(draw):
+    name = draw(st.sampled_from(sorted(PATTERNS)))
+    n = draw(st.integers(4, 18))
+    seed = draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    ts0 = pd.Timestamp("2026-01-01")
+    gaps = rng.integers(0, 45, n)
+    g = pd.DataFrame(
+        {
+            "conv_id": "k0",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "role": rng.choice(ROLES, n),
+            "ts": (ts0 + pd.to_timedelta(np.cumsum(gaps), unit="s")).astype("datetime64[us]"),
+            "value": rng.uniform(0, 100, n).round(1),
+        }
+    )
+    # arrival = event-time order (watermark delay 0 admits no disorder
+    # behind the max-seen ts; Spark's wm advances per batch the same way)
+    n_batches = draw(st.integers(1, 6))
+    cuts = sorted(draw(st.lists(st.integers(0, n), min_size=n_batches - 1,
+                                max_size=n_batches - 1)))
+    return name, g, cuts
+
+
+def _effective_rows(batches):
+    """Apply the engine's documented late rule: an arrival is dropped
+    iff its ts <= the watermark STORED AT THE PREVIOUS invocation
+    (stream.py: 'arrivals inside the current bracket (prev_wm, W] are
+    admitted').  The stored value lags the live watermark by one batch,
+    which is exactly-once-safe because the emission bracket uses the
+    same lower bound."""
+    lo_ms = -1     # last stored emission watermark
+    wm_cur = -1    # watermark DURING the current invocation
+    seen_max_ms = -1
+    keep = []
+    for b in batches:
+        if len(b):
+            ts_ns = b["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            keep.append(b.loc[ts_ns > lo_ms * 1_000_000])
+            seen_max_ms = max(seen_max_ms, int(ts_ns.max() // 1_000_000))
+        lo_ms = max(lo_ms, wm_cur)
+        wm_cur = seen_max_ms
+    return pd.concat(keep, ignore_index=True) if keep else pd.DataFrame()
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sc=scenario())
+def test_incremental_fn_exactly_once_parity(sc):
+    name, g, cuts = sc
+    pat = PATTERNS[name]
+    cp = compile_pattern(pat)
+    bounds = [0] + cuts + [len(g)]
+    batches = [g.iloc[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+    final_wm = int(g["ts"].max().value // 1_000_000) + 10_000_000
+    out, state = _drive(cp, batches, final_wm)
+    got = _canon_rows(out)
+
+    eff = _effective_rows(batches)
+    g2 = eff.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+    res = match_group_nfa(cp, g2) if len(g2) else []
+    want = _canon_rows([matches_to_pdf_flat(cp, g2, "k0", res=res)]) if res else []
+    assert got == want, f"{name}: stream={got}\nbatch={want}\ncuts={cuts}\n{g}"
+    # drained key must free its state-store entry
+    assert state.removed or not state.exists
