@@ -724,6 +724,21 @@ def stream_matches_multi(df, cps, watermark: str,
             T.StructField("fellback", T.LongType()),  # per-pattern bitmask
         ]
     )
+    fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns)
+
+    return df.groupBy(p0.key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns):
+    """Per-key state function for multi-pattern streaming (exposed for
+    the fake-GroupState property harness, like _make_incremental_fn)."""
+    p0 = cps[0].pattern
     ts_col, tb_col = p0.ts_col, p0.tiebreak_col
     # patterns that must rematch (trailing-neg look-ahead), statically
     static_rematch = sum(1 << ci for ci, t in enumerate(trailing_of) if t)
@@ -880,10 +895,4 @@ def stream_matches_multi(df, cps, watermark: str,
         if timer is not None:
             state.setTimeoutTimestamp(timer)
 
-    return df.groupBy(p0.key).applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    return fn

@@ -166,6 +166,94 @@ def _effective_rows(batches):
     return pd.concat(keep, ignore_index=True) if keep else pd.DataFrame()
 
 
+def _drive_multi(cps, batches, final_wm_ms, emit_cols=("turn_idx",)):
+    from cep_spark.stream import _make_multi_fn, _retention_w_ns, _trailing_alt_ids
+
+    w_ns_of = [None if cp.pattern.window is None
+               else int(cp.pattern.window.total_seconds() * 1e9) for cp in cps]
+    trailing_of = [_trailing_alt_ids(cp) for cp in cps]
+    rets = [_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of)]
+    w_ns = None if any(r is None for r in rets) else max(rets)
+    fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns)
+    state = FakeState()
+    out = []
+    wm = 0
+    seen_max_ms = 0
+    for b in batches:
+        state.hasTimedOut = False
+        state.wm_ms = wm
+        state.timer_ms = None
+        for pdf in fn(("k0",), iter([b]), state):
+            out.append(pdf)
+        if len(b):
+            seen_max_ms = max(seen_max_ms, int(b["ts"].max().value // 1_000_000))
+        wm = seen_max_ms
+    wm = final_wm_ms
+    for _ in range(64):
+        if state.removed or not state.exists:
+            break
+        if state.timer_ms is None or state.timer_ms > wm:
+            break
+        state.hasTimedOut = True
+        state.wm_ms = wm
+        state.timer_ms = None
+        for pdf in fn(("k0",), iter([]), state):
+            out.append(pdf)
+    return out, state
+
+
+def _canon_multi(pdfs):
+    rows = []
+    for pdf in pdfs:
+        for r in pdf.to_dict("records"):
+            rows.append(
+                (r["conv_id"], r["pattern_id"], int(r["alt_id"]),
+                 tuple((m["var"], int(m["turn_idx"])) for m in r["matched"]))
+            )
+    return sorted(rows)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sc=scenario())
+def test_multi_fn_exactly_once_parity(sc):
+    """Multi-pattern state fn (mixed incremental + trailing-neg rematch
+    executors sharing one buffer) == union of batch runs over the
+    effective rows."""
+    import dataclasses
+
+    from cep_spark.batch import matches_to_pdf_array
+
+    _, g, cuts = sc
+    pats = [
+        dataclasses.replace(PATTERNS["seq2"], pattern_id="p_seq"),
+        dataclasses.replace(
+            Pattern(Seq(Ev("a", role="user"), Ev("b", role="assistant"),
+                        Neg(Ev("n", role="tool"))), window=timedelta(seconds=120)),
+            pattern_id="p_tneg"),
+        dataclasses.replace(PATTERNS["kleene"], pattern_id="p_kleene"),
+    ]
+    cps = [compile_pattern(p) for p in pats]
+    bounds = [0] + cuts + [len(g)]
+    batches = [g.iloc[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+    final_wm = int(g["ts"].max().value // 1_000_000) + 10_000_000
+    out, state = _drive_multi(cps, batches, final_wm)
+    got = _canon_multi(out)
+
+    eff = _effective_rows(batches)
+    want = []
+    if len(eff):
+        g2 = eff.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        for cp in cps:
+            res = match_group_nfa(cp, g2)
+            if res:
+                want.extend(_canon_multi(
+                    [matches_to_pdf_array(cp, g2, "k0", ("turn_idx",), res=res)]
+                ))
+    assert got == sorted(want), f"stream={got}\nbatch={sorted(want)}\ncuts={cuts}\n{g}"
+    assert state.removed or not state.exists
+
+
 @settings(max_examples=120, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=scenario())
