@@ -288,6 +288,21 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
             T.StructField("late_dropped", T.LongType()),
         ]
     )
+    fn = _make_rematch_fn(cp, mode, emit_cols, w_ns, trailing_ids, ret_ns)
+
+    return df.groupBy(pat.key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _make_rematch_fn(cp: CompiledPattern, mode, emit_cols, w_ns, trailing_ids, ret_ns):
+    """Per-key state function for the rematch executor (exposed for the
+    fake-GroupState harness and the executor A/B microbench)."""
+    pat = cp.pattern
     ts_col, tb_col = pat.ts_col, pat.tiebreak_col
 
     def fn(key, pdf_iter, state):
@@ -441,13 +456,7 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
                     f"buf={len(g)} timer={timer}\n"
                 )
 
-    return df.groupBy(pat.key).applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    return fn
 
 
 def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_ns):
