@@ -789,10 +789,17 @@ def prefilter_multi(df, cps, extra_cols=()):
     return out
 
 
-def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts")):
+def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
+                    strategy="auto"):
     """Run N compiled patterns over one keyed scan: single shuffle,
-    single per-group sort, one matcher pass per pattern; output is the
-    array schema with ``pattern_id`` distinguishing the patterns.
+    single sort, one matcher pass per pattern; output is the array
+    schema with ``pattern_id`` distinguishing the patterns.
+
+    Default strategy is the partition-amortized executor (unary masks
+    evaluated vectorized ONCE per partition per pattern, group
+    boundaries by key-change scan — same ~13x small-group win as
+    run_batch's flat path); ``strategy='group'`` keeps the per-key
+    groupBy().applyInPandas reference implementation.
 
     All patterns must share (key, ts_col, tiebreak_col); give each a
     distinct ``Pattern.pattern_id``."""
@@ -809,6 +816,10 @@ def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts")):
     ids = [cp.pattern.pattern_id for cp in cps]
     if len(set(ids)) != len(ids):
         raise ValueError(f"pattern_id values must be distinct, got {ids}")
+    if strategy == "auto":
+        strategy = "partition"
+    if strategy == "partition":
+        return _run_batch_multi_partition(df, cps, emit_cols)
     key_type = df.schema[p0.key].dataType
     schema = match_schema_array(p0, emit_cols, key_type)
     base = prefilter_multi(df, cps, extra_cols=emit_cols)
@@ -819,3 +830,52 @@ def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts")):
         return pd.concat(outs, ignore_index=True)
 
     return base.groupBy(p0.key).applyInPandas(fn, schema=schema)
+
+
+def _run_batch_multi_partition(df, cps, emit_cols):
+    """Partition-amortized multi-pattern execution (see run_batch_multi)."""
+    p0 = cps[0].pattern
+    key_type = df.schema[p0.key].dataType
+    schema = match_schema_array(p0, emit_cols, key_type)
+    base = prefilter_multi(df, cps, extra_cols=emit_cols)
+    rep = base.repartition(p0.key).sortWithinPartitions(
+        p0.key, p0.ts_col, p0.tiebreak_col
+    )
+    ts_col, tb_col, key_col = p0.ts_col, p0.tiebreak_col, p0.key
+
+    def gen(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        n = len(pdf)
+        if n == 0:
+            return
+        cols_all = {c: pdf[c].to_numpy() for c in pdf.columns}
+        keys = cols_all[key_col]
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        bounds = np.concatenate([[0], change, [n]])
+        ts_all = cols_all[ts_col].astype("datetime64[ns]").astype(np.int64)
+        masks_by_cp = [unary_masks(cp, cols_all, n) for cp in cps]
+        outs = []
+        for gi in range(len(bounds) - 1):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            g = None
+            sub_cols = {c: a[s:e] for c, a in cols_all.items()}
+            store = _ColStore.from_cols(sub_cols)
+            for ci, cp in enumerate(cps):
+                masks = {
+                    aid: ({sid: m[s:e] for sid, m in sm.items()}, [m[s:e] for m in nm])
+                    for aid, (sm, nm) in masks_by_cp[ci].items()
+                }
+                res = match_core(cp, store, ts_all[s:e], masks)
+                if res:
+                    if g is None:
+                        g = pdf.iloc[s:e].reset_index(drop=True)
+                    outs.append(
+                        matches_to_pdf_array(cp, g, keys[s], emit_cols, res=res)
+                    )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return rep.mapInPandas(gen, schema=schema)

@@ -96,7 +96,8 @@ def test_multi_pattern_single_shuffle(spark, events):
     plan = _formatted(_multi_query(spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
-    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    # partition-amortized executor: ONE MapInPandas over sorted partitions
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
 
 
 def test_capped_jaccard_no_cartesian(spark):

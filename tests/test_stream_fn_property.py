@@ -145,6 +145,93 @@ def scenario(draw):
     return name, g, cuts
 
 
+@st.composite
+def random_pattern_scenario(draw):
+    """Random pattern AST (same composition space as
+    test_property_random_patterns) + random feed."""
+    import test_property_random_patterns as rp
+
+    pat = draw(rp.pattern())
+    n = draw(st.integers(4, 14))
+    seed = draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    ts0 = pd.Timestamp("2026-01-01")
+    gaps = rng.integers(0, 45, n)
+    g = pd.DataFrame(
+        {
+            "conv_id": "k0",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "role": rng.choice(ROLES, n),
+            "tool": rng.choice(["python", "sql"], n),
+            "ts": (ts0 + pd.to_timedelta(np.cumsum(gaps), unit="s")).astype("datetime64[us]"),
+            "value": rng.uniform(0, 100, n).round(1),
+        }
+    )
+    n_batches = draw(st.integers(1, 5))
+    cuts = sorted(draw(st.lists(st.integers(0, n), min_size=n_batches - 1,
+                                max_size=n_batches - 1)))
+    return pat, g, cuts
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sc=random_pattern_scenario())
+def test_random_pattern_stream_fn_parity(sc):
+    """RANDOM pattern ASTs through the strategy-auto state function
+    (incremental, or rematch for trailing negation) — union of
+    emissions == batch over effective rows, exactly once."""
+    from cep_spark.stream import (
+        _make_rematch_fn,
+        _retention_w_ns,
+        _trailing_alt_ids,
+    )
+
+    pat, g, cuts = sc
+    try:
+        cp = compile_pattern(pat)
+    except ValueError:
+        return  # documented compile-time rejection
+    w_ns = (None if pat.window is None
+            else int(pat.window.total_seconds() * 1e9))
+    trailing = _trailing_alt_ids(cp)
+    bounds = [0] + cuts + [len(g)]
+    batches = [g.iloc[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+    final_wm = int(g["ts"].max().value // 1_000_000) + 10_000_000
+
+    if trailing:
+        ret = _retention_w_ns(cp, w_ns)
+        fn = _make_rematch_fn(cp, "flat", (), w_ns, trailing, ret)
+    else:
+        fn = _make_incremental_fn(cp, "flat", (), w_ns)
+    state = FakeState()
+    out = []
+    wm, seen = 0, 0
+    for b in batches:
+        state.hasTimedOut, state.wm_ms, state.timer_ms = False, wm, None
+        for pdf in fn(("k0",), iter([b]), state):
+            out.append(pdf)
+        if len(b):
+            seen = max(seen, int(b["ts"].max().value // 1_000_000))
+        wm = seen
+    wm = final_wm
+    for _ in range(64):
+        if not state.exists or state.timer_ms is None or state.timer_ms > wm:
+            break
+        state.hasTimedOut, state.wm_ms, state.timer_ms = True, wm, None
+        for pdf in fn(("k0",), iter([]), state):
+            out.append(pdf)
+    got = _canon_rows(out)
+
+    eff = _effective_rows(batches)
+    want = []
+    if len(eff):
+        g2 = eff.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        res = match_group_nfa(cp, g2)
+        if res:
+            want = _canon_rows([matches_to_pdf_flat(cp, g2, "k0", res=res)])
+    assert got == want, f"{pat.structure!r}: stream={got}\nbatch={want}\ncuts={cuts}\n{g}"
+
+
 def _effective_rows(batches):
     """Apply the engine's documented late rule: an arrival is dropped
     iff its ts <= the watermark STORED AT THE PREVIOUS invocation
