@@ -649,11 +649,12 @@ def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role
 
     ensure_shippable()
     if strategy == "auto":
-        strategy = "partition" if mode == "flat" else "group"
+        strategy = "partition"
     if strategy == "partition":
-        if mode != "flat":
-            raise ValueError("strategy='partition' supports mode='flat' only")
-        return _run_batch_partition(df, cp)
+        if mode == "flat":
+            return _run_batch_partition(df, cp)
+        # array mode: the N=1 case of the partition-amortized multi executor
+        return _run_batch_multi_partition(df, [cp], emit_cols)
     pat = cp.pattern
     key_type = df.schema[pat.key].dataType
     df = prefilter(df, cp, extra_cols=emit_cols if mode == "array" else ())
