@@ -103,7 +103,17 @@ def pattern(draw):
     where = TRUE
     if len(leaves) >= 2 and draw(st.booleans()):
         a, b = draw(st.sampled_from([(x, y) for x in leaves for y in leaves if x != y]))
-        where = attr(a, "value") > attr(b, "value")
+        base = attr(a, "value") > attr(b, "value")
+        # sweep the condition algebra: plain, OR, NOT, InSet-guarded
+        shape = draw(st.sampled_from(["plain", "plain", "or", "not", "inset"]))
+        if shape == "or":
+            where = base | (attr(a, "tool") == lit("python"))
+        elif shape == "not":
+            where = ~base
+        elif shape == "inset":
+            where = base & attr(b, "role").isin("user", "assistant")
+        else:
+            where = base
     window = draw(st.sampled_from([timedelta(minutes=2), timedelta(minutes=10), None]))
     return Pattern(struct, where=where, window=window)
 
