@@ -165,7 +165,6 @@ def test_array_output_sorted(spark, transcripts_df):
 
 def test_run_batch_multi(spark, events_df):
     """One scan+shuffle for N patterns == union of individual runs."""
-    from dataclasses import replace
     from datetime import timedelta
 
     from cep_spark.batch import run_batch, run_batch_multi

@@ -22,7 +22,7 @@ from cep_spark.batch import match_group_nfa, matches_to_pdf_flat
 from cep_spark.compiler import compile_pattern
 from cep_spark.conditions import attr
 from cep_spark.pattern import Ev, Kleene, Neg, Pattern, Seq
-from cep_spark.stream import _make_incremental_fn, match_schema_flat
+from cep_spark.stream import _make_incremental_fn
 
 ROLES = ["user", "assistant", "tool"]
 
