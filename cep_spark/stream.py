@@ -237,6 +237,10 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
         accept check looks ahead of the match's last event).
       * ``"auto"`` — incremental unless the pattern has a trailing
         negation.
+
+    The two strategies use different state-store schemas, so switching
+    strategy for an existing query requires a fresh checkpoint (Spark
+    rejects the mismatch at restart — it cannot corrupt state).
     """
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
