@@ -159,3 +159,36 @@ def test_user_pred_vectorized(spark, events_df):
     assert got == want and len(got) > 0
     with pytest.raises(NotImplementedError):
         oracle_sql_for(cp_udf, "events")
+
+
+def test_per_turn_text_equality(spark, transcripts_df, transcripts_pdf):
+    """North-rule output invariant: emitted match rows satisfy per-turn
+    TEXT equality under stable (conv_id, turn_idx) ordering — every
+    matched element's text equals the source row at that position, and
+    elements are ordered by (ts, turn_idx)."""
+    from datetime import timedelta
+
+    from cep_spark.batch import run_batch
+    from cep_spark.compiler import compile_pattern
+    from cep_spark.pattern import Ev, Pattern, Seq
+
+    pat = Pattern(
+        Seq(Ev("a", role="user"), Ev("b", role="assistant")),
+        window=timedelta(minutes=5),
+    )
+    cp = compile_pattern(pat)
+    emit = ("turn_idx", "role", "text", "ts")
+    rows = run_batch(transcripts_df, cp, mode="array", emit_cols=emit).collect()
+    src = {
+        (r.conv_id, int(r.turn_idx)): r.text
+        for r in transcripts_df.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert len(rows) > 0
+    for r in rows:
+        ms = r.matched
+        # stable ordering within the match
+        assert [(m.ts, m.turn_idx) for m in ms] == sorted(
+            (m.ts, m.turn_idx) for m in ms
+        )
+        for m in ms:
+            assert m.text == src[(r.conv_id, int(m.turn_idx))]
