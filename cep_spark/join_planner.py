@@ -148,6 +148,11 @@ def _expand_one(cp, alt, arities) -> FixedAlt:
             pre_slots = set()
             for sid in spec.post_slots:
                 pre_slots |= set(slots[sid].prereq)
+            # a composite post part (e.g. Seq(v3, v4)) lists its own
+            # earlier slots as prereqs of its later ones — those are not
+            # a lower bound for the gap (the gap ends at the part's
+            # FIRST event, it doesn't start inside the part)
+            pre_slots -= set(spec.post_slots)
             pre_last = [expansion[sid][-1] for sid in pre_slots]
             negs.append((spec.unary, list(spec.multi), spec.var, pre_last, post_first, None, "gap"))
         else:

@@ -569,7 +569,11 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
         tables = {}
         if fellback:
             # per-key rematch fallback (partial set outgrew the buffer):
-            # matcher over everything retained, emission by seal bracket
+            # matcher over everything retained, emission by seal bracket.
+            # sealed/limbo stay SPLIT at the watermark: the limbo side
+            # drives the sealing timer (a pending match's seal is the ts
+            # of one of its limbo events), without which an
+            # unbounded-window key would never wake to emit.
             allb = [x for x in (sealed, limbo) if x is not None and len(x)]
             if allb:
                 g = pd.concat(allb, ignore_index=True).sort_values(
@@ -584,8 +588,15 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
                 if res:
                     yield _emit(g, key[0], res)
                 if w_ns is not None and wm_ns > 0:
-                    g = g.loc[ts_ns > wm_ns - w_ns]
-                sealed, limbo = (g if len(g) else None), None
+                    keep = ts_ns > wm_ns - w_ns
+                    g = g.loc[keep].reset_index(drop=True)
+                    ts_ns = ts_ns[keep]
+                if len(g):
+                    below = ts_ns <= wm_ns
+                    sealed = g.loc[below] if below.any() else None
+                    limbo = g.loc[~below] if (~below).any() else None
+                else:
+                    sealed = limbo = None
             parts_out = None
         else:
             tables = _de_tables(parts_raw)

@@ -139,6 +139,9 @@ def match_group(pat: Pattern, df) -> list[dict]:
                         pre_slots |= set(
                             next(s for s in alt.slots if s.sid == sid).prereq
                         )
+                    # exclude the post part's own slots: the gap ends at
+                    # the part's FIRST event, it doesn't start inside it
+                    pre_slots -= set(spec.post_slots)
                     lo = max(max(positions[sid]) for sid in pre_slots & set(positions))
                     hi = post_min
                 elif spec.kind == "leading":

@@ -166,6 +166,14 @@ PATTERNS = {
         where=attr("k", "value") < attr("c", "value"),
         window=timedelta(minutes=10),
     ),
+    "gap_neg_composite_post": Pattern(
+        # pins the composite-post gap bound: the forbidden interval runs
+        # from v1 to the nested part's FIRST event (the part's internal
+        # prereqs must not shrink it)
+        Seq(Ev("a", role="user"), Neg(Ev("n", role="user")),
+            Seq(Ev("b", role="user"), Ev("c", role="user"))),
+        window=timedelta(minutes=5),
+    ),
     "and_kleene_neg_span": Pattern(
         # pins the _span_ok kleene-element exclusion (a negated event must
         # not count when it IS a chosen kleene element of the match)

@@ -232,6 +232,42 @@ def test_random_pattern_stream_fn_parity(sc):
     assert got == want, f"{pat.structure!r}: stream={got}\nbatch={want}\ncuts={cuts}\n{g}"
 
 
+def test_fallback_unbounded_window_keeps_sealing_timer():
+    """Pinned regression: after the partial-explosion fallback, limbo
+    events must stay split from the sealed buffer — folding them in
+    dropped the sealing timer, so an UNBOUNDED-window key never woke to
+    emit its pending matches (found by the random-pattern sweep:
+    And_(Kleene, Kleene), window=None, explosion mid-stream)."""
+    from cep_spark.pattern import And_
+
+    rng = np.random.default_rng(113880359)
+    n = int(rng.integers(8, 15))
+    rng.choice(ROLES), rng.choice(ROLES)
+    pat = Pattern(And_(Kleene(Ev("v1", role="user")), Kleene(Ev("v2", role="tool"))),
+                  window=None)
+    cp = compile_pattern(pat)
+    ts0 = pd.Timestamp("2026-01-01")
+    gaps = rng.integers(0, 45, n)
+    g = pd.DataFrame(
+        {
+            "conv_id": "k0",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "role": rng.choice(ROLES, n),
+            "ts": (ts0 + pd.to_timedelta(np.cumsum(gaps), unit="s")).astype("datetime64[us]"),
+            "value": rng.uniform(0, 100, n).round(1),
+        }
+    )
+    cuts = [7, 10, 12]
+    bounds = [0] + cuts + [len(g)]
+    batches = [g.iloc[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+    final_wm = int(g["ts"].max().value // 1_000_000) + 10_000_000
+    out, state = _drive(cp, batches, final_wm)
+    got = _canon_rows(out)
+    g2 = _effective_rows(batches).sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+    want = _canon_rows([matches_to_pdf_flat(cp, g2, "k0", res=match_group_nfa(cp, g2))])
+    assert len(want) > 3000 and got == want  # 3825 matches, exactly once
+
+
 def _effective_rows(batches):
     """Apply the engine's documented late rule: an arrival is dropped
     iff its ts <= the watermark STORED AT THE PREVIOUS invocation
