@@ -24,7 +24,33 @@ import pandas as pd
 
 from .compiler import CompiledPattern
 
-__all__ = ["match_group_nfa", "run_batch", "match_schema_array", "match_schema_flat"]
+__all__ = [
+    "match_group_nfa",
+    "run_batch",
+    "match_schema_array",
+    "match_schema_flat",
+    "cpu_parallelism",
+]
+
+
+def cpu_parallelism(df) -> int:
+    """Target partition count for CPU-bound Python matcher stages.
+
+    AQE's byte-based partition coalescing
+    (spark.sql.adaptive.coalescePartitions) judges a shuffle stage by its
+    BYTES, which under-parallelizes NFA stages catastrophically: matcher
+    input is a few pruned columns (tiny bytes) with heavy Python compute
+    per row, so AQE happily coalesces the exchange down to ONE task and
+    serializes the whole matcher (measured 6.3s -> 1.1s at sf0.1 /
+    local[32] when pinned).  Pinning the repartition count makes AQE
+    leave the exchange alone; we pin to the session's shuffle
+    parallelism, which a cluster deployment sizes to its executor-core
+    count."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
 
 
 def _obj_array(items) -> np.ndarray:
@@ -546,33 +572,85 @@ def match_schema_array(pat, emit_cols=("turn_idx", "role", "tool", "ts"), key_ty
     )
 
 
-def matches_to_pdf_array(cp, gdf, key_val, emit_cols, res=None):
+def matches_to_pdf_array(cp, gdf, key_val, emit_cols, res=None, cols=None):
     """Matcher output for one sorted group -> array-mode pdf.  ``res``
-    overrides the match set (streaming passes the sealed subset)."""
+    overrides the match set (streaming passes the sealed subset);
+    ``cols`` ({col: ndarray}) skips the pandas frame entirely (the
+    partition executor already holds column arrays).
+
+    Columnar: positions are flattened across matches, every emit column
+    is gathered ONCE with NumPy fancy indexing, and the within-match
+    (ts, tiebreak) sort is a single lexsort — no per-position ``.iloc``
+    (~50x cheaper than the per-match dict loop it replaces; the flat
+    path got the same treatment in round 2)."""
     pat = cp.pattern
     if res is None:
         res = match_group_nfa(cp, gdf)
-    rows = []
+    out_cols = [pat.key, "pattern_id", "alt_id", "matched"]
+    if not res:
+        return pd.DataFrame(columns=out_cols)
+    if cols is None:
+        need = set(emit_cols) | {pat.ts_col, pat.tiebreak_col}
+        cols = {c: gdf[c].to_numpy() for c in gdf.columns if c in need}
+    rows = array_match_rows(cp, key_val, emit_cols, res, cols)
+    return pd.DataFrame(rows, columns=out_cols)
+
+
+def array_match_rows(cp, key_val, emit_cols, res, cols) -> list:
+    """Array-mode rows as plain tuples (key, pattern_id, alt_id, matched)
+    — the partition executor accumulates these across ALL groups and
+    builds ONE pandas frame per partition (a frame per small group costs
+    more than the gathers themselves)."""
+    pat = cp.pattern
+
+    # flatten (match, var, position) triples
+    pos_chunks, var_chunks, lens, alt_ids = [], [], [], []
     for alt_id, binding in res:
         alt = cp.alternatives[alt_id]
-        ev = []
+        mpos: list = []
+        mvar: list = []
         for v in alt.var_order:
             p = binding[v]
-            for pos in p if isinstance(p, tuple) else (p,):
-                rec = {"var": v}
-                for c in emit_cols:
-                    rec[c] = gdf[c].iloc[pos]
-                ev.append((gdf[pat.ts_col].iloc[pos], gdf[pat.tiebreak_col].iloc[pos], rec))
-        ev.sort(key=lambda x: (x[0], x[1]))
-        rows.append(
-            {
-                pat.key: key_val,
-                "pattern_id": pat.pattern_id,
-                "alt_id": alt_id,
-                "matched": [r for _, _, r in ev],
-            }
-        )
-    return pd.DataFrame(rows, columns=[pat.key, "pattern_id", "alt_id", "matched"])
+            if isinstance(p, tuple):
+                mpos.extend(p)
+                mvar.extend([v] * len(p))
+            else:
+                mpos.append(p)
+                mvar.append(v)
+        pos_chunks.append(np.asarray(mpos, dtype=np.int64))
+        var_chunks.append(mvar)
+        lens.append(len(mpos))
+        alt_ids.append(alt_id)
+    lens = np.asarray(lens, dtype=np.int64)
+    pos_flat = np.concatenate(pos_chunks)
+    var_flat = np.empty(len(pos_flat), dtype=object)
+    k = 0
+    for mvar in var_chunks:
+        var_flat[k : k + len(mvar)] = mvar
+        k += len(mvar)
+    mid = np.repeat(np.arange(len(res)), lens)
+
+    # one lexsort orders every match's events by (ts, tiebreak) at once
+    ts = cols[pat.ts_col][pos_flat]
+    tb = cols[pat.tiebreak_col][pos_flat]
+    order = np.lexsort((tb, ts, mid))
+    pos_s = pos_flat[order]
+    var_s = var_flat[order]
+
+    # gather each emit column once; datetime64 -> python datetimes for
+    # the struct payload (Arrow accepts those directly)
+    names = ["var"] + list(emit_cols)
+    gathered = [var_s.tolist()]
+    for c in emit_cols:
+        a = cols[c][pos_s]
+        gathered.append(a.tolist())
+    recs = [dict(zip(names, vals)) for vals in zip(*gathered)]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    pid = pat.pattern_id
+    return [
+        (key_val, pid, alt_ids[i], recs[offs[i] : offs[i + 1]])
+        for i in range(len(res))
+    ]
 
 
 def match_schema_flat(cp, key_type=None):
@@ -628,7 +706,7 @@ def matches_to_pdf_flat(cp, gdf, key_val, res=None):
 
 
 def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role", "tool", "ts"),
-              strategy="auto"):
+              strategy="auto", assume_clustered=False):
     """Batch NFA execution.  Two physical strategies:
 
     * ``partition`` (default for flat output) — repartition(key) +
@@ -644,7 +722,13 @@ def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role
       partition strategy is tested against).
 
     Both push the union of unary conditions + column pruning into the
-    scan (Catalyst forwards them to parquet)."""
+    scan (Catalyst forwards them to parquet).
+
+    ``assume_clustered=True`` skips the repartition(key) shuffle: the
+    caller asserts every key's rows already live in one partition
+    (bucketed table, pre-partitioned write, or an upstream exchange) —
+    the zero-shuffle path scripts/demo_bucketing.py demonstrates for
+    the join lowering, extended here to the NFA executor."""
     from ._serde import ensure_shippable
 
     ensure_shippable()
@@ -652,9 +736,9 @@ def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role
         strategy = "partition"
     if strategy == "partition":
         if mode == "flat":
-            return _run_batch_partition(df, cp)
+            return _run_batch_partition(df, cp, assume_clustered)
         # array mode: the N=1 case of the partition-amortized multi executor
-        return _run_batch_multi_partition(df, [cp], emit_cols)
+        return _run_batch_multi_partition(df, [cp], emit_cols, assume_clustered)
     pat = cp.pattern
     key_type = df.schema[pat.key].dataType
     df = prefilter(df, cp, extra_cols=emit_cols if mode == "array" else ())
@@ -675,16 +759,19 @@ def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role
     return df.groupBy(pat.key).applyInPandas(fn, schema=schema)
 
 
-def _run_batch_partition(df, cp: CompiledPattern):
+def _run_batch_partition(df, cp: CompiledPattern, assume_clustered=False):
     """Partition-amortized NFA execution (see run_batch docstring)."""
     pat = cp.pattern
     key_type = df.schema[pat.key].dataType
     schema = match_schema_flat(cp, key_type)
     out_cols = schema.fieldNames()
     base = prefilter(df, cp)
-    rep = base.repartition(pat.key).sortWithinPartitions(
-        pat.key, pat.ts_col, pat.tiebreak_col
-    )
+    if assume_clustered:
+        rep = base.sortWithinPartitions(pat.key, pat.ts_col, pat.tiebreak_col)
+    else:
+        rep = base.repartition(cpu_parallelism(df), pat.key).sortWithinPartitions(
+            pat.key, pat.ts_col, pat.tiebreak_col
+        )
     all_vars = cp.all_vars()
     kleene_all = set()
     for a in cp.alternatives:
@@ -791,7 +878,7 @@ def prefilter_multi(df, cps, extra_cols=()):
 
 
 def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
-                    strategy="auto"):
+                    strategy="auto", assume_clustered=False):
     """Run N compiled patterns over one keyed scan: single shuffle,
     single sort, one matcher pass per pattern; output is the array
     schema with ``pattern_id`` distinguishing the patterns.
@@ -820,7 +907,7 @@ def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
     if strategy == "auto":
         strategy = "partition"
     if strategy == "partition":
-        return _run_batch_multi_partition(df, cps, emit_cols)
+        return _run_batch_multi_partition(df, cps, emit_cols, assume_clustered)
     key_type = df.schema[p0.key].dataType
     schema = match_schema_array(p0, emit_cols, key_type)
     base = prefilter_multi(df, cps, extra_cols=emit_cols)
@@ -833,15 +920,18 @@ def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
     return base.groupBy(p0.key).applyInPandas(fn, schema=schema)
 
 
-def _run_batch_multi_partition(df, cps, emit_cols):
+def _run_batch_multi_partition(df, cps, emit_cols, assume_clustered=False):
     """Partition-amortized multi-pattern execution (see run_batch_multi)."""
     p0 = cps[0].pattern
     key_type = df.schema[p0.key].dataType
     schema = match_schema_array(p0, emit_cols, key_type)
     base = prefilter_multi(df, cps, extra_cols=emit_cols)
-    rep = base.repartition(p0.key).sortWithinPartitions(
-        p0.key, p0.ts_col, p0.tiebreak_col
-    )
+    if assume_clustered:
+        rep = base.sortWithinPartitions(p0.key, p0.ts_col, p0.tiebreak_col)
+    else:
+        rep = base.repartition(cpu_parallelism(df), p0.key).sortWithinPartitions(
+            p0.key, p0.ts_col, p0.tiebreak_col
+        )
     ts_col, tb_col, key_col = p0.ts_col, p0.tiebreak_col, p0.key
 
     def gen(batches):
@@ -858,10 +948,9 @@ def _run_batch_multi_partition(df, cps, emit_cols):
         bounds = np.concatenate([[0], change, [n]])
         ts_all = cols_all[ts_col].astype("datetime64[ns]").astype(np.int64)
         masks_by_cp = [unary_masks(cp, cols_all, n) for cp in cps]
-        outs = []
+        rows = []
         for gi in range(len(bounds) - 1):
             s, e = int(bounds[gi]), int(bounds[gi + 1])
-            g = None
             sub_cols = {c: a[s:e] for c, a in cols_all.items()}
             store = _ColStore.from_cols(sub_cols)
             for ci, cp in enumerate(cps):
@@ -871,12 +960,10 @@ def _run_batch_multi_partition(df, cps, emit_cols):
                 }
                 res = match_core(cp, store, ts_all[s:e], masks)
                 if res:
-                    if g is None:
-                        g = pdf.iloc[s:e].reset_index(drop=True)
-                    outs.append(
-                        matches_to_pdf_array(cp, g, keys[s], emit_cols, res=res)
+                    rows.extend(
+                        array_match_rows(cp, keys[s], emit_cols, res, sub_cols)
                     )
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+        if rows:
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     return rep.mapInPandas(gen, schema=schema)

@@ -100,6 +100,14 @@ def run_batch_sliced(df, cp: CompiledPattern):
                 res.append((alt_id, binding))
         return matches_to_pdf_flat(cp, g, key_val, res=res)
 
+    # pin the exchange width: AQE's byte-based coalescing would collapse
+    # this CPU-bound matcher stage to a handful of tasks (the whole point
+    # of slicing is parallelism) — see batch.cpu_parallelism.  The pinned
+    # repartition satisfies applyInPandas' clustered-distribution
+    # requirement, so no second shuffle is added.
+    from .batch import cpu_parallelism
+
+    sliced = sliced.repartition(cpu_parallelism(df), pat.key, "__slice")
     return (
         sliced.groupBy(pat.key, "__slice")
         .applyInPandas(fn, schema=schema)
@@ -138,11 +146,13 @@ def run_batch_auto(df, cp: CompiledPattern, hot_threshold: int = 100_000):
     pat = cp.pattern
     if pat.window is None:
         return run_batch(df, cp, mode="flat")
-    # cache: the aggregate feeds isEmpty + two broadcast joins — one scan,
-    # not three, and the cached side is tiny (only keys above threshold)
-    hot = hot_keys(df, cp, hot_threshold).cache()
+    # localCheckpoint (not cache): the aggregate feeds isEmpty + two
+    # broadcast joins — one scan, not three, the checkpointed side is
+    # tiny (only keys above threshold), and its blocks are released by
+    # the ContextCleaner once the plan is unreferenced instead of
+    # leaking a session-lifetime cache entry per invocation.
+    hot = hot_keys(df, cp, hot_threshold).localCheckpoint()
     if hot.isEmpty():
-        hot.unpersist()
         return run_batch(df, cp, mode="flat")
     cold_df = df.join(F.broadcast(hot), on=pat.key, how="left_anti")
     hot_df = df.join(F.broadcast(hot), on=pat.key, how="left_semi")

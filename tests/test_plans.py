@@ -122,6 +122,46 @@ def test_composite_kleene_join_pushdown(spark, events):
     assert "props" not in plan
 
 
+def test_nfa_stage_parallelism_pinned(spark, events):
+    """AQE's byte-based coalescing must NOT shrink the matcher exchange:
+    matcher stages are CPU-bound with tiny bytes, so the repartition is
+    pinned to the session's shuffle parallelism (batch.cpu_parallelism).
+    Regression for the round-3 finding that AQE ran every NFA stage on
+    ONE task at bench scale."""
+    from cep_spark.batch import run_batch
+
+    pat = Pattern(
+        Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")),
+        window=timedelta(hours=24),
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+    )
+    out = run_batch(events, compile_pattern(pat), mode="flat")
+    expected = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert out.rdd.getNumPartitions() == expected
+
+
+def test_assume_clustered_skips_exchange(spark, events):
+    """assume_clustered=True: the caller guarantees key-clustered input
+    (bucketed table / pre-partitioned write) and the NFA executor must
+    add NO shuffle of its own — only the in-partition sort."""
+    import re
+
+    from cep_spark.batch import run_batch
+
+    pat = Pattern(
+        Seq(Ev("a", event_type="signup"), Ev("b", event_type="purchase")),
+        window=timedelta(hours=24),
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+    )
+    pre = events.repartition(4, "user_id")
+    plan = _formatted(
+        run_batch(pre, compile_pattern(pat), mode="flat", assume_clustered=True)
+    )
+    # exactly the caller's own exchange; the executor adds none
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Sort" in plan
+
+
 def test_whole_stage_codegen_in_join_path(spark, events):
     pat = Pattern(
         Seq(Ev("a", event_type="view"), Ev("b", event_type="purchase")),
