@@ -331,23 +331,39 @@ def _edge_ok(spec_positions, spec, store, partials, ts_ns, w_ns, leading: bool):
     return ~bad
 
 
-def unary_masks(cp: CompiledPattern, cols: dict, n: int):
+def unary_masks(cp: CompiledPattern, cols: dict, n: int, start: int = 0):
     """Vectorized unary-condition masks over `n` rows for every slot and
     negation of every alternative: {alt_id: ({sid: bool[n]}, [bool[n]])}.
 
     Evaluated ONCE per pandas frame — per-partition in the partition
-    executor, per-group in the classic one."""
+    executor, per-group in the classic one.
+
+    ``start`` > 0 (the incremental streaming executor resuming over a
+    persisted buffer): SLOT masks are evaluated only over rows
+    [start, n) — `advance_core` never probes a slot mask below its
+    resume point, so rows [0, start) are left False.  NEGATION masks
+    stay full-range: gap/span/edge checks scan candidate positions
+    across the whole retained buffer.  This keeps per-batch mask cost
+    O(new events) for the slot side instead of O(buffer)."""
     out = {}
+    rng = np.arange(start, n) if start else np.arange(n)
     for alt in cp.alternatives:
-        def mask_of(var, cond):
-            env = {var: _VarView(cols, np.arange(n))}
+        def mask_of(var, cond, full):
+            idx = np.arange(n) if (full and start) else rng
+            env = {var: _VarView(cols, idx)}
             r = cond.pd(env)
             if isinstance(r, (bool, np.bool_)):
-                return np.full(n, bool(r))
-            return np.asarray(r, dtype=bool)
+                m = np.full(len(idx), bool(r))
+            else:
+                m = np.asarray(r, dtype=bool)
+            if len(idx) == n:
+                return m
+            outm = np.zeros(n, dtype=bool)
+            outm[start:] = m
+            return outm
 
-        slot_mask = {s.sid: mask_of(s.var, s.unary) for s in alt.slots}
-        neg_mask = [mask_of(sp.var, sp.unary) for sp in alt.negs]
+        slot_mask = {s.sid: mask_of(s.var, s.unary, False) for s in alt.slots}
+        neg_mask = [mask_of(sp.var, sp.unary, True) for sp in alt.negs]
         out[alt.alt_id] = (slot_mask, neg_mask)
     return out
 

@@ -83,7 +83,7 @@ class CepEngine:
             return stream_matches(stream_df, self._single, watermark, mode=mode,
                                   emit_cols=emit_cols, strategy=strategy)
         return stream_matches_multi(stream_df, self.compiled, watermark,
-                                    emit_cols=emit_cols)
+                                    emit_cols=emit_cols, strategy=strategy)
 
     def oracle_sql(self, table: str, kleene_arities: int | None = None) -> list[str]:
         """Equivalent ANSI SQL per pattern (DuckDB-compatible)."""

@@ -191,18 +191,27 @@ def q_ngram_jaccard(spark, sf_dir, max_df: int | None = None):
 
     sh = _shingle_list_df(spark, sf_dir)
     # both join sides read the inverted index: materialize it once
+    # (cache is plan-keyed, so the capped and uncapped entries share it)
     ex = sh.select("doc_id", F.explode("sh").alias("s")).cache()
     if max_df is not None:
-        df_tbl = ex.groupBy("s").count()
-        n_dropped = df_tbl.filter(F.col("count") > max_df).count()
+        # ONE shingle-df aggregate, materialized via localCheckpoint: the
+        # keep-filter join, and the never-silent drop-count log all read
+        # the same tiny checkpointed table (round 2 ran a separate eager
+        # count() job over the full index for the log line alone), and
+        # its blocks are freed by the ContextCleaner instead of leaking a
+        # session-lifetime cache entry.
+        df_tbl = ex.groupBy("s").agg(F.count("*").alias("df")).localCheckpoint()
+        n_dropped = df_tbl.filter(F.col("df") > max_df).count()
         logging.getLogger(__name__).info(
             "ngram_jaccard df-cap: dropping %d shingles with df > %d",
             n_dropped, max_df,
         )
+        # filtered index, materialized once for its three readers (both
+        # self-join sides + the per-doc size aggregate)
         kept = (
-            ex.join(df_tbl.filter(F.col("count") <= max_df).select("s"), "s")
+            ex.join(df_tbl.filter(F.col("df") <= max_df).select("s"), "s")
             .select("doc_id", "s")
-            .cache()
+            .localCheckpoint()
         )
         sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
         ex = kept

@@ -45,9 +45,18 @@ class PushStream:
         self._rows: list[dict] = []
         self._schema_like = schema_like
         self._lock = threading.Lock()
-        self._seq = 0
         self._closed = False
         os.makedirs(feed_dir, exist_ok=True)
+        # resume after the highest existing batch index: Spark's file
+        # source tracks consumed FILENAMES, so overwriting
+        # batch-00000000.parquet on a reused feed_dir (driver restart)
+        # would silently lose every new row
+        existing = [
+            int(f[len("batch-") : -len(".parquet")])
+            for f in os.listdir(feed_dir)
+            if f.startswith("batch-") and f.endswith(".parquet")
+        ]
+        self._seq = max(existing) + 1 if existing else 0
         if schema_like is not None and not len(os.listdir(feed_dir)):
             # seed an empty file so readStream can infer the schema; an
             # empty pandas frame writes object columns as pyarrow `null`
@@ -124,6 +133,8 @@ class PushStream:
                 pdf[c] = pdf[c].astype("datetime64[us]")
         tmp = os.path.join(self.feed_dir, f".tmp-{uuid.uuid4().hex}.parquet")
         final = os.path.join(self.feed_dir, f"batch-{self._seq:08d}.parquet")
+        if os.path.exists(final):  # never clobber a published batch
+            raise FileExistsError(f"batch file already published: {final}")
         pdf.to_parquet(tmp, index=False)
         os.rename(tmp, final)  # atomic publish: never a torn file
         self._seq += 1

@@ -273,7 +273,16 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
         out_schema = match_schema_array(pat, emit_cols, key_type)
 
     if strategy == "auto":
-        strategy = "rematch" if trailing_ids else "incremental"
+        # CEP_SPARK_STREAM_STRATEGY overrides the auto default — the
+        # operational escape hatch for restarting a checkpoint written by
+        # an older executor (the two strategies use different state
+        # schemas; Spark refuses the mismatch loudly, and pinning
+        # rematch here resumes a v1 checkpoint without code changes)
+        import os as _os
+
+        strategy = _os.environ.get("CEP_SPARK_STREAM_STRATEGY") or (
+            "rematch" if trailing_ids else "incremental"
+        )
     if strategy not in ("incremental", "rematch"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "incremental":
@@ -605,10 +614,13 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
                 sealed = g
                 store = _ColStore(g)
                 ts_ns = _ts_i8(g)
-                masks = unary_masks(cp, store._cols, len(g))
+                start = len(g) - n_new
+                # slot masks only over the new suffix (negation masks are
+                # full-range) — per-batch mask cost is O(new events)
+                masks = unary_masks(cp, store._cols, len(g), start=start)
                 res, tables = advance_core(
                     cp, store, ts_ns, masks,
-                    tables_in=tables or None, start=len(g) - n_new,
+                    tables_in=tables or None, start=start,
                 )
                 if res:
                     yield _emit(g, key[0], res)
@@ -693,7 +705,8 @@ def run_stream(
 
 
 def stream_matches_multi(df, cps, watermark: str,
-                         emit_cols=("turn_idx", "role", "tool", "ts")):
+                         emit_cols=("turn_idx", "role", "tool", "ts"),
+                         strategy: str = "auto"):
     """Streaming multi-pattern execution (reference `CEP(patterns=[...])`,
     SURVEY.md §2.3 E7): ONE keyed state stream runs every compiled
     pattern — one watermark, one shuffle, one event buffer per key
@@ -703,6 +716,12 @@ def stream_matches_multi(df, cps, watermark: str,
     partial set outgrew the buffer (per-pattern rematch fallback,
     tracked as a state bitmask).  Output is the array schema with
     ``pattern_id``.
+
+    ``strategy``: ``"auto"`` — per-pattern incremental-unless-trailing
+    (above); ``"rematch"`` — force EVERY pattern onto the rematch path
+    (e.g. restarting a checkpoint written before the incremental
+    executor existed); ``"incremental"`` — require the incremental path,
+    rejecting pattern sets it cannot serve.
     """
     import pandas as pd
 
@@ -732,6 +751,16 @@ def stream_matches_multi(df, cps, watermark: str,
     rets = [_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of)]
     w_ns = None if any(r is None for r in rets) else max(rets)
 
+    if strategy not in ("auto", "rematch", "incremental"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "incremental" and any(trailing_of):
+        raise ValueError(
+            "incremental strategy cannot evaluate trailing negations on "
+            "the multi-pattern path; use auto (per-pattern fallback) or "
+            "rematch"
+        )
+    force_rematch = strategy == "rematch"
+
     if isinstance(df.schema[p0.ts_col].dataType, T.TimestampNTZType):
         df = df.withColumn(p0.ts_col, df[p0.ts_col].cast(T.TimestampType()))
     df = df.withWatermark(p0.ts_col, watermark)
@@ -748,7 +777,8 @@ def stream_matches_multi(df, cps, watermark: str,
             T.StructField("fellback", T.LongType()),  # per-pattern bitmask
         ]
     )
-    fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns)
+    fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
+                        force_rematch=force_rematch)
 
     return df.groupBy(p0.key).applyInPandasWithState(
         fn,
@@ -759,13 +789,18 @@ def stream_matches_multi(df, cps, watermark: str,
     )
 
 
-def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns):
+def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
+                   force_rematch: bool = False):
     """Per-key state function for multi-pattern streaming (exposed for
     the fake-GroupState property harness, like _make_incremental_fn)."""
     p0 = cps[0].pattern
     ts_col, tb_col = p0.ts_col, p0.tiebreak_col
-    # patterns that must rematch (trailing-neg look-ahead), statically
-    static_rematch = sum(1 << ci for ci, t in enumerate(trailing_of) if t)
+    # patterns that must rematch (trailing-neg look-ahead), statically;
+    # strategy='rematch' pins every pattern (checkpoint compatibility)
+    if force_rematch:
+        static_rematch = (1 << len(cps)) - 1
+    else:
+        static_rematch = sum(1 << ci for ci, t in enumerate(trailing_of) if t)
 
     def fn(key, pdf_iter, state):
         import pickle
@@ -847,10 +882,11 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns):
                     if store is None:
                         store = _ColStore(g_sealed)
                         ts_s = ts_i8(g_sealed)
-                    masks_ci = unary_masks(cp, store._cols, len(g_sealed))
+                    start = len(g_sealed) - n_new
+                    masks_ci = unary_masks(cp, store._cols, len(g_sealed), start=start)
                     res, tables = advance_core(
                         cp, store, ts_s, masks_ci,
-                        tables_in=tables or None, start=len(g_sealed) - n_new,
+                        tables_in=tables or None, start=start,
                     )
                     if res:
                         outs.append(matches_to_pdf_array(cp, g_sealed, key[0], emit_cols, res=res))
