@@ -231,12 +231,15 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
         (identical emission brackets).  A per-key guard falls back to
         rematch when the partial set outgrows the buffer (Kleene-dense
         patterns — the powerset partial count can exceed serialization
-        budget).
+        budget).  Trailing negations are handled by PARKING: an accepted
+        match whose trailing look-ahead is still open (seal =
+        first.ts + window > watermark) is stored as a parked partial and
+        re-verified each batch against ONLY the freshly-sealed negation
+        candidates — no per-batch buffer rematch.
       * ``"rematch"`` — re-run the matcher over the retained buffer each
-        batch (the v1 path; required for trailing negations, whose
-        accept check looks ahead of the match's last event).
-      * ``"auto"`` — incremental unless the pattern has a trailing
-        negation.
+        batch (the v1 path; also the checkpoint-compatibility pin for
+        queries started before the incremental executor existed).
+      * ``"auto"`` — incremental (or $CEP_SPARK_STREAM_STRATEGY).
 
     The two strategies use different state-store schemas, so switching
     strategy for an existing query requires a fresh checkpoint (Spark
@@ -280,17 +283,10 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
         # rematch here resumes a v1 checkpoint without code changes)
         import os as _os
 
-        strategy = _os.environ.get("CEP_SPARK_STREAM_STRATEGY") or (
-            "rematch" if trailing_ids else "incremental"
-        )
+        strategy = _os.environ.get("CEP_SPARK_STREAM_STRATEGY") or "incremental"
     if strategy not in ("incremental", "rematch"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "incremental":
-        if trailing_ids:
-            raise ValueError(
-                "incremental strategy cannot evaluate trailing negations "
-                "(the accept check looks ahead of the match); use rematch"
-            )
         return _stream_incremental(df, cp, out_schema, mode, emit_cols, w_ns)
 
     state_schema = T.StructType(
@@ -483,6 +479,11 @@ def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_
         match can involve them; they advance the NFA when they seal).
       * ``parts`` — pickled per-(alt, state) partial tables, positions
         indexing ``buf``.
+      * ``parked`` — accepted matches awaiting their trailing-negation
+        seal (first.ts + window), stored as per-alternative partial
+        tables; re-verified against freshly-sealed negation candidates
+        only, emitted (or killed) by the batch whose watermark crosses
+        the seal.
     Sealed arrivals sort strictly after the stored buffer (their ts is
     above the previous watermark, the buffer's below), so the advance is
     a pure append; buffer eviction is a sorted prefix, so stored
@@ -497,6 +498,7 @@ def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_
             T.StructField("buf", T.BinaryType()),
             T.StructField("limbo", T.BinaryType()),
             T.StructField("parts", T.BinaryType()),
+            T.StructField("parked", T.BinaryType()),
             T.StructField("last_wm_ms", T.LongType()),
             T.StructField("late_dropped", T.LongType()),
             T.StructField("fellback", T.IntegerType()),
@@ -513,13 +515,61 @@ def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_
     )
 
 
+def _binding_of(p: "_Partials", j: int) -> dict:
+    """Reconstruct a matcher binding from row j of a partial table."""
+    b = {v: int(p.scalar[v][j]) for v in p.scalar}
+    for v in p.kleene:
+        b[v] = tuple(p.kleene[v][j])
+    return b
+
+
+def _park_partials(alt, bindings, ts_ns) -> "_Partials":
+    """Pack accepted (not yet sealed) trailing-neg matches into a
+    _Partials table so the parked set reuses the partial-table helpers
+    (serialization, eviction shift, _edge_ok re-verification)."""
+    kleene_vars = set(alt.kleene_vars)
+    svars = [v for v in alt.var_order if v not in kleene_vars]
+    kvars = [v for v in alt.var_order if v in kleene_vars]
+    p = _Partials(svars, kvars)
+    m = len(bindings)
+    p.scalar = {
+        v: np.fromiter((b[v] for b in bindings), dtype=np.int64, count=m)
+        for v in svars
+    }
+    p.kleene = {v: _obj_array([b[v] for b in bindings]) for v in kvars}
+    firsts = np.empty(m, dtype=np.int64)
+    lasts = np.empty(m, dtype=np.int64)
+    for j, b in enumerate(bindings):
+        pos = [
+            x for vv in b.values()
+            for x in (vv if isinstance(vv, tuple) else (vv,))
+        ]
+        firsts[j] = min(pos)
+        lasts[j] = max(pos)
+    p.first_pos = firsts
+    p.last_pos = lasts
+    p.first_ts = ts_ns[firsts]
+    return p
+
+
 def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
     """Build the per-key state function for the incremental executor.
     Exposed separately so tests can drive it directly against a fake
     GroupState (fast randomized semantics checks without a Spark
     streaming query)."""
+    from .batch import _edge_ok
+
     pat = cp.pattern
     ts_col, tb_col = pat.ts_col, pat.tiebreak_col
+    trailing_ids = _trailing_alt_ids(cp)
+    alts_by_id = {alt.alt_id: alt for alt in cp.alternatives}
+    trail_specs = {
+        alt.alt_id: [
+            si for si, sp in enumerate(alt.negs) if sp.kind == "trailing"
+        ]
+        for alt in cp.alternatives
+        if alt.alt_id in trailing_ids
+    }
 
     def _ts_i8(pdf):
         return pdf[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
@@ -533,11 +583,12 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
         wm_ms = state.getCurrentWatermarkMs()
         wm_ns = wm_ms * 1_000_000
         if state.exists:
-            buf_raw, limbo_raw, parts_raw, last_wm_ms, late_dropped, fellback = state.get
+            (buf_raw, limbo_raw, parts_raw, parked_raw,
+             last_wm_ms, late_dropped, fellback) = state.get
             sealed = _de_buf(buf_raw) if buf_raw else None
             limbo = _de_buf(limbo_raw) if limbo_raw else None
         else:
-            sealed, limbo, parts_raw = None, None, None
+            sealed, limbo, parts_raw, parked_raw = None, None, None, None
             last_wm_ms, late_dropped, fellback = -1, 0, 0
         lo_ns = last_wm_ms * 1_000_000
 
@@ -576,24 +627,35 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
                 limbo = None
 
         tables = {}
+        parked = {}
+        min_parked_seal = None
         if fellback:
             # per-key rematch fallback (partial set outgrew the buffer):
             # matcher over everything retained, emission by seal bracket.
             # sealed/limbo stay SPLIT at the watermark: the limbo side
             # drives the sealing timer (a pending match's seal is the ts
             # of one of its limbo events), without which an
-            # unbounded-window key would never wake to emit.
+            # unbounded-window key would never wake to emit.  Parked
+            # matches are discarded on fallback — the rematch re-derives
+            # them every batch (trailing checks included) and emits them
+            # in the same seal bracket.  Trailing-pending matches whose
+            # events are ALL sealed have no limbo event to wake on, so
+            # their min seal drives an explicit timer (min_parked_seal).
             allb = [x for x in (sealed, limbo) if x is not None and len(x)]
             if allb:
                 g = pd.concat(allb, ignore_index=True).sort_values(
                     [ts_col, tb_col], kind="mergesort"
                 ).reset_index(drop=True)
                 ts_ns = _ts_i8(g)
-                res = [
-                    (a, b)
-                    for a, b in match_group_nfa(cp, g)
-                    if lo_ns < _match_last_ts_ns(b, ts_ns) <= wm_ns
-                ]
+                res = []
+                for a, b in match_group_nfa(cp, g):
+                    lts = _seal_ts_ns(b, ts_ns, a, trailing_ids, w_ns)
+                    if lo_ns < lts <= wm_ns:
+                        res.append((a, b))
+                    elif lts > wm_ns and a in trailing_ids and (
+                        min_parked_seal is None or lts < min_parked_seal
+                    ):
+                        min_parked_seal = lts
                 if res:
                     yield _emit(g, key[0], res)
                 if w_ns is not None and wm_ns > 0:
@@ -609,9 +671,11 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
             parts_out = None
         else:
             tables = _de_tables(parts_raw)
+            parked = _de_tables(parked_raw)
+            res = []
+            g = sealed.reset_index(drop=True) if sealed is not None else None
+            sealed = g
             if n_new:
-                g = sealed.reset_index(drop=True)
-                sealed = g
                 store = _ColStore(g)
                 ts_ns = _ts_i8(g)
                 start = len(g) - n_new
@@ -622,11 +686,86 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
                     cp, store, ts_ns, masks,
                     tables_in=tables or None, start=start,
                 )
-                if res:
-                    yield _emit(g, key[0], res)
+                # re-verify parked matches against ONLY the freshly-
+                # sealed trailing-negation candidates (earlier sealed
+                # candidates were checked at accept / prior batches;
+                # later ones are above the watermark and cannot belong
+                # to a parked match's look-ahead once it seals)
+                if parked:
+                    for alt_id in list(parked):
+                        p = parked[alt_id].get(0)
+                        if p is None or len(p) == 0:
+                            del parked[alt_id]
+                            continue
+                        alt = alts_by_id[alt_id]
+                        _, neg_mask = masks[alt_id]
+                        ok = np.ones(len(p), dtype=bool)
+                        for si in trail_specs[alt_id]:
+                            fresh_pos = np.nonzero(neg_mask[si][start:])[0] + start
+                            if len(fresh_pos):
+                                ok &= _edge_ok(
+                                    fresh_pos, alt.negs[si], store, p,
+                                    ts_ns, w_ns, leading=False,
+                                )
+                        if not ok.all():
+                            p = p.select(ok)
+                        if len(p):
+                            parked[alt_id] = {0: p}
+                        else:
+                            del parked[alt_id]
+                # split fresh accepts: trailing matches whose look-ahead
+                # is still open get parked; everything else emits now
+                if res and trailing_ids:
+                    now = []
+                    to_park: dict = {}
+                    for a, b in res:
+                        if a in trailing_ids:
+                            pos = [
+                                x for vv in b.values()
+                                for x in (vv if isinstance(vv, tuple) else (vv,))
+                            ]
+                            seal = int(ts_ns[min(pos)]) + w_ns
+                            if seal <= wm_ns:
+                                now.append((a, b))
+                            else:
+                                to_park.setdefault(a, []).append(b)
+                        else:
+                            now.append((a, b))
+                    for a, blist in to_park.items():
+                        newp = _park_partials(alts_by_id[a], blist, ts_ns)
+                        old = parked.get(a, {}).get(0)
+                        if old is not None and len(old):
+                            old.extend(newp)
+                        else:
+                            parked[a] = {0: newp}
+                    res = now
+            # emit parked matches whose seal the watermark just crossed
+            # (survivors of every fresh-candidate check — their whole
+            # look-ahead is sealed now, so the verdict is final)
+            if parked:
+                for alt_id in list(parked):
+                    p = parked[alt_id][0]
+                    seal_arr = p.first_ts + w_ns
+                    emit_mask = (seal_arr > lo_ns) & (seal_arr <= wm_ns)
+                    if emit_mask.any():
+                        sel = p.select(emit_mask)
+                        res.extend(
+                            (alt_id, _binding_of(sel, j)) for j in range(len(sel))
+                        )
+                        p = p.select(~emit_mask)
+                    if len(p):
+                        parked[alt_id] = {0: p}
+                        m = int((p.first_ts + w_ns).min())
+                        if min_parked_seal is None or m < min_parked_seal:
+                            min_parked_seal = m
+                    else:
+                        del parked[alt_id]
+            if res:
+                yield _emit(g, key[0], res)
             # prune dead partials, then evict the buffer prefix and
             # re-base stored positions (order matters: the prune bound
-            # first_ts > wm - W guarantees no live partial references an
+            # first_ts > wm - W guarantees no live partial — or parked
+            # match (its seal first_ts + W > wm) — references an
             # evicted row)
             if w_ns is not None and wm_ns > 0:
                 _prune_tables(tables, wm_ns - w_ns)
@@ -636,6 +775,7 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
                     if off:
                         sealed = sealed.loc[keep].reset_index(drop=True)
                         _shift_tables(tables, off)
+                        _shift_tables(parked, off)
                         if not len(sealed):
                             sealed = None
             nrows = _tables_rows(tables)
@@ -645,12 +785,16 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
             if nrows > max(256, 8 * buflen):
                 fellback = 1
                 parts_out = None
+                parked = {}  # the rematch fallback re-derives pending matches
+                min_parked_seal = None
             else:
                 parts_out = _ser_tables(tables)
 
+        parked_out = _ser_tables(parked) if parked else None
         has_buf = sealed is not None and len(sealed)
         has_limbo = limbo is not None and len(limbo)
-        if not has_buf and not has_limbo and parts_out is None:
+        if (not has_buf and not has_limbo and parts_out is None
+                and parked_out is None and min_parked_seal is None):
             state.remove()
             return
         state.update(
@@ -658,18 +802,26 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
                 _ser_buf(sealed) if has_buf else None,
                 _ser_buf(limbo) if has_limbo else None,
                 parts_out,
+                parked_out,
                 max(wm_ms, last_wm_ms),
                 late_dropped,
                 fellback,
             )
         )
-        # timers: wake when the earliest limbo event can seal; else one
-        # cleanup fire after the window passes so silent keys free state
+        # timers: wake at the earliest of (first limbo event seals,
+        # first parked match seals); else one cleanup fire after the
+        # window passes so silent keys free state
+        timer = None
         if has_limbo:
             min_limbo = int(_ts_i8(limbo).min())
-            state.setTimeoutTimestamp(max(-(-min_limbo // 1_000_000), wm_ms + 1))
-        elif (has_buf or parts_out is not None) and w_ns is not None:
-            state.setTimeoutTimestamp(max(wm_ms + w_ns // 1_000_000 + 1, 1))
+            timer = max(-(-min_limbo // 1_000_000), wm_ms + 1)
+        if min_parked_seal is not None:
+            t2 = max(-(-min_parked_seal // 1_000_000), wm_ms + 1)
+            timer = t2 if timer is None else min(timer, t2)
+        if timer is None and (has_buf or parts_out is not None) and w_ns is not None:
+            timer = max(wm_ms + w_ns // 1_000_000 + 1, 1)
+        if timer is not None:
+            state.setTimeoutTimestamp(timer)
 
     return fn
 

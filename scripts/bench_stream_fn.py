@@ -110,29 +110,11 @@ def cpu_health_mips(seconds=1.0):
     return round(x / seconds / 1e6, 2)
 
 
-def main():
-    # rare-anchor + dense-follower shape: partial set stays tiny (one
-    # partial per live anchor, ~20 total) and the match count is bounded
-    # (anchors x followers-in-window ~ 36k), but the RELEVANT buffer is
-    # deep (~50% of turns x 2h = 1800 rows across ~18 micro-batches) —
-    # the regime where rematch pays O(buffer) per batch and the
-    # incremental executor pays O(new events)
-    from cep_spark.conditions import attr, lit
-
-    pat = Pattern(
-        Seq(Ev("u", where=(attr("u", "role") == lit("user")) & (attr("u", "value") > lit(99.8))),
-            Ev("b", where=attr("b", "value") > lit(50.0))),
-        window=WINDOW, key="conv_id", ts_col="ts", tiebreak_col="turn_idx",
-    )
+def run_ab(workload: str, pat: Pattern, g, batches, final_wm):
     cp = compile_pattern(pat)
     w_ns = int(WINDOW.total_seconds() * 1e9)
     trailing = _trailing_alt_ids(cp)
     ret = _retention_w_ns(cp, w_ns)
-
-    g = gen_hot_conv(N_TURNS)
-    bounds = [i * N_TURNS // N_BATCHES for i in range(N_BATCHES)] + [N_TURNS]
-    batches = [g.iloc[bounds[i]:bounds[i + 1]] for i in range(N_BATCHES)]
-    final_wm = int(g["ts"].max().value // 1_000_000) + w_ns // 1_000_000 + 1000
 
     health_before = cpu_health_mips()
     results = {}
@@ -153,8 +135,9 @@ def main():
              == results["rematch2"][1] == results["incremental2"][1])
     print(json.dumps({
         "metric": "stream_fn_ab",
-        "turns": N_TURNS,
-        "batches": N_BATCHES,
+        "workload": workload,
+        "turns": len(g),
+        "batches": len(batches),
         "window_min": WINDOW.total_seconds() / 60,
         "matches": results["incremental"][1],
         "rematch_sec": round(re_sec, 3),
@@ -164,6 +147,47 @@ def main():
         "cpu_health_mips_before": health_before,
         "cpu_health_mips_after": cpu_health_mips(),
     }))
+
+
+def main():
+    # rare-anchor + dense-follower shape: partial set stays tiny (one
+    # partial per live anchor, ~20 total) and the match count is bounded
+    # (anchors x followers-in-window ~ 36k), but the RELEVANT buffer is
+    # deep (~50% of turns x 2h = 1800 rows across ~18 micro-batches) —
+    # the regime where rematch pays O(buffer) per batch and the
+    # incremental executor pays O(new events)
+    from cep_spark.conditions import attr, lit
+    from cep_spark.pattern import Neg
+
+    g = gen_hot_conv(N_TURNS)
+    bounds = [i * N_TURNS // N_BATCHES for i in range(N_BATCHES)] + [N_TURNS]
+    batches = [g.iloc[bounds[i]:bounds[i + 1]] for i in range(N_BATCHES)]
+    w_ns = int(WINDOW.total_seconds() * 1e9)
+    final_wm = int(g["ts"].max().value // 1_000_000) + w_ns // 1_000_000 + 1000
+
+    rare_u = (attr("u", "role") == lit("user")) & (attr("u", "value") > lit(99.8))
+    run_ab(
+        "seq2",
+        Pattern(
+            Seq(Ev("u", where=rare_u), Ev("b", where=attr("b", "value") > lit(50.0))),
+            window=WINDOW, key="conv_id", ts_col="ts", tiebreak_col="turn_idx",
+        ),
+        g, batches, final_wm,
+    )
+    # trailing negation (round-3): before parking, trailing negs forced
+    # the rematch executor — O(buffer) matcher per batch on a hot key.
+    # The parked-match design re-verifies pending matches against only
+    # freshly-sealed neg candidates, restoring O(new) per batch.
+    run_ab(
+        "seq2_trailing_neg",
+        Pattern(
+            Seq(Ev("u", where=rare_u), Ev("b", where=attr("b", "value") > lit(50.0)),
+                Neg(Ev("n", where=(attr("n", "role") == lit("tool"))
+                                  & (attr("n", "value") > lit(99.0))))),
+            window=WINDOW, key="conv_id", ts_col="ts", tiebreak_col="turn_idx",
+        ),
+        g, batches, final_wm,
+    )
 
 
 if __name__ == "__main__":

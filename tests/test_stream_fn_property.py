@@ -70,6 +70,14 @@ PATTERNS = {
                        Ev("b", role="assistant")), window=timedelta(seconds=120)),
     "neg_leading": Pattern(Seq(Neg(Ev("n", role="tool")), Ev("a", role="user"),
                                Ev("b", role="assistant")), window=timedelta(seconds=120)),
+    "neg_trailing": Pattern(Seq(Ev("a", role="user"), Ev("b", role="assistant"),
+                                Neg(Ev("n", role="tool"))), window=timedelta(seconds=120)),
+    "neg_edges": Pattern(Seq(Neg(Ev("n", role="tool")), Ev("a", role="user"),
+                             Ev("b", role="assistant"), Neg(Ev("m", role="tool"))),
+                         window=timedelta(seconds=120)),
+    "kleene_trailing": Pattern(Seq(Ev("a", role="user"), Kleene(Ev("k", role="assistant")),
+                                   Ev("c", role="user"), Neg(Ev("n", role="tool"))),
+                               window=timedelta(seconds=180)),
     "cond": Pattern(Seq(Ev("a", role="user"), Ev("b", role="assistant")),
                     where=attr("b", "value") > attr("a", "value"),
                     window=timedelta(seconds=120)),
@@ -177,9 +185,10 @@ def random_pattern_scenario(draw):
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=random_pattern_scenario())
 def test_random_pattern_stream_fn_parity(sc):
-    """RANDOM pattern ASTs through the strategy-auto state function
-    (incremental, or rematch for trailing negation) — union of
-    emissions == batch over effective rows, exactly once."""
+    """RANDOM pattern ASTs through BOTH streaming executors — the
+    incremental executor (incl. trailing-neg parking) and, for
+    trailing-neg patterns, the rematch executor too — union of
+    emissions == batch over effective rows, exactly once, for each."""
     from cep_spark.stream import (
         _make_rematch_fn,
         _retention_w_ns,
@@ -198,29 +207,10 @@ def test_random_pattern_stream_fn_parity(sc):
     batches = [g.iloc[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
     final_wm = int(g["ts"].max().value // 1_000_000) + 10_000_000
 
+    fns = [("incremental", _make_incremental_fn(cp, "flat", (), w_ns))]
     if trailing:
         ret = _retention_w_ns(cp, w_ns)
-        fn = _make_rematch_fn(cp, "flat", (), w_ns, trailing, ret)
-    else:
-        fn = _make_incremental_fn(cp, "flat", (), w_ns)
-    state = FakeState()
-    out = []
-    wm, seen = 0, 0
-    for b in batches:
-        state.hasTimedOut, state.wm_ms, state.timer_ms = False, wm, None
-        for pdf in fn(("k0",), iter([b]), state):
-            out.append(pdf)
-        if len(b):
-            seen = max(seen, int(b["ts"].max().value // 1_000_000))
-        wm = seen
-    wm = final_wm
-    for _ in range(64):
-        if not state.exists or state.timer_ms is None or state.timer_ms > wm:
-            break
-        state.hasTimedOut, state.wm_ms, state.timer_ms = True, wm, None
-        for pdf in fn(("k0",), iter([]), state):
-            out.append(pdf)
-    got = _canon_rows(out)
+        fns.append(("rematch", _make_rematch_fn(cp, "flat", (), w_ns, trailing, ret)))
 
     eff = _effective_rows(batches)
     want = []
@@ -229,7 +219,29 @@ def test_random_pattern_stream_fn_parity(sc):
         res = match_group_nfa(cp, g2)
         if res:
             want = _canon_rows([matches_to_pdf_flat(cp, g2, "k0", res=res)])
-    assert got == want, f"{pat.structure!r}: stream={got}\nbatch={want}\ncuts={cuts}\n{g}"
+
+    for label, fn in fns:
+        state = FakeState()
+        out = []
+        wm, seen = 0, 0
+        for b in batches:
+            state.hasTimedOut, state.wm_ms, state.timer_ms = False, wm, None
+            for pdf in fn(("k0",), iter([b]), state):
+                out.append(pdf)
+            if len(b):
+                seen = max(seen, int(b["ts"].max().value // 1_000_000))
+            wm = seen
+        wm = final_wm
+        for _ in range(64):
+            if not state.exists or state.timer_ms is None or state.timer_ms > wm:
+                break
+            state.hasTimedOut, state.wm_ms, state.timer_ms = True, wm, None
+            for pdf in fn(("k0",), iter([]), state):
+                out.append(pdf)
+        got = _canon_rows(out)
+        assert got == want, (
+            f"{label} {pat.structure!r}: stream={got}\nbatch={want}\ncuts={cuts}\n{g}"
+        )
 
 
 def test_fallback_unbounded_window_keeps_sealing_timer():
