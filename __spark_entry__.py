@@ -148,6 +148,19 @@ CEP_PATTERNS = {
         And_(Kleene(Ev("k", event_type="click"), max_len=2), Ev("a", event_type="signup")),
         window=timedelta(hours=6),
     ),
+    # O5+C: conjunct over TWO Kleene variables — ALL cross-product pairs
+    # must hold (every chosen click's value above every chosen view's);
+    # lowered as one replicated predicate per element-pair in both the
+    # join plan and the generated oracle
+    "cep_kleene_pair_cond": _p(
+        Seq(
+            Kleene(Ev("a", event_type="view"), max_len=2),
+            Kleene(Ev("b", event_type="click"), max_len=2),
+            Ev("p", event_type="purchase"),
+        ),
+        where=attr("b", "value") > attr("a", "value"),
+        window=timedelta(hours=12),
+    ),
     # O7: nesting SEQ(a, AND(b,c), d)
     "cep_nested": _p(
         Seq(
@@ -232,6 +245,58 @@ WHERE c.event_type = 'purchase'
 
 
 # ---------------------------------------------------------------------------
+# udf_pred (the reference's arbitrary-lambda conditions, SURVEY.md §2.2):
+# a vectorized user predicate has NO SQL lowering by design, so this entry
+# hand-writes the SQL twin from the SAME shared constants — the lambda and
+# the oracle string cannot drift apart numerically (integer math only).
+
+_UDF_MOD, _UDF_THRESH = 13, 4  # shared by the lambda AND the SQL twin
+_UDF_WINDOW_S = 12 * 3600
+
+
+def _udf_pred_pattern() -> Pattern:
+    from cep_spark.conditions import udf_pred
+
+    return _p(
+        Seq(
+            Ev(
+                "a",
+                where=(attr("a", "event_type") == lit("click"))
+                & udf_pred(
+                    lambda s: (s % _UDF_MOD) < _UDF_THRESH,
+                    attr("a", "event_id"),
+                    name="id_bucket",
+                ),
+            ),
+            Ev("b", event_type="purchase"),
+        ),
+        where=attr("b", "value") > attr("a", "value"),
+        window=timedelta(seconds=_UDF_WINDOW_S),
+    )
+
+
+def _udf_pred_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_udf_pred_pattern()), mode="flat")
+
+
+def _udf_pred_oracle() -> str:
+    return f"""
+SELECT a.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(a.event_id AS BIGINT) AS a_event_id,
+       CAST(b.event_id AS BIGINT) AS b_event_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND (a.event_id % {_UDF_MOD}) < {_UDF_THRESH}
+  AND b.event_type = 'purchase'
+  AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+  AND ABS(EPOCH(b.ts) - EPOCH(a.ts)) <= {_UDF_WINDOW_S}
+  AND b.value > a.value
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multi-pattern (SURVEY.md §2.3 E7): N patterns in ONE scan + ONE shuffle
 # (run_batch_multi).  The array schema isn't hashable by the driver, so
 # the entry flattens each match to a sorted event-id key; the oracle is
@@ -301,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, pat in CEP_PATTERNS.items():
         out[name] = _cep_query(pat)
     out["cep_kleene_unbounded"] = _kleene_unbounded_query
+    out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
     out.update(windows.QUERIES)
     out.update(_pipeline_registry.queries())
@@ -313,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
 
     out = {name: oracle_sql_for(compile_pattern(pat), "events") for name, pat in CEP_PATTERNS.items()}
     out["cep_kleene_unbounded"] = _kleene_unbounded_oracle()
+    out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()
     out.update(windows.ORACLES)
     out.update(_pipeline_registry.oracle_sql())

@@ -154,8 +154,7 @@ def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None):
             and not (extra_scalar and v in extra_scalar)
         ]
         if kref:
-            (k,) = kref  # compile_pattern rejects two-kleene conjuncts
-            mask &= _eval_kleene_cond(c, k, store, partials, cur_var, cur_row)
+            mask &= _eval_kleene_cond(c, kref, store, partials, cur_var, cur_row)
             continue
         r = c.pd(env)
         if isinstance(r, (bool, np.bool_)):
@@ -166,38 +165,95 @@ def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None):
     return mask
 
 
-def _eval_kleene_cond(c, k, store, partials, cur_var, cur_row):
-    """ALL-elements evaluation of a conjunct over each partial's bound
-    Kleene tuple for variable `k` (cross-variable conditions like
-    `k.value > c.value` where c binds after the closure)."""
+def _eval_kleene_cond(c, kref, store, partials, cur_var, cur_row, var_group=None):
+    """ALL-combinations evaluation of a conjunct over each partial's
+    bound Kleene tuples for variables `kref` (cross-variable conditions
+    like `k.value > c.value` where c binds after the closure).
+
+    One Kleene variable -> per-element ALL.  Two or more independent
+    Kleene variables -> CROSS PRODUCT of their element tuples (the
+    reference's lambda formulas quantify over every pair of bindings;
+    SURVEY.md §2.2).  Variables sharing an entry in ``var_group`` (an
+    unbounded composite-Kleene group) form ONE dimension: their tuples
+    are zip-ALIGNED per repetition instead of crossed — matching the
+    bounded chain expansion, which replicates the conjunct per
+    repetition index (compiler._expand_composite_kleene)."""
     n = len(partials)
     if n == 0:
         return np.ones(0, dtype=bool)
-    lens = np.fromiter((len(t) for t in partials.kleene[k]), dtype=np.int64, count=n)
-    pair_partial = np.repeat(np.arange(n), lens)
-    if len(pair_partial) == 0:
-        return np.ones(n, dtype=bool)
-    pair_elem = np.concatenate(
-        [np.asarray(t, dtype=np.int64) for t in partials.kleene[k] if len(t)]
-    )
+
+    # dimensions: one per composite-Kleene group (aligned vars), one per
+    # independent leaf Kleene variable
+    dim_vars: list[list] = []
+    if var_group:
+        by_g: dict = {}
+        for v in kref:
+            g = var_group.get(v)
+            if g is None:
+                dim_vars.append([v])
+            else:
+                by_g.setdefault(g, []).append(v)
+        dim_vars = list(by_g.values()) + dim_vars
+    else:
+        dim_vars = [[v] for v in kref]
+
+    dim_lens = []
+    for vs in dim_vars:
+        ls = [
+            np.fromiter((len(t) for t in partials.kleene[v]), dtype=np.int64, count=n)
+            for v in vs
+        ]
+        # aligned vars zip over the completed repetitions (min length —
+        # equal once the group is complete; an in-progress repetition's
+        # unmatched head is checked at its own later sub-slot bind)
+        dim_lens.append(ls[0] if len(ls) == 1 else np.minimum.reduce(ls))
+
+    total = dim_lens[0].copy()
+    for l in dim_lens[1:]:
+        total = total * l
+    tsum = int(total.sum())
+    if tsum == 0:
+        return np.ones(n, dtype=bool)  # vacuous (some tuple empty)
+
+    pair_partial = np.repeat(np.arange(n), total)
+    starts = np.cumsum(total) - total
+    seq = np.arange(tsum) - np.repeat(starts, total)  # within-partial counter
+
+    # mixed-radix decode: stride of dim d = product of lens of later dims
+    strides = [np.ones(n, dtype=np.int64) for _ in dim_vars]
+    for d in range(len(dim_vars) - 2, -1, -1):
+        strides[d] = strides[d + 1] * dim_lens[d + 1]
+
+    views = {}
+    for d, vs in enumerate(dim_vars):
+        idx = (seq // strides[d][pair_partial]) % dim_lens[d][pair_partial]
+        for v in vs:
+            flat = np.concatenate(
+                [np.asarray(t, dtype=np.int64) for t in partials.kleene[v] if len(t)]
+            ) if tsum else np.empty(0, dtype=np.int64)
+            vlens = np.fromiter(
+                (len(t) for t in partials.kleene[v]), dtype=np.int64, count=n
+            )
+            voff = np.cumsum(vlens) - vlens
+            views[v] = store.gather(flat[voff[pair_partial] + idx])
+
     sub = partials.select(pair_partial)
-    elem_view = store.gather(pair_elem)
 
     class _Env:
         def __getitem__(self, var):
-            if var == k:
-                return elem_view
+            if var in views:
+                return views[var]
             if var == cur_var:
                 return cur_row
             return store.gather(sub.scalar[var])
 
     r = c.pd(_Env())
     if isinstance(r, (bool, np.bool_)):
-        m = np.full(len(pair_partial), bool(r))
+        m = np.full(tsum, bool(r))
     else:
         m = np.asarray(r, dtype=bool)
     ok = np.bincount(pair_partial, weights=m.astype(np.int64), minlength=n)
-    return ok == lens
+    return ok == total
 
 
 def _gap_ok(spec_positions, spec, store, partials, cur_var, cur_row, i):

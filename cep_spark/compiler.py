@@ -52,6 +52,12 @@ class Slot:
     # leaf-Kleene adjacent-pair condition over ({var}__prev, {var}):
     # checked between each pair of consecutive CHOSEN events
     adjacent: Optional[Cond] = None
+    # UNBOUNDED composite Kleene: the sub-structure's leaves become a
+    # GROUP of kleene-storage slots cycled by the NFA (sub-automaton
+    # repetition) instead of compile-time chain expansion.  `group` is
+    # the group id, `grp_idx` the position within one repetition.
+    group: Optional[int] = None
+    grp_idx: int = 0
 
 
 @dataclass(frozen=True)
@@ -82,6 +88,9 @@ class Transition:
     conds: tuple  # multi-var conjuncts newly evaluable at this binding
     gap_negs: tuple  # indices into alternative.negs to verify
     accepting: bool
+    # group-Kleene repetition bind: the slot's var is ALREADY bound —
+    # append the event to its element tuple instead of creating it
+    repeat: bool = False
 
 
 @dataclass
@@ -91,6 +100,10 @@ class State:
     transitions: list = field(default_factory=list)
     kleene_loops: list = field(default_factory=list)  # (slot_id, conds) open kleenes
     accepting: bool = False
+    # in-progress composite-Kleene repetitions: frozenset of
+    # (group_id, next_sub_slot_index) — a state is accepting only when
+    # every group's current repetition is complete (mid is empty)
+    mid: frozenset = frozenset()
 
 
 @dataclass
@@ -102,6 +115,10 @@ class CompiledAlternative:
     span_negs: tuple  # indices of kind=="span"
     var_order: list  # output variable order (structure order)
     kleene_vars: frozenset
+    # composite-Kleene groups: var -> group id (empty when none).  Vars
+    # sharing a group are zip-ALIGNED per repetition in multi-var
+    # condition evaluation; independent kleene vars cross-product.
+    var_group: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -156,23 +173,54 @@ def _rename_node(node: Node, mapping: dict) -> Node:
     raise TypeError(f"unknown node {node!r}")
 
 
-def _expand_composite_kleene(node: Node, reps: list) -> Node:
+def _validate_group_inner(node: Kleene) -> None:
+    """An unbounded composite Kleene compiles to a looping sub-automaton
+    (group slots); that requires the inner structure to be a Seq of
+    plain event leaves — repetitions are position-interleaved
+    (a1 < b1 < a2 < b2 ...) and each leaf stores its per-repetition
+    element tuple."""
+    inner = node.inner
+    ok = (
+        isinstance(inner, Seq)
+        and len(inner.parts) >= 2
+        and all(isinstance(p, Ev) for p in inner.parts)
+    )
+    if not ok:
+        raise ValueError(
+            "unbounded Kleene over a composite sub-structure supports "
+            "Seq of plain event leaves only (nested Kleene/Neg/Or_/And_ "
+            "inside the repetition requires max_len — those expand to "
+            "fixed chains at compile time)"
+        )
+
+
+def _expand_composite_kleene(node: Node, reps: list, force_group: bool = False) -> Node:
     """Bottom-up rewrite of every composite-inner Kleene.  `reps`
     collects (inner_names, [per-repetition rename mapping]) so
     compile_pattern can replicate `where` conjuncts that reference the
     inner variables (ALL-repetitions semantics, mirroring the leaf
-    Kleene's per-event condition rule)."""
+    Kleene's per-event condition rule).
+
+    BOUNDED composites expand to an Or_ of fixed repetition chains
+    (resolved at compile time so every executor + the SQL oracle handle
+    them unchanged).  UNBOUNDED composites — or any composite under
+    ``force_group`` — are left in place: `_collect` lowers them to a
+    looping GROUP of kleene slots executed as a sub-automaton
+    repetition in the NFA (batch.advance_core)."""
     if isinstance(node, (Ev, Neg)):
         return node
     if isinstance(node, Kleene):
-        inner = _expand_composite_kleene(node.inner, reps)
+        inner = _expand_composite_kleene(node.inner, reps, force_group)
         if isinstance(inner, Ev):
             return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
-        if node.max_len is None:
-            raise ValueError(
-                "Kleene over a composite sub-structure requires max_len "
-                "(repetitions are expanded at compile time)"
-            )
+        if node.max_len is None or force_group:
+            _validate_group_inner(Kleene(inner, max_len=node.max_len))
+            if node.max_len is None and not force_group:
+                raise ValueError(
+                    "Kleene over a composite sub-structure requires max_len "
+                    "(group lowering lands with _collect support)"
+                )
+            return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
         names = _all_names(inner)
         mappings = [{v: f"{v}__{j}" for v in names} for j in range(1, node.max_len + 1)]
         reps.append((names, mappings))
@@ -182,7 +230,9 @@ def _expand_composite_kleene(node: Node, reps: list) -> Node:
             chains.append(insts[0] if r == 1 else Seq(*insts))
         return chains[0] if len(chains) == 1 else Or_(*chains)
     if isinstance(node, (Seq, And_, Or_)):
-        return type(node)(*[_expand_composite_kleene(p, reps) for p in node.parts])
+        return type(node)(
+            *[_expand_composite_kleene(p, reps, force_group) for p in node.parts]
+        )
     raise TypeError(f"unknown node {node!r}")
 
 
@@ -438,11 +488,11 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
         # (ALL must hold): at the kleene self-extension when the other
         # vars are already bound, or by (partial, element) pair expansion
         # at the transition that completes the variable set (batch.py
-        # _eval_conds kleene expansion).  Two kleene vars in one conjunct
-        # would need a cross product of element tuples — rejected.
-        for c in multi:
-            if len(c.vars() & kleene_vars) > 1:
-                raise ValueError(f"condition references two Kleene vars: {c!r}")
+        # _eval_conds kleene expansion).  Conjuncts over TWO OR MORE
+        # kleene vars quantify over the CROSS PRODUCT of their element
+        # tuples (batch._eval_kleene_cond mixed-radix expansion; the
+        # join lowering replicates the conjunct over every expanded
+        # element-variable combination — same semantics).
 
         for s in slots:
             note_cols(s.unary)

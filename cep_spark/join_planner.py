@@ -129,9 +129,16 @@ def _expand_one(cp, alt, arities) -> FixedAlt:
     for c in conds:
         kv = [s for s in alt.slots if s.kleene and s.var in c.vars()]
         if kv:
-            (ks,) = kv
-            for v in expansion[ks.sid]:
-                final_conds.append(subst(c, {ks.var: v}))
+            # one substitution per element-variable combination: a
+            # conjunct over N kleene vars quantifies over the CROSS
+            # PRODUCT of their element tuples (ALL combinations), same
+            # as batch._eval_kleene_cond's mixed-radix expansion
+            from itertools import product as _product
+
+            for combo in _product(*[expansion[ks.sid] for ks in kv]):
+                final_conds.append(
+                    subst(c, {ks.var: v for ks, v in zip(kv, combo)})
+                )
         else:
             final_conds.append(c)
     # adjacent-pair kleene conditions: one instance per consecutive pair

@@ -25,16 +25,32 @@ def _env_for(df, binding):
     return env
 
 
-def _eval_scalar(cond, df, binding):
-    """Evaluate cond; kleene vars are evaluated per-event (ALL must hold)."""
+def _eval_scalar(cond, df, binding, aligned_groups=()):
+    """Evaluate cond; kleene vars are evaluated per-event (ALL must
+    hold).  Multiple referenced kleene vars quantify over the CROSS
+    PRODUCT of their element tuples, except vars listed together in an
+    ``aligned_groups`` entry (composite-Kleene group members): those are
+    zip-ALIGNED per repetition (one dimension)."""
     kleene_vars = [v for v, p in binding.items() if isinstance(p, tuple)]
     referenced_kleene = [v for v in kleene_vars if v in cond.vars()]
     if not referenced_kleene:
         return bool(cond.pd(_env_for(df, {v: p for v, p in binding.items() if not isinstance(p, tuple)})))
-    (k,) = referenced_kleene
-    for p in binding[k]:
+    # dimensions: aligned groups collapse to one dimension of var-tuples
+    dims = []  # list of (vars, list of per-repetition position tuples)
+    rest = list(referenced_kleene)
+    for grp in aligned_groups:
+        vs = [v for v in rest if v in grp]
+        if vs:
+            for v in vs:
+                rest.remove(v)
+            dims.append((vs, list(zip(*[binding[v] for v in vs]))))
+    for v in rest:
+        dims.append(([v], [(p,) for p in binding[v]]))
+    for combo in product(*[opts for _, opts in dims]):
         b2 = {v: pp for v, pp in binding.items() if not isinstance(pp, tuple)}
-        b2[k] = p
+        for (vs, _), picked in zip(dims, combo):
+            for v, p in zip(vs, picked):
+                b2[v] = p
         if not bool(cond.pd(_env_for(df, b2))):
             return False
     return True

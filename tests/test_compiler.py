@@ -120,14 +120,15 @@ def test_kleene_condition_forward_reference_compiles():
         where=attr("k", "value") > attr("c", "value"),
     )
     compile_pattern(pat)
-    # two kleene vars in one conjunct stays rejected
-    with pytest.raises(ValueError, match="two Kleene"):
-        compile_pattern(
-            Pattern(
-                Seq(Kleene(Ev("j")), Kleene(Ev("k"))),
-                where=attr("k", "value") > attr("j", "value"),
-            )
+    # two kleene vars in one conjunct: ALL cross-product pairs semantics
+    # (previously a v1 compile error; exactness vs the replica is pinned
+    # in test_semantics.test_two_kleene_cross_condition)
+    compile_pattern(
+        Pattern(
+            Seq(Kleene(Ev("j")), Kleene(Ev("k"))),
+            where=attr("k", "value") > attr("j", "value"),
         )
+    )
 
 
 def test_duplicate_var_rejected():

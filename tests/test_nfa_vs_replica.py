@@ -195,6 +195,34 @@ PATTERNS = {
         ),
         window=timedelta(minutes=7),
     ),
+    # conjunct over TWO kleene vars: ALL cross-product pairs must hold
+    "two_kleene_seq_cond": Pattern(
+        Seq(Kleene(Ev("j", role="user"), max_len=2),
+            Kleene(Ev("k", role="assistant"), max_len=2)),
+        where=attr("k", "value") > attr("j", "value"),
+        window=timedelta(minutes=5),
+    ),
+    "two_kleene_seq_cond_unbounded": Pattern(
+        Seq(Kleene(Ev("j", role="user")), Kleene(Ev("k", role="assistant"))),
+        where=attr("k", "value") > attr("j", "value"),
+        window=timedelta(minutes=5),
+    ),
+    "two_kleene_and_cond": Pattern(
+        And_(Kleene(Ev("j", role="user"), max_len=2),
+             Kleene(Ev("k", role="assistant"), max_len=2),
+             Ev("t", role="tool")),
+        where=attr("k", "value") > attr("j", "value"),
+        window=timedelta(minutes=5),
+    ),
+    # three-way: two kleenes + a scalar var in ONE conjunct (arithmetic
+    # keeps all three referenced after constant folding)
+    "two_kleene_scalar_cond": Pattern(
+        Seq(Kleene(Ev("j", role="user"), max_len=2),
+            Kleene(Ev("k", role="assistant"), max_len=2),
+            Ev("t", role="tool")),
+        where=attr("k", "value") + attr("j", "value") > attr("t", "value"),
+        window=timedelta(minutes=5),
+    ),
 }
 
 

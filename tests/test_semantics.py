@@ -15,6 +15,7 @@ import pandas as pd
 
 from cep_spark.batch import match_group_nfa
 from cep_spark.compiler import compile_pattern
+from cep_spark.conditions import attr
 from cep_spark.pattern import Ev, Kleene, Neg, Pattern, Seq
 
 
@@ -77,6 +78,32 @@ def test_kleene_powerset_emission():
     res = _run(pat, df)
     ksets = sorted(dict(b)["k"] for _, b in res)
     assert ksets == [(1,), (1, 2), (2,)]
+
+
+def test_two_kleene_cross_condition():
+    """A conjunct over two Kleene vars holds for EVERY cross-product
+    pair (ALL semantics): min(k values) > max(j values)."""
+    df = _df(
+        [
+            ("user", "2026-01-01 00:00:00"),       # j cand, value 5
+            ("user", "2026-01-01 00:00:10"),       # j cand, value 10
+            ("assistant", "2026-01-01 00:00:20"),  # k cand, value 8
+            ("assistant", "2026-01-01 00:00:30"),  # k cand, value 12
+        ]
+    )
+    df["value"] = [5.0, 10.0, 8.0, 12.0]
+    pat = Pattern(
+        Seq(Kleene(Ev("j", role="user")), Kleene(Ev("k", role="assistant"))),
+        where=attr("k", "value") > attr("j", "value"),
+        window=timedelta(minutes=5),
+    )
+    res = _run(pat, df)
+    picks = sorted((dict(b)["j"], dict(b)["k"]) for _, b in res)
+    # J={0}(max 5): K={2},{3},{2,3} pass; J={1} or {0,1}(max 10): only K={3}
+    assert picks == [
+        ((0,), (2,)), ((0,), (2, 3)), ((0,), (3,)),
+        ((0, 1), (3,)), ((1,), (3,)),
+    ]
 
 
 def test_gap_negation_respects_powerset_branch():
