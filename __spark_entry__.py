@@ -191,6 +191,25 @@ def _cep_query(pat: Pattern) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _cep_query_nfa(pat: Pattern) -> Callable[[SparkSession, str], DataFrame]:
+    """Same flat output as the join lowering, via the NFA executor —
+    the scale path for KLEENE-DENSE patterns, where the fixed-arity
+    join expansion pays an arity-PRODUCT of self-join branches (e.g.
+    two bounded Kleenes of max_len 2 = 4 UNION branches of up to 5-way
+    joins) while the NFA does one shuffle + one vectorized pass.  The
+    generated SQL oracle is shared with the join lowering, and the join
+    path itself stays three-way-checked in tests/test_spark_e2e.py."""
+    cp = compile_pattern(pat)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cep_spark.batch import run_batch
+
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return run_batch(df, cp, mode="flat")
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # UNBOUNDED Kleene: the join lowering cannot enumerate unbounded powersets,
 # so the Spark side is the NFA executor (run_batch) and the oracle is a
@@ -241,6 +260,69 @@ FROM seqs s JOIN events c ON c.user_id = s.user_id
 WHERE c.event_type = 'purchase'
   AND (s.last_ts < c.ts OR (s.last_ts = c.ts AND s.last_id < c.event_id))
   AND ABS(EPOCH(c.ts) - EPOCH(s.a_ts)) <= {w}
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNBOUNDED COMPOSITE Kleene (group lowering): one-or-more strictly
+# interleaved (view, click) repetitions (u1 < w1 < u2 < w2 ...) then a
+# purchase, NO repetition bound.  The join lowering has no fixed-arity
+# expansion for this (repetitions interleave), so the Spark side is the
+# NFA group automaton (run_batch) and the oracle is a recursive CTE over
+# repetition chains — exact, unbounded.
+
+_KLEENE_GROUP_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"), Ev("w", event_type="click"))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_PAT), mode="flat")
+
+
+def _kleene_group_oracle() -> str:
+    w = int(_KLEENE_GROUP_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT u.user_id,
+         u.event_id AS u_first, u.ts AS first_ts, 1 AS r,
+         u.event_id AS u_last,
+         w.event_id AS w_first, w.event_id AS w_last,
+         w.event_id AS last_id, w.ts AS last_ts
+  FROM events u JOIN events w ON w.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND EPOCH(w.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT s.user_id, s.u_first, s.first_ts, s.r + 1,
+         u.event_id, s.w_first, w.event_id, w.event_id, w.ts
+  FROM chains s
+  JOIN events u ON u.user_id = s.user_id
+  JOIN events w ON w.user_id = s.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND (s.last_ts < u.ts OR (s.last_ts = u.ts AND s.last_id < u.event_id))
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND EPOCH(w.ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CAST(s.r AS BIGINT) AS w_len,
+       CAST(s.w_first AS BIGINT) AS w_first,
+       CAST(s.w_last AS BIGINT) AS w_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
 """
 
 
@@ -365,7 +447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, pat in CEP_PATTERNS.items():
         out[name] = _cep_query(pat)
+    # kleene-dense: NFA executor beats the arity-product join expansion
+    out["cep_kleene_pair_cond"] = _cep_query_nfa(CEP_PATTERNS["cep_kleene_pair_cond"])
     out["cep_kleene_unbounded"] = _kleene_unbounded_query
+    out["cep_kleene_composite_unbounded"] = _kleene_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
     out.update(windows.QUERIES)
@@ -379,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
 
     out = {name: oracle_sql_for(compile_pattern(pat), "events") for name, pat in CEP_PATTERNS.items()}
     out["cep_kleene_unbounded"] = _kleene_unbounded_oracle()
+    out["cep_kleene_composite_unbounded"] = _kleene_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()
     out.update(windows.ORACLES)

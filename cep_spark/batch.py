@@ -123,18 +123,31 @@ class _Partials:
         self.first_ts = np.concatenate([self.first_ts, other.first_ts])
 
 
-def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None):
+def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None,
+                var_group=None, aligned=()):
     """Vectorized evaluation of conjuncts over a partial table.
 
     cur_var's attributes come from the current event (scalars, broadcast);
     bound vars gather from the store.  A conjunct referencing an
     already-bound Kleene variable evaluates per ELEMENT of each
     partial's tuple via (partial, element) pair expansion — ALL elements
-    must satisfy it.  Returns boolean ndarray."""
+    must satisfy it.  ``aligned`` (composite-Kleene group mates of the
+    slot being bound) evaluate as the CURRENT repetition's element —
+    the last element of their tuple.  Returns boolean ndarray."""
     n = len(partials)
     mask = np.ones(n, dtype=bool)
     if not conds:
         return mask
+
+    if aligned:
+        extra = dict(extra_scalar) if extra_scalar else {}
+        for v in aligned:
+            if v in partials.kleene and v not in extra:
+                last_pos = np.fromiter(
+                    (t[-1] for t in partials.kleene[v]), dtype=np.int64, count=n
+                )
+                extra[v] = store.gather(last_pos)
+        extra_scalar = extra
 
     class _Env:
         def __getitem__(self, var):
@@ -154,7 +167,9 @@ def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None):
             and not (extra_scalar and v in extra_scalar)
         ]
         if kref:
-            mask &= _eval_kleene_cond(c, kref, store, partials, cur_var, cur_row)
+            mask &= _eval_kleene_cond(
+                c, kref, store, partials, cur_var, cur_row, var_group
+            )
             continue
         r = c.pd(env)
         if isinstance(r, (bool, np.bool_)):
@@ -464,6 +479,16 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
         kvars = {st.sid: [slots[x].var for x in st.bound if slots[x].kleene] for st in alt.states}
         slot_mask, neg_mask = masks[alt.alt_id]
         neg_positions = [np.nonzero(m)[0] for m in neg_mask]
+        # composite-Kleene groups: same-group mates evaluate zip-aligned
+        var_group = getattr(alt, "var_group", None) or None
+        slot_aligned = {}
+        if var_group:
+            for s in alt.slots:
+                if s.group is not None:
+                    slot_aligned[s.sid] = frozenset(
+                        x.var for x in alt.slots
+                        if x.group == s.group and x.sid != s.sid
+                    )
 
         if tables_in is not None and alt.alt_id in tables_in:
             tables = tables_in[alt.alt_id]
@@ -541,7 +566,19 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                     if not slot_mask[tr.slot][i]:
                         continue
                     s = slots[tr.slot]
-                    mask = _eval_conds(tr.conds, store, tbl, s.var, cur_row)
+                    mask = _eval_conds(
+                        tr.conds, store, tbl, s.var, cur_row,
+                        var_group=var_group,
+                        aligned=slot_aligned.get(tr.slot, ()),
+                    )
+                    if tr.repeat and s.grp_idx == 0 and s.kleene_max is not None:
+                        # bounded composite under group lowering: cap
+                        # the repetition count at the loop-back bind
+                        lens = np.fromiter(
+                            (len(t) for t in tbl.kleene[s.var]),
+                            dtype=np.int64, count=len(tbl),
+                        )
+                        mask &= lens < s.kleene_max
                     for gi in tr.gap_negs:
                         mask &= _gap_ok(
                             neg_positions[gi], alt.negs[gi], store, tbl, s.var, cur_row, i
@@ -558,7 +595,11 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                         )
                     for v in kvars[tr.target]:
                         if v in sub.kleene:
-                            npart.kleene[v] = sub.kleene[v]
+                            npart.kleene[v] = (
+                                _obj_array([t + (i,) for t in sub.kleene[v]])
+                                if (tr.repeat and v == s.var)
+                                else sub.kleene[v]
+                            )
                         else:
                             npart.kleene[v] = _obj_array([(i,)] * len(sub))
                     npart.first_pos = sub.first_pos

@@ -25,6 +25,13 @@ BASELINE.json explicitly says NOT to port).  Design:
   qualifying event forks the partial (take / skip), which enumerates
   exactly the non-empty ordered subsets (powerset semantics, SURVEY.md
   §2.4 item 4).
+* Kleene over a composite sub-structure: BOUNDED -> compile-time
+  expansion into an Or_ of fixed repetition chains; UNBOUNDED -> the
+  inner Seq's leaves become a looping slot GROUP — the automaton state
+  carries (bound set, mid-repetition marker), repetitions bind the
+  sub-slots in order via `repeat` transitions that append to per-leaf
+  element tuples, and acceptance requires every group's repetition
+  complete (`_successors`).
 
 The output (`CompiledPattern`) is plain picklable data — it is shipped
 to executors inside the stateful UDF closure (broadcast-equivalent).
@@ -215,11 +222,6 @@ def _expand_composite_kleene(node: Node, reps: list, force_group: bool = False) 
             return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
         if node.max_len is None or force_group:
             _validate_group_inner(Kleene(inner, max_len=node.max_len))
-            if node.max_len is None and not force_group:
-                raise ValueError(
-                    "Kleene over a composite sub-structure requires max_len "
-                    "(group lowering lands with _collect support)"
-                )
             return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
         names = _all_names(inner)
         mappings = [{v: f"{v}__{j}" for v in names} for j in range(1, node.max_len + 1)]
@@ -282,6 +284,27 @@ def _collect(
         slots.append(Slot(sid, node.name, node.where, prereq=prereq))
         return frozenset({sid})
     if isinstance(node, Kleene):
+        if not isinstance(node.inner, Ev):
+            # composite Kleene left unexpanded (unbounded, or forced
+            # group lowering): one GROUP of kleene-storage slots, cycled
+            # by the NFA as a sub-automaton repetition — repetition j
+            # binds each sub-slot once, in Seq order, interleaved
+            # strictly after repetition j-1 (a1 < b1 < a2 < b2 ...).
+            gid = 1 + max(
+                (s.group for s in slots if s.group is not None), default=-1
+            )
+            sids: list = []
+            here = prereq
+            for j, part in enumerate(node.inner.parts):
+                sid = len(slots)
+                slots.append(
+                    Slot(sid, part.name, part.where, kleene=True,
+                         kleene_max=node.max_len, prereq=here,
+                         group=gid, grp_idx=j)
+                )
+                sids.append(sid)
+                here = prereq | frozenset(sids)
+            return frozenset(sids)
         sid = len(slots)
         slots.append(
             Slot(sid, node.name, node.inner.where, kleene=True,
@@ -326,24 +349,96 @@ def _collect(
     raise TypeError(f"unexpected node {node!r}")
 
 
+def _group_map(slots: list) -> dict:
+    """group id -> slots in grp_idx order."""
+    groups: dict[int, list] = {}
+    for s in slots:
+        if s.group is not None:
+            groups.setdefault(s.group, []).append(s)
+    for gs in groups.values():
+        gs.sort(key=lambda s: s.grp_idx)
+    return groups
+
+
+def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> list:
+    """Every legal single-event bind out of automaton state (bound, mid):
+    list of (slot, new_bound, new_mid, repeat).
+
+    Group rules: a group's current repetition binds its sub-slots in
+    order (tracked by `mid`); from a COMPLETE group that is still open
+    (no bound successor outside it) sub-slot 0 may bind again
+    (repeat=True — the executor appends to the element tuple); a slot
+    whose prereq references a group may only bind while that group is
+    between repetitions (complete), never mid-repetition."""
+    mid_d = dict(mid)
+
+    def prereq_groups_ok(s):
+        for gg, gs in groups.items():
+            if gg == s.group or gg not in mid_d:
+                continue
+            if any(x.sid in s.prereq for x in gs):
+                return False
+        return True
+
+    out = []
+    for s in slots:
+        if s.group is None:
+            if s.sid in bound or not s.prereq <= bound or not prereq_groups_ok(s):
+                continue
+            out.append((s, bound | {s.sid}, mid, False))
+            continue
+        gs = groups[s.group]
+        if s.group in mid_d:
+            if mid_d[s.group] != s.grp_idx:
+                continue
+            nm = dict(mid_d)
+            if s.grp_idx == len(gs) - 1:
+                del nm[s.group]
+            else:
+                nm[s.group] = s.grp_idx + 1
+            out.append((s, bound | {s.sid}, frozenset(nm.items()), s.sid in bound))
+            continue
+        if s.grp_idx != 0:
+            continue  # a repetition always starts at sub-slot 0
+        nm = dict(mid_d)
+        nm[s.group] = 1  # inner arity >= 2 (validated)
+        if gs[0].sid not in bound:
+            # first repetition
+            if not s.prereq <= bound or not prereq_groups_ok(s):
+                continue
+            out.append((s, bound | {s.sid}, frozenset(nm.items()), False))
+        else:
+            # loop-back: group complete and still open
+            g_sids = {x.sid for x in gs}
+            if any(
+                o.sid in bound and o.group != s.group and (g_sids & o.prereq)
+                for o in slots
+            ):
+                continue
+            out.append((s, bound, frozenset(nm.items()), True))
+    return out
+
+
 def _reachable_states(slots: list) -> list:
-    """BFS over down-closed slot sets (valid prefixes)."""
+    """BFS over reachable (down-closed bound set, mid-repetition) pairs."""
+    groups = _group_map(slots)
     all_ids = frozenset(s.sid for s in slots)
-    states: dict[frozenset, State] = {}
+    states: dict[tuple, State] = {}
     s0 = State(0, frozenset())
-    states[frozenset()] = s0
+    states[(frozenset(), frozenset())] = s0
     order = [s0]
     frontier = [s0]
     while frontier:
         nxt = []
         for st in frontier:
-            for s in slots:
-                if s.sid in st.bound or not s.prereq <= st.bound:
-                    continue
-                nb = st.bound | {s.sid}
-                if nb not in states:
-                    ns = State(len(order), nb, accepting=(nb == all_ids))
-                    states[nb] = ns
+            for s, nb, nm, repeat in _successors(st.bound, st.mid, slots, groups):
+                kk = (nb, nm)
+                if kk not in states:
+                    ns = State(
+                        len(order), nb,
+                        accepting=(nb == all_ids and not nm), mid=nm,
+                    )
+                    states[kk] = ns
                     order.append(ns)
                     nxt.append(ns)
         frontier = nxt
@@ -351,23 +446,35 @@ def _reachable_states(slots: list) -> list:
 
 
 def _open_kleenes(bound: frozenset, slots: list) -> list:
-    """Kleene slots in `bound` with no bound successor (still extensible)."""
+    """LEAF Kleene slots in `bound` with no bound successor (still
+    extensible).  Group slots extend via repeat transitions instead."""
     out = []
     for s in slots:
-        if s.kleene and s.sid in bound:
+        if s.kleene and s.group is None and s.sid in bound:
             if not any(o.sid in bound and s.sid in o.prereq for o in slots):
                 out.append(s.sid)
     return out
 
 
-def compile_pattern(pat: Pattern) -> CompiledPattern:
-    # composite-Kleene pre-pass: rewrite Kleene(sub-structure) into an
-    # Or_ of repetition chains; `where` conjuncts referencing the inner
-    # variables replicate per repetition (ALL must hold — conjuncts for
-    # repetitions absent from a lower-arity alternative drop out via the
-    # standard per-alternative variable filter below).
+def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
+    """``composite`` picks the composite-Kleene lowering: "auto" expands
+    BOUNDED composites to fixed repetition chains (exact SQL/join
+    lowering) and lowers UNBOUNDED ones to looping slot groups (NFA
+    sub-automaton repetition); "group" forces the group lowering even
+    for bounded composites (the repetition cap then applies at the
+    loop-back transition) — used by the chain-vs-group parity tests."""
+    if composite not in ("auto", "group"):
+        raise ValueError(f"unknown composite lowering {composite!r}")
+    # composite-Kleene pre-pass: rewrite bounded Kleene(sub-structure)
+    # into an Or_ of repetition chains; `where` conjuncts referencing the
+    # inner variables replicate per repetition (ALL must hold — conjuncts
+    # for repetitions absent from a lower-arity alternative drop out via
+    # the standard per-alternative variable filter below).  Unbounded
+    # composites stay in place and become slot GROUPS in _collect.
     reps: list = []
-    expanded = _expand_composite_kleene(pat.structure, reps)
+    expanded = _expand_composite_kleene(
+        pat.structure, reps, force_group=(composite == "group")
+    )
     if reps:
         from dataclasses import replace as _dc_replace
 
@@ -377,13 +484,17 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
             if not hits:
                 new_conjs.append(c)
                 continue
-            if len(hits) > 1:
-                raise ValueError(
-                    f"condition {c!r} references variables of multiple "
-                    f"composite Kleene groups"
-                )
-            _, maps = hits[0]
-            new_conjs.extend(subst(c, mp) for mp in maps)
+            # one instance per repetition-index combination: a conjunct
+            # over k expanded groups quantifies over the CROSS PRODUCT
+            # of their repetitions (ALL must hold — same semantics as
+            # the group lowering's element cross product)
+            from itertools import product as _product
+
+            for combo in _product(*[maps for _, maps in hits]):
+                mp: dict = {}
+                for m in combo:
+                    mp.update(m)
+                new_conjs.append(subst(c, mp))
         w: Cond = TRUE
         for c in new_conjs:
             w = w & c
@@ -441,7 +552,8 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
                 u = u & unary[s.var]
             multi.extend(s_multi)
             slot_list.append(
-                Slot(s.sid, s.var, u, s.kleene, s.kleene_max, s.prereq, s.adjacent)
+                Slot(s.sid, s.var, u, s.kleene, s.kleene_max, s.prereq,
+                     s.adjacent, s.group, s.grp_idx)
             )
             if s.adjacent is not None:
                 # {var}__prev reads the same physical columns as {var}
@@ -501,7 +613,9 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
 
         # build states
         states = _reachable_states(slots)
-        state_of = {st.bound: st.sid for st in states}
+        groups = _group_map(slots)
+        all_ids = frozenset(s.sid for s in slots)
+        state_of = {(st.bound, st.mid): st.sid for st in states}
         slot_by_id = {s.sid: s for s in slots}
         vars_of_set = {st.bound: frozenset(var_of[i] for i in st.bound) for st in states}
 
@@ -514,15 +628,31 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
 
         for st in states:
             bound_vars = vars_of_set[st.bound]
-            for s in slots:
-                if s.sid in st.bound or not s.prereq <= st.bound:
-                    continue
-                nb = st.bound | {s.sid}
-                conds = tuple(
-                    c
-                    for c in multi
-                    if c.vars() <= bound_vars | {s.var} and not c.vars() <= bound_vars
-                )
+            for s, nb, nm, repeat in _successors(st.bound, st.mid, slots, groups):
+                if not repeat:
+                    conds = tuple(
+                        c
+                        for c in multi
+                        if c.vars() <= bound_vars | {s.var}
+                        and not c.vars() <= bound_vars
+                    )
+                else:
+                    # repetition bind: re-check every conjunct the new
+                    # element participates in — EXCEPT those also
+                    # referencing a same-group var of a LATER sub-index
+                    # (the per-repetition aligned pair isn't complete
+                    # yet; that conjunct re-attaches at the later
+                    # sub-slot's repetition bind)
+                    later = frozenset(
+                        x.var for x in groups[s.group] if x.grp_idx > s.grp_idx
+                    )
+                    conds = tuple(
+                        c
+                        for c in multi
+                        if s.var in c.vars()
+                        and c.vars() <= bound_vars
+                        and not (c.vars() & later)
+                    )
                 gnegs = tuple(
                     gi
                     for gi in gap_idx
@@ -540,7 +670,10 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
                                 f"bound when the gap closes ({sorted(avail)})"
                             )
                 st.transitions.append(
-                    Transition(s.sid, state_of[nb], conds, gnegs, nb == frozenset(x.sid for x in slots))
+                    Transition(
+                        s.sid, state_of[(nb, nm)], conds, gnegs,
+                        nb == all_ids and not nm, repeat,
+                    )
                 )
             # kleene self-loops: per-event conds = conjuncts mentioning the
             # kleene var whose OTHER vars are already bound in this state
@@ -556,9 +689,11 @@ def compile_pattern(pat: Pattern) -> CompiledPattern:
 
         # span-neg conditions must be evaluable with all vars bound (they are)
         var_order = [s.var for s in slots]
+        var_group = {s.var: s.group for s in slots if s.group is not None}
         alternatives.append(
             CompiledAlternative(
-                alt_id, slots, states, neg_specs, span_idx, var_order, kleene_vars
+                alt_id, slots, states, neg_specs, span_idx, var_order,
+                kleene_vars, var_group,
             )
         )
 

@@ -44,6 +44,12 @@ def expand_fixed(cp: CompiledPattern, kleene_arities: int | None = None) -> list
     to the NFA executor."""
     out = []
     for alt in cp.alternatives:
+        if any(s.group is not None for s in alt.slots):
+            raise ValueError(
+                "unbounded composite Kleene (group lowering) has no fixed-"
+                "arity expansion — repetitions interleave (a1<b1<a2<b2...); "
+                "use the NFA executor (run_batch / stream_matches)"
+            )
         k_slots = [s for s in alt.slots if s.kleene]
         arity_choices = [[None]]
         for ks in k_slots:

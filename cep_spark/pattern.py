@@ -173,14 +173,18 @@ class Kleene(Node):
     parity-breaking and exists for the SQL oracle and for hot-key
     protection — the executor logs when it truncates (no silent caps).
 
-    Over a composite sub-structure (``Kleene(Seq(a, b), max_len=r)``):
-    one-or-more sequential repetitions of the sub-structure, each
-    repetition binding fresh instances of its variables (renamed
-    ``v__1 .. v__r``), with every event of repetition j strictly before
-    every event of repetition j+1.  Composite closure requires
-    ``max_len`` — the compiler expands it into an Or_ of fixed
-    repetition chains (compiler._expand_composite_kleene), so every
-    executor and the SQL oracle handle it for free.
+    Over a composite sub-structure (``Kleene(Seq(a, b))``): one-or-more
+    sequential repetitions of the sub-structure, every event of
+    repetition j strictly before every event of repetition j+1.  With
+    ``max_len`` the compiler expands it into an Or_ of fixed repetition
+    chains (fresh variables ``v__1 .. v__r``;
+    compiler._expand_composite_kleene), so every executor and the SQL
+    oracle handle it for free.  WITHOUT ``max_len`` the inner leaves
+    become a looping slot GROUP executed as a sub-automaton repetition
+    in the NFA (compiler._successors) — each leaf binds an element
+    tuple, one element per repetition; the inner structure must then be
+    a Seq of plain event leaves, and the join lowering (which has no
+    fixed-arity expansion for interleaved repetitions) rejects it.
 
     ``adjacent`` (leaf Kleene only): a condition between each pair of
     CONSECUTIVE CHOSEN events, written over the pseudo-variable

@@ -8,10 +8,67 @@ in cep_spark/pattern.py docstring (SURVEY.md §2.4).
 
 from __future__ import annotations
 
+from dataclasses import replace as _dc_replace
 from itertools import combinations, product
 
 from cep_spark.compiler import compile_pattern
-from cep_spark.pattern import Pattern
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Or_, Pattern, Seq
+
+
+# --------------------------------------------------------------------------
+# Unbounded composite Kleene: the replica stays independent of the group
+# automaton by BOUNDING the closure at match time (a group of arity >= 2
+# fits at most n//2 repetitions in an n-event group) and running the
+# compile-time chain expansion, then folding the per-repetition variables
+# (v__1..v__r) back into element tuples keyed by the original names.
+
+
+def _unbounded_group_names(node) -> list:
+    if isinstance(node, Ev):
+        return []
+    if isinstance(node, Kleene):
+        if not isinstance(node.inner, Ev) and node.max_len is None:
+            return [[p.name for p in node.inner.parts]]
+        return _unbounded_group_names(node.inner)
+    if isinstance(node, Neg):
+        return _unbounded_group_names(node.inner)
+    return [g for p in node.parts for g in _unbounded_group_names(p)]
+
+
+def _bound_groups(node, n: int):
+    """Bound each unbounded composite at n // arity repetitions (a group
+    of arity m consumes m events per repetition)."""
+    if isinstance(node, Ev):
+        return node
+    if isinstance(node, Kleene):
+        inner = _bound_groups(node.inner, n)
+        if not isinstance(inner, Ev) and node.max_len is None:
+            return Kleene(inner, max_len=max(1, n // len(inner.parts)))
+        return Kleene(inner, max_len=node.max_len, adjacent=node.adjacent)
+    if isinstance(node, Neg):
+        return Neg(_bound_groups(node.inner, n))
+    return type(node)(*[_bound_groups(p, n) for p in node.parts])
+
+
+def _fold_group_binding(b: dict, groups: list) -> dict:
+    rep_names = {
+        f"{base}__{j}"
+        for names in groups
+        for base in names
+        for j in range(1, 1 + max(len(b), 1))
+    }
+    out = {v: p for v, p in b.items() if v not in rep_names and v != "_alt"}
+    for names in groups:
+        for base in names:
+            reps = []
+            j = 1
+            while f"{base}__{j}" in b:
+                reps.append(b[f"{base}__{j}"])
+                j += 1
+            if reps:
+                out[base] = tuple(reps)
+    out["_alt"] = 0  # arity alternatives collapse into the one group alt
+    return out
 
 
 def _env_for(df, binding):
@@ -63,6 +120,13 @@ def match_group(pat: Pattern, df) -> list[dict]:
     """
     df = df.sort_values([pat.ts_col, pat.tiebreak_col]).reset_index(drop=True)
     n = len(df)
+    groups = _unbounded_group_names(pat.structure)
+    if groups:
+        if any(isinstance(p, Or_) for p in [pat.structure]) or _has_or(pat.structure):
+            raise NotImplementedError(
+                "replica fold does not support Or_ + unbounded groups"
+            )
+        pat = _dc_replace(pat, structure=_bound_groups(pat.structure, n))
     cp = compile_pattern(pat)
     W = pat.window_seconds()
     out = []
@@ -78,8 +142,13 @@ def match_group(pat: Pattern, df) -> list[dict]:
                     ok.append(i)
             cands[s.sid] = ok
 
-        # enumerate assignments
-        choice_lists = []
+        # enumerate assignments by BACKTRACKING over slots in sid order
+        # (prereq sids always precede, so ordering and window-span prune
+        # incrementally — pure search-space reduction: distinctness,
+        # order, and span are re-checked in full below, and every
+        # semantic filter — conditions, adjacency, negation — still
+        # runs on each complete assignment)
+        choices = {}
         for s in alt.slots:
             if s.kleene:
                 subsets = []
@@ -87,12 +156,35 @@ def match_group(pat: Pattern, df) -> list[dict]:
                     if s.kleene_max is not None and r > s.kleene_max:
                         break
                     subsets.extend(combinations(cands[s.sid], r))
-                choice_lists.append([(s, ss) for ss in subsets])
+                choices[s.sid] = subsets
             else:
-                choice_lists.append([(s, (i,)) for i in cands[s.sid]])
+                choices[s.sid] = [(i,) for i in cands[s.sid]]
 
-        for assignment in product(*choice_lists):
-            positions = {s.sid: ps for s, ps in assignment}
+        ts_all = df[pat.ts_col]
+        assignments = []
+
+        def _rec(idx, positions, used):
+            if idx == len(alt.slots):
+                assignments.append(dict(positions))
+                return
+            s = alt.slots[idx]
+            for ps in choices[s.sid]:
+                if any(p in used for p in ps):
+                    continue
+                if any(max(positions[pre]) >= min(ps) for pre in s.prereq):
+                    continue
+                if W is not None:
+                    flat_now = [p for q in positions.values() for p in q] + list(ps)
+                    tss = [ts_all.iloc[p] for p in flat_now]
+                    if (max(tss) - min(tss)).total_seconds() > W:
+                        continue
+                positions[s.sid] = ps
+                _rec(idx + 1, positions, used | set(ps))
+                del positions[s.sid]
+
+        _rec(0, {}, frozenset())
+
+        for positions in assignments:
             flat = [p for ps in positions.values() for p in ps]
             if len(set(flat)) != len(flat):
                 continue
@@ -190,7 +282,24 @@ def match_group(pat: Pattern, df) -> list[dict]:
             binding["_alt"] = alt.alt_id
             if binding not in out:
                 out.append(binding)
+    if groups:
+        folded = []
+        for b in out:
+            fb = _fold_group_binding(b, groups)
+            if fb not in folded:
+                folded.append(fb)
+        return folded
     return out
+
+
+def _has_or(node) -> bool:
+    if isinstance(node, Or_):
+        return True
+    if isinstance(node, Ev):
+        return False
+    if isinstance(node, (Kleene, Neg)):
+        return _has_or(node.inner)
+    return any(_has_or(p) for p in node.parts)
 
 
 def match_frame(pat: Pattern, df) -> list[tuple]:

@@ -97,9 +97,46 @@ def test_composite_kleene_expansion():
     # arity 1 and arity 2 alternatives
     assert sorted(len(a.slots) for a in cp.alternatives) == [3, 5]
     assert set(cp.all_vars()) == {"u__1", "v__1", "u__2", "v__2", "t"}
-    # unbounded composite is rejected
-    with pytest.raises(ValueError, match="max_len"):
-        compile_pattern(Pattern(Seq(Kleene(Seq(Ev("u"), Ev("v"))), Ev("t"))))
+
+
+def test_unbounded_composite_kleene_group_lowering():
+    """Kleene(Seq(u, v)) without max_len compiles to a looping slot
+    GROUP (sub-automaton repetition), not chain expansion."""
+    from datetime import timedelta
+
+    cp = compile_pattern(
+        Pattern(Seq(Kleene(Seq(Ev("u"), Ev("v"))), Ev("t")),
+                window=timedelta(minutes=5))
+    )
+    (alt,) = cp.alternatives
+    assert alt.var_group == {"u": 0, "v": 0}
+    assert [s.var for s in alt.slots] == ["u", "v", "t"]
+    assert all(s.kleene for s in alt.slots if s.group is not None)
+    # states: {}, {u}mid, {u,v}, {u,v}mid (loop-back), {u,v,t}
+    assert len(alt.states) == 5
+    assert sum(1 for st in alt.states if st.mid) == 2
+    assert any(tr.repeat for st in alt.states for tr in st.transitions)
+    # accepting only with the group complete
+    for st in alt.states:
+        for tr in st.transitions:
+            if tr.accepting:
+                assert not alt.states[tr.target].mid
+    # group lowering supports Seq-of-leaves inners only
+    with pytest.raises(ValueError, match="Seq of plain event leaves"):
+        compile_pattern(Pattern(Kleene(And_(Ev("u"), Ev("v")))))
+    with pytest.raises(ValueError, match="Seq of plain event leaves"):
+        compile_pattern(Pattern(Kleene(Seq(Ev("u")))))
+    # join lowering has no fixed-arity expansion for groups
+    import cep_spark.join_planner as jp
+
+    with pytest.raises(ValueError, match="no fixed-arity expansion"):
+        jp.expand_fixed(
+            compile_pattern(
+                Pattern(Seq(Kleene(Seq(Ev("u"), Ev("v"))), Ev("t")),
+                        window=timedelta(minutes=5))
+            ),
+            kleene_arities=3,
+        )
 
 
 def test_adjacent_condition_validation():

@@ -1,0 +1,240 @@
+"""Unbounded composite Kleene — group lowering (SURVEY.md §2.1 O5,
+closure over a sub-structure with NO repetition bound).
+
+`Kleene(Seq(a, b))` without ``max_len`` compiles to a looping slot
+GROUP: each repetition binds the inner leaves in order, strictly after
+the previous repetition (a1 < b1 < a2 < b2 ...), with per-leaf element
+tuples in the match output (compiler._successors / batch.advance_core
+repeat transitions).
+
+Checked three ways:
+  * fixed corpus vs the brute-force replica (which stays independent by
+    BOUNDING the closure at n // arity repetitions and folding the
+    chain expansion's per-repetition variables back into tuples);
+  * group lowering vs chain expansion on BOUNDED composites
+    (compile_pattern(composite="group") — byte-identical match sets);
+  * hand-computed interleaving/alignment fixtures.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+
+from cep_spark.batch import match_group_nfa
+from cep_spark.compiler import compile_pattern
+from cep_spark.conditions import attr
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Pattern, Seq
+from oracle_cep import match_group
+
+ROLES = ["user", "assistant", "tool"]
+
+PATTERNS = {
+    "group_then_var": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    "group_only": Pattern(
+        Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+        window=timedelta(minutes=5),
+    ),
+    "group_aligned_cond": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+            Ev("t", role="tool")),
+        where=attr("w", "value") > attr("u", "value"),
+        window=timedelta(minutes=5),
+    ),
+    "group_outer_cond": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+            Ev("t", role="tool")),
+        where=attr("u", "value") < attr("t", "value"),
+        window=timedelta(minutes=5),
+    ),
+    "var_then_group_cond": Pattern(
+        Seq(Ev("a", role="tool"),
+            Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant")))),
+        where=attr("u", "value") > attr("a", "value"),
+        window=timedelta(minutes=5),
+    ),
+    "group_arity3": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"),
+                       Ev("x", role="tool"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    "group_in_and": Pattern(
+        And_(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+             Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    "gap_neg_before_group": Pattern(
+        Seq(Ev("a", role="tool"), Neg(Ev("n", role="tool")),
+            Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant")))),
+        window=timedelta(minutes=5),
+    ),
+    "gap_neg_after_group": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+            Neg(Ev("n", role="tool")), Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    "group_plus_leaf_kleene_cond": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+            Kleene(Ev("k", role="tool"))),
+        where=attr("k", "value") > attr("u", "value"),
+        window=timedelta(minutes=5),
+    ),
+}
+
+
+def _gen_group(seed, n):
+    rng = np.random.default_rng(seed)
+    ts0 = pd.Timestamp("2026-01-01")
+    return pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "role": rng.choice(ROLES, n),
+            "tool": rng.choice(["python", "sql"], n),
+            "ts": ts0 + pd.to_timedelta(np.cumsum(rng.integers(0, 60, n)), unit="s"),
+            "value": rng.uniform(0, 100, n).round(1),
+        }
+    )
+
+
+def _canon_nfa(res):
+    return sorted(
+        (a, tuple(sorted((v, p if isinstance(p, tuple) else (p,)) for v, p in b.items())))
+        for a, b in res
+    )
+
+
+def _canon_rep(res):
+    out = []
+    for b in res:
+        alt = b.pop("_alt")
+        out.append(
+            (alt, tuple(sorted((v, p if isinstance(p, tuple) else (p,)) for v, p in b.items())))
+        )
+    return sorted(out)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("name", sorted(PATTERNS))
+def test_group_kleene_vs_replica(name):
+    pat = PATTERNS[name]
+    cp = compile_pattern(pat)
+    rng = np.random.default_rng(0xC0FFEE)
+    for trial in range(60):
+        g = _gen_group(trial * 7 + 1, int(rng.integers(2, 11)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        m = _canon_nfa(match_group_nfa(cp, gs))
+        o = _canon_rep(match_group(pat, g.copy()))
+        assert m == o, f"{name} trial {trial}\nnfa={m}\nrep={o}\n{g}"
+
+
+def test_bounded_group_equals_chain_expansion():
+    """compile(composite='group') on a BOUNDED composite must match the
+    default chain expansion's match set exactly (folded var names)."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant")), max_len=2),
+            Ev("t", role="tool")),
+        where=attr("w", "value") > attr("u", "value"),
+        window=timedelta(minutes=5),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)  # default: chain expansion
+    rng = np.random.default_rng(42)
+    for trial in range(60):
+        g = _gen_group(trial * 13 + 3, int(rng.integers(2, 11)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        grp = _canon_nfa(match_group_nfa(cp_group, gs))
+        folded = []
+        for _, b in match_group_nfa(cp_chain, gs):
+            fu = tuple(p for j in (1, 2) for p in
+                       ([b[f"u__{j}"]] if f"u__{j}" in b else []))
+            fw = tuple(p for j in (1, 2) for p in
+                       ([b[f"w__{j}"]] if f"w__{j}" in b else []))
+            folded.append((0, tuple(sorted(
+                {"u": fu, "w": fw, "t": (b["t"],)}.items()
+            ))))
+        assert grp == sorted(set(folded)), f"trial {trial}\n{g}"
+
+
+def test_group_interleaving_and_alignment():
+    """Hand-computed: repetitions interleave strictly (u1<w1<u2<w2) and
+    the per-repetition condition w.value > u.value is ALIGNED (checked
+    within each repetition, not across)."""
+    ts0 = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": np.arange(5, dtype=np.int32),
+            "role": ["user", "assistant", "user", "assistant", "tool"],
+            "tool": [None] * 5,
+            "ts": ts0 + pd.to_timedelta(np.arange(5) * 10, unit="s"),
+            # rep (0,1): 5 -> 8 rises; rep (2,3): 9 -> 7 falls
+            "value": [5.0, 8.0, 9.0, 7.0, 1.0],
+        }
+    )
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+            Ev("t", role="tool")),
+        where=attr("w", "value") > attr("u", "value"),
+        window=timedelta(minutes=5),
+    )
+    res = _canon_nfa(match_group_nfa(compile_pattern(pat), df))
+    # (0,1) passes; (2,3) fails aligned check; (0,3) fails 8>... wait:
+    # candidate reps by interleaving: (0,1), (0,3), (2,3); aligned
+    # condition keeps (0,1) [8>5] and (0,3) [7>5], kills (2,3) [7<9];
+    # chains: [(0,1)], [(0,3)], [(0,1),(2,3)] -> killed.
+    assert res == [
+        (0, (("t", (4,)), ("u", (0,)), ("w", (1,)))),
+        (0, (("t", (4,)), ("u", (0,)), ("w", (3,)))),
+    ]
+
+
+def test_group_streaming_incremental_parity():
+    """Group pattern through the incremental streaming state function
+    (fake GroupState): union of per-batch emissions == batch matcher."""
+    from cep_spark.batch import matches_to_pdf_flat
+    from cep_spark.stream import _make_incremental_fn
+    from test_stream_fn_property import FakeState, _canon_rows
+
+    pat = PATTERNS["group_then_var"]
+    cp = compile_pattern(pat)
+    w_ns = int(pat.window.total_seconds() * 1e9)
+    rng = np.random.default_rng(99)
+    for trial in range(25):
+        g = _gen_group(trial * 11 + 5, int(rng.integers(4, 14)))
+        g["ts"] = g["ts"].astype("datetime64[us]")
+        g = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        cuts = sorted(rng.integers(0, len(g), size=int(rng.integers(0, 4))).tolist())
+        bounds = [0] + cuts + [len(g)]
+        batches = [g.iloc[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+
+        fn = _make_incremental_fn(cp, "flat", (), w_ns)
+        state = FakeState()
+        out, wm, seen = [], 0, 0
+        for b in batches:
+            state.hasTimedOut, state.wm_ms, state.timer_ms = False, wm, None
+            for pdf in fn(("c0",), iter([b]), state):
+                out.append(pdf)
+            if len(b):
+                seen = max(seen, int(b["ts"].max().value // 1_000_000))
+            wm = seen
+        final_wm = int(g["ts"].max().value // 1_000_000) + 10_000_000
+        wm = final_wm
+        for _ in range(64):
+            if not state.exists or state.timer_ms is None or state.timer_ms > wm:
+                break
+            state.hasTimedOut, state.wm_ms, state.timer_ms = True, wm, None
+            for pdf in fn(("c0",), iter([]), state):
+                out.append(pdf)
+        res = match_group_nfa(cp, g)
+        want = _canon_rows([matches_to_pdf_flat(cp, g, "c0", res=res)]) if res else []
+        assert _canon_rows(out) == want, f"trial {trial}\n{g}"

