@@ -296,14 +296,56 @@ FROM ranked WHERE rank <= {KNN_K}
 
 SQL_ANN_IVF = _sql_ann_ivf()
 
+# ---------------------------------------------------------------------------
+# 4. embedding-cosine NEAR-DUP DEDUP: LSH-bucketed candidate pairs
+#    (same planes/threshold as ann_lsh_pairs) -> single-hop min-id
+#    canonicalization.  Every vector gets a canon_id = min(vec_id, its
+#    near-dup partners); is_dup marks rows a dedup pass would drop.
+#    At 100 TB: candidates come only from band buckets (never
+#    all-pairs), the canonicalization is one groupBy(min) + one
+#    broadcast-size left join.  Single hop is the standard streaming
+#    dedup primitive; FULL transitive closure = iterate the same
+#    min-propagation join to a fixed point (log-diameter rounds) —
+#    deliberately not folded in here so the per-pass cost stays one
+#    shuffle.
+
+
+def q_cosine_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    pairs = q_ann_lsh_pairs(spark, sf_dir)  # vec_id_a < vec_id_b, score >= T
+    # only an a-side partner can lower an id (pairs are ordered a < b)
+    canon = (
+        pairs.groupBy(F.col("vec_id_b").alias("vec_id"))
+        .agg(F.min("vec_id_a").alias("mn"))
+    )
+    e = _read_emb(spark, sf_dir).select("vec_id")
+    return e.join(canon, "vec_id", "left").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.coalesce("mn", "vec_id").cast("long").alias("canon_id"),
+        (F.coalesce("mn", F.col("vec_id")) < F.col("vec_id")).alias("is_dup"),
+    )
+
+
+SQL_COSINE_DEDUP = f"""
+WITH pairs AS ({SQL_ANN_LSH}),
+canon AS (SELECT vec_id_b AS vec_id, MIN(vec_id_a) AS mn FROM pairs GROUP BY vec_id_b)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(COALESCE(c.mn, e.vec_id) AS BIGINT) AS canon_id,
+       (COALESCE(c.mn, e.vec_id) < e.vec_id) AS is_dup
+FROM embeddings e LEFT JOIN canon c ON c.vec_id = e.vec_id
+"""
+
 QUERIES = {
     "emb_knn_bruteforce": q_knn_bruteforce,
     "emb_ann_lsh_pairs": q_ann_lsh_pairs,
     "emb_ann_ivf": q_ann_ivf,
+    "emb_cosine_dedup": q_cosine_dedup,
 }
 
 ORACLES = {
     "emb_knn_bruteforce": SQL_KNN,
     "emb_ann_lsh_pairs": SQL_ANN_LSH,
     "emb_ann_ivf": SQL_ANN_IVF,
+    "emb_cosine_dedup": SQL_COSINE_DEDUP,
 }
