@@ -109,12 +109,18 @@ def _words_df(spark, sf_dir):
     from pyspark.sql import functions as F
 
     d = _read_docs(spark, sf_dir)
-    # cache() is the materialization barrier: a plain repartition is NOT
-    # enough — the optimizer transposes the projection through it and
-    # re-inlines the regex into every element access downstream
+    # repartition BEFORE the projection: the small-SF parquet is a single
+    # split, so projecting first runs every regex in ONE task; shuffling
+    # the raw (doc_id, text) rows out to defaultParallelism partitions
+    # first makes the normalize+split stage data-parallel (the Project
+    # stays above the Exchange — verified via explain).  cache() is the
+    # materialization barrier: without it the optimizer collapses the
+    # projection into every downstream `w[i]` access and the regex work
+    # goes quadratic in words-per-doc.
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
     return (
-        d.select("doc_id", F.split(F.expr(_spark_norm_sql_spark()), " ").alias("w"))
-        .repartition("doc_id")
+        d.repartition(n_part, "doc_id")
+        .select("doc_id", F.split(F.expr(_spark_norm_sql_spark()), " ").alias("w"))
         .cache()
     )
 

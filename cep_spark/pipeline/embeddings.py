@@ -26,7 +26,18 @@ ROUND_DP = 6
 KNN_K = 5
 KNN_QUERY_MOD = 50  # queries = vec_id % KNN_QUERY_MOD == 0
 LSH_BANDS = 8
-LSH_BITS = 4  # bits per band
+LSH_BITS = 8  # bits per band — sized so candidate volume stays sub-quadratic:
+# a RANDOM pair collides in a band w.p. 2^-bits, so expected candidates
+# ≈ pairs * bands/2^bits = 3% of all-pairs at 8 bits (4 bits admitted
+# ~40% — measured 818k/2M at sf0.1, i.e. LSH degenerating to all-pairs
+# verification; the signature is the O(n) part, candidates the O(n^2)
+# part, so deeper bands are the scale-correct trade).  Recall at the
+# near-dup operating point (cos>=0.9, theta~25deg) is 1-(1-p^8)^8 ~ 0.94
+# with p = 1 - theta/pi; at the synthetic-data threshold 0.42 (theta~65deg,
+# chosen only so unclustered gaussians yield any pairs at all) intrinsic
+# recall is ~0.2 — like emb_ann_ivf's honest recall note, the
+# approximation itself is deterministic and exactly replicated by the
+# oracle, so the harness check stays bit-exact.
 EMB_DIM = 64
 ANN_COS_T = 0.42  # verification threshold for candidate pairs
 
@@ -49,6 +60,30 @@ def _read_emb(spark, sf_dir):
 def _spark_dot(a: str, b: str) -> str:
     # left-fold dot product in DOUBLE (matches DuckDB list_inner_product)
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+
+
+def _dot_col(a, b):
+    """Column-API twin of ``_spark_dot`` — the IDENTICAL left-fold
+    aggregate(zip_with(...)) expression, built without SQL parsing."""
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _const_planes(spark, name: str, value):
+    """The plane/centroid matrix as a ONE-ROW broadcast DataFrame.
+
+    Embedding the matrix as expression-tree literals is driver-side
+    poison at every scale: the F.expr form parses ~2k ``cast(x as
+    double)`` nodes per query (~6 s before the first task), nested
+    ``F.lit`` issues one Py4J call per float (~2 s), and either way the
+    analyzer re-traverses a 2k-node tree on each use.  A single-row
+    DataFrame cross-joined with ``F.broadcast`` ships the matrix as
+    DATA in one broadcast variable — tiny plan, and exactly how a small
+    dimension table reaches 1000 executors on a real cluster."""
+    return spark.createDataFrame([(value,)], f"{name}: array<array<double>>")
 
 
 def _spark_norm_expr(a: str) -> str:
@@ -109,18 +144,21 @@ def q_ann_lsh_pairs(spark, sf_dir):
     e = _read_emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    ep = e.crossJoin(F.broadcast(_const_planes(spark, "planes", PLANES)))
     band_structs = []
     for b in range(LSH_BANDS):
-        bits = []
-        for k in range(LSH_BITS):
-            plane = PLANES[b * LSH_BITS + k]
-            arr = f"array({', '.join(f'cast({x!r} as double)' for x in plane)})"
-            bits.append(f"(case when {_spark_dot(arr, 'v')} >= 0.0 then '1' else '0' end)")
+        # this band's 4 planes, sliced from the broadcast matrix; bit k
+        # is the sign of the same left-fold dot as the SQL oracle's bit k
+        planes_b = F.slice("planes", b * LSH_BITS + 1, LSH_BITS)
+        bits = F.transform(
+            planes_b,
+            lambda p: F.when(_dot_col(p, F.col("v")) >= 0.0, "1").otherwise("0"),
+        )
         band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.expr(f"concat({', '.join(bits)})").alias("bkey"))
+            F.struct(F.lit(b).alias("band"), F.array_join(bits, "").alias("bkey"))
         )
     banded = (
-        e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk"))
+        ep.select("vec_id", F.explode(F.array(*band_structs)).alias("bk"))
         .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
         .cache()  # 32 plane dot products per row; both join sides read it
     )
@@ -200,10 +238,6 @@ _rng_ivf = np.random.default_rng(20260817)
 CENTROIDS = np.round(_rng_ivf.standard_normal((IVF_C, EMB_DIM)), 6).tolist()
 
 
-def _centroid_arr_spark(i: int) -> str:
-    return f"array({', '.join(f'cast({x!r} as double)' for x in CENTROIDS[i])})"
-
-
 def _centroid_arr_sql(i: int) -> str:
     return f"[{', '.join(repr(x) for x in CENTROIDS[i])}]::DOUBLE[]"
 
@@ -222,10 +256,12 @@ def q_ann_ivf(spark, sf_dir):
     e = _read_emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # materialize the C centroid dots as columns (one pass, no expr dup)
-    dots = [F.expr(_spark_dot(_centroid_arr_spark(i), "v")).alias(f"d{i}")
+    # materialize the C centroid dots as columns (one pass, no expr dup;
+    # centroids arrive as a one-row broadcast matrix — see _const_planes)
+    ec = e.crossJoin(F.broadcast(_const_planes(spark, "cents", CENTROIDS)))
+    dots = [_dot_col(F.element_at("cents", i + 1), F.col("v")).alias(f"d{i}")
             for i in range(IVF_C)]
-    scored = e.select("vec_id", "v", *dots)
+    scored = ec.select("vec_id", "v", *dots)
     dnames = [f"d{i}" for i in range(IVF_C)]
     mx = "greatest(" + ", ".join(dnames) + ")"
     cell1 = _argmax_case(dnames, mx)
