@@ -126,11 +126,18 @@ def _words_df(spark, sf_dir):
 
 
 def _shingle_list_df(spark, sf_dir):
-    """(doc_id, sh: array<string>) — DISTINCT trigram shingles."""
+    """(doc_id, sh: array<string>) — DISTINCT trigram shingles.
+
+    cache(): the shingle transform is read 3x per minhash query (the
+    explode side + both verification join sides) and by every
+    jaccard-family entry in a session; at production scale this is the
+    shingle table you would materialize once for the whole dedup pass."""
     from pyspark.sql import functions as F
 
-    return _words_df(spark, sf_dir).select(
-        "doc_id", F.expr(_SPARK_SHINGLES_EXPR.format(w="w")).alias("sh")
+    return (
+        _words_df(spark, sf_dir)
+        .select("doc_id", F.expr(_SPARK_SHINGLES_EXPR.format(w="w")).alias("sh"))
+        .cache()
     )
 
 
