@@ -694,3 +694,126 @@ FROM win WHERE i <= n - {WINNOW_W}
 
 QUERIES["doc_winnow"] = q_winnow
 ORACLES["doc_winnow"] = SQL_WINNOW
+
+
+# ---------------------------------------------------------------------------
+# 10. near-duplicate CLUSTERS: connected components over the SimHash
+#     pair graph (transitive closure of "hamming <= D"), via alternating
+#     large-star / small-star contraction (Kiveris et al., "Connected
+#     Components in MapReduce and Beyond", SoCC'14).  This is the step a
+#     real dedup pass needs beyond pairs: A~B and B~C must collapse into
+#     ONE keep-group even when A!~C, which the single-hop min-id
+#     canonicalization (emb_cosine_dedup) deliberately does not do.
+#
+#     Scale shape: every round is one symmetric groupBy-min plus one
+#     join over the EDGE set (near-dup pairs, orders of magnitude
+#     smaller than the corpus), and the alternation provably converges
+#     in O(log n) rounds -- no path-length-bounded label propagation,
+#     no driver-side union-find.  Each round ends in an eager
+#     localCheckpoint so the loop's lineage (and the convergence probe)
+#     stays flat instead of re-running all prior rounds.  The
+#     convergence probe here is an exact symmetric exceptAll over the
+#     two edge sets; at 100 TB replace it with the one-aggregate
+#     (count, sum(xxhash64(u,v))) checksum -- noted rather than done
+#     because the exact probe is what makes the oracle comparison
+#     airtight at test scale.
+
+
+CC_MAX_ROUNDS = 30  # >= O(log^2 n) for any realistic edge set; loud failure
+
+
+def _cc_components(edges):
+    """edges: DataFrame(u:long, v:long) undirected, u < v, distinct.
+    Returns DataFrame(doc_id:long, cluster_id:long) for every node that
+    appears in an edge; cluster_id = min doc_id of its component."""
+    from pyspark.sql import functions as F
+
+    def sym(e):
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def canon(e):
+        return (
+            e.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def star(e, large):
+        s = sym(e)
+        m = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        j = s.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select("v", "m")
+        else:
+            out = j.filter(F.col("v") <= F.col("u")).select("v", "m").union(
+                j.select(F.col("u").alias("v"), "m").distinct()
+            )
+        return canon(out.select(F.col("v").alias("u"), F.col("m").alias("v")))
+
+    e = canon(edges).localCheckpoint()
+    for _ in range(CC_MAX_ROUNDS):
+        nxt = star(star(e, large=True), large=False).localCheckpoint()
+        changed = (
+            nxt.exceptAll(e).union(e.exceptAll(nxt)).limit(1).count() > 0
+        )
+        prev, e = e, nxt
+        if not changed:
+            break
+    else:
+        raise RuntimeError("CC star contraction did not converge")
+    # fixpoint edge set is a star per component: min-neighbor IS the root
+    s = sym(e)
+    return (
+        s.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("doc_id"), F.least("mv", "u").alias("cluster_id")
+        )
+    )
+
+
+def q_dedup_cc(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    edges = q_simhash_pairs(spark, sf_dir).select(
+        F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
+    )
+    comp = _cc_components(edges)
+    docs = _read_docs(spark, sf_dir).select("doc_id")
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").cast("long").alias("cluster_id"),
+        (F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    )
+
+
+# oracle: exact transitive closure by recursive CTE (per-component
+# reachability; near-dup components are tiny at oracle scale)
+SQL_DEDUP_CC = f"""
+WITH RECURSIVE s AS ({_sql_simhash_core()}),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_D}),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
+SELECT d.doc_id,
+       CAST(COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id,
+       (COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+QUERIES["doc_dedup_cc"] = q_dedup_cc
+ORACLES["doc_dedup_cc"] = SQL_DEDUP_CC

@@ -34,3 +34,51 @@ def test_pipeline_vs_oracle(name, spark, con):
     o_rows = _canon(o[cols].itertuples(index=False, name=None))
     assert s_rows == o_rows, f"{name}: spark={len(s_rows)} oracle={len(o_rows)}"
     assert len(s_rows) > 0 or name in ("doc_ngram_jaccard", "doc_minhash_lsh")
+
+
+def test_cc_star_contraction_vs_union_find(spark):
+    """_cc_components (large-star/small-star) vs a pure-Python
+    union-find on seeded random graphs, including a long path (worst
+    case for naive min-label propagation) and an empty edge set."""
+    import random
+
+    from cep_spark.pipeline.docs import _cc_components
+
+    def uf_components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        out = {}
+        touched = {x for e in edges for x in e}
+        for x in touched:
+            out[x] = find(x)
+        return out
+
+    rng = random.Random(7)
+    cases = []
+    for n, m in [(30, 15), (50, 60), (80, 40)]:
+        cases.append(
+            (n, [(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+        )
+    cases.append((64, [(i, i + 1) for i in range(63)]))  # path graph
+    cases.append((10, []))  # no edges
+
+    for n, raw in cases:
+        edges = [(u, v) for u, v in raw if u != v]
+        df = spark.createDataFrame(
+            [(int(min(u, v)), int(max(u, v))) for u, v in edges] or [],
+            "u long, v long",
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"] for r in _cc_components(df).collect()
+        }
+        assert got == uf_components(n, edges)
