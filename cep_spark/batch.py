@@ -439,7 +439,7 @@ def unary_masks(cp: CompiledPattern, cols: dict, n: int, start: int = 0):
     return out
 
 
-def match_group_nfa(cp: CompiledPattern, gdf: pd.DataFrame) -> list:
+def match_group_nfa(cp: CompiledPattern, gdf: pd.DataFrame, cap=None, stats=None) -> list:
     """All matches in one key-group (gdf sorted by (ts, tiebreak)).
 
     Returns list of (alt_id, {var: pos | tuple(pos)}).  Same contract as
@@ -450,23 +450,35 @@ def match_group_nfa(cp: CompiledPattern, gdf: pd.DataFrame) -> list:
     store = _ColStore(gdf)
     ts_ns = gdf[cp.pattern.ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
     masks = unary_masks(cp, store._cols, n)
-    return match_core(cp, store, ts_ns, masks)
+    return match_core(cp, store, ts_ns, masks, cap=cap, stats=stats)
 
 
-def match_core(cp: CompiledPattern, store, ts_ns, masks) -> list:
+def match_core(cp: CompiledPattern, store, ts_ns, masks, cap=None, stats=None) -> list:
     """NFA advance over one sorted group given precomputed unary masks."""
-    out, _ = advance_core(cp, store, ts_ns, masks)
+    out, _ = advance_core(cp, store, ts_ns, masks, cap=cap, stats=stats)
     return out
 
 
-def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start=0):
+def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start=0,
+                 cap=None, stats=None):
     """Resumable NFA advance: process events [start, n) against partial
     tables carried over from a previous call (the incremental streaming
     executor persists them in the state store and advances only over
     newly-sealed arrivals — stream.py).  `tables_in` maps
     alt_id -> {state_sid: _Partials} with positions indexing `store`;
     returns (matches, tables_out) — tables_out is safe to persist.
-    tables_in=None, start=0 is a full from-scratch match."""
+    tables_in=None, start=0 is a full from-scratch match.
+
+    ``cap`` (state guard, opt-in): hard bound on the number of partial
+    matches retained per NFA state per key.  On breach the OLDEST
+    partials (front of the insertion-ordered table — earliest starts)
+    are dropped deterministically and counted into
+    ``stats["dropped_partials"]``.  Dropping a partial can only LOSE
+    matches, never fabricate one; with cap=None semantics are exact.
+    This is the hot-key safety valve for powerset-Kleene patterns whose
+    partial count is exponential in the number of matching events
+    inside the window — at 100 TB one adversarial conversation must
+    not OOM its executor or blow the state store."""
     pat = cp.pattern
     n = len(ts_ns)
     w_ns = None if pat.window is None else int(pat.window.total_seconds() * 1e9)
@@ -649,6 +661,15 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
 
             for target, npart in staged:
                 tables[target].extend(npart)
+            if cap is not None:
+                for sid, tbl in tables.items():
+                    over = len(tbl) - cap
+                    if over > 0:
+                        tables[sid] = tbl.select(np.arange(over, len(tbl)))
+                        if stats is not None:
+                            stats["dropped_partials"] = (
+                                stats.get("dropped_partials", 0) + over
+                            )
 
     return out, tables_out
 
@@ -818,8 +839,31 @@ def matches_to_pdf_flat(cp, gdf, key_val, res=None):
     return pd.DataFrame(rows, columns=cols)
 
 
+def _guard_drops_acc(df, cap):
+    """Spark accumulator receiving the state guard's dropped-partial
+    count (None when the guard is off).  Attached to the returned
+    DataFrame as ``.guard_drops`` — read ``.value`` after an action."""
+    if cap is None:
+        return None
+    return df.sparkSession.sparkContext.accumulator(0)
+
+
+def _flush_guard_stats(stats, acc):
+    d = stats.get("dropped_partials", 0)
+    if d:
+        if acc is not None:
+            acc.add(d)
+        import logging
+
+        logging.getLogger("cep_spark.guard").warning(
+            "state guard dropped %d partial matches (results are a "
+            "deterministic subset; raise max_partials_per_state for "
+            "exact semantics)", d,
+        )
+
+
 def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role", "tool", "ts"),
-              strategy="auto", assume_clustered=False):
+              strategy="auto", assume_clustered=False, max_partials_per_state=None):
     """Batch NFA execution.  Two physical strategies:
 
     * ``partition`` (default for flat output) — repartition(key) +
@@ -841,43 +885,61 @@ def run_batch(df, cp: CompiledPattern, mode="flat", emit_cols=("turn_idx", "role
     caller asserts every key's rows already live in one partition
     (bucketed table, pre-partitioned write, or an upstream exchange) —
     the zero-shuffle path scripts/demo_bucketing.py demonstrates for
-    the join lowering, extended here to the NFA executor."""
+    the join lowering, extended here to the NFA executor.
+
+    ``max_partials_per_state`` (opt-in state guard, default None=exact):
+    bound the per-key per-NFA-state partial-match tables, dropping the
+    oldest partials deterministically on breach — see advance_core.
+    Drop counts surface on the returned DataFrame's ``guard_drops``
+    accumulator (read ``.value`` after an action) and as executor-side
+    warnings; never silent."""
     from ._serde import ensure_shippable
 
     ensure_shippable()
+    cap = max_partials_per_state
     if strategy == "auto":
         strategy = "partition"
     if strategy == "partition":
         if mode == "flat":
-            return _run_batch_partition(df, cp, assume_clustered)
+            return _run_batch_partition(df, cp, assume_clustered, cap=cap)
         # array mode: the N=1 case of the partition-amortized multi executor
-        return _run_batch_multi_partition(df, [cp], emit_cols, assume_clustered)
+        return _run_batch_multi_partition(df, [cp], emit_cols, assume_clustered, cap=cap)
     pat = cp.pattern
     key_type = df.schema[pat.key].dataType
+    acc = _guard_drops_acc(df, cap)
     df = prefilter(df, cp, extra_cols=emit_cols if mode == "array" else ())
     if mode == "flat":
         schema = match_schema_flat(cp, key_type)
 
         def fn(key, pdf):
             g = pdf.sort_values([pat.ts_col, pat.tiebreak_col]).reset_index(drop=True)
-            return matches_to_pdf_flat(cp, g, key[0])
+            stats = {}
+            res = match_group_nfa(cp, g, cap=cap, stats=stats)
+            _flush_guard_stats(stats, acc)
+            return matches_to_pdf_flat(cp, g, key[0], res=res)
 
     else:
         schema = match_schema_array(pat, emit_cols, key_type)
 
         def fn(key, pdf):
             g = pdf.sort_values([pat.ts_col, pat.tiebreak_col]).reset_index(drop=True)
-            return matches_to_pdf_array(cp, g, key[0], emit_cols)
+            stats = {}
+            res = match_group_nfa(cp, g, cap=cap, stats=stats)
+            _flush_guard_stats(stats, acc)
+            return matches_to_pdf_array(cp, g, key[0], emit_cols, res=res)
 
-    return df.groupBy(pat.key).applyInPandas(fn, schema=schema)
+    out = df.groupBy(pat.key).applyInPandas(fn, schema=schema)
+    out.guard_drops = acc
+    return out
 
 
-def _run_batch_partition(df, cp: CompiledPattern, assume_clustered=False):
+def _run_batch_partition(df, cp: CompiledPattern, assume_clustered=False, cap=None):
     """Partition-amortized NFA execution (see run_batch docstring)."""
     pat = cp.pattern
     key_type = df.schema[pat.key].dataType
     schema = match_schema_flat(cp, key_type)
     out_cols = schema.fieldNames()
+    acc = _guard_drops_acc(df, cap)
     base = prefilter(df, cp)
     if assume_clustered:
         rep = base.sortWithinPartitions(pat.key, pat.ts_col, pat.tiebreak_col)
@@ -908,6 +970,7 @@ def _run_batch_partition(df, cp: CompiledPattern, assume_clustered=False):
         masks_all = unary_masks(cp, cols_all, n)
         tb_all = cols_all[tb_col]
         rows = []
+        stats = {}
         for gi in range(len(bounds) - 1):
             s, e = int(bounds[gi]), int(bounds[gi + 1])
             sub_cols = {c: a[s:e] for c, a in cols_all.items()}
@@ -916,7 +979,7 @@ def _run_batch_partition(df, cp: CompiledPattern, assume_clustered=False):
                 aid: ({sid: m[s:e] for sid, m in sm.items()}, [m[s:e] for m in nm])
                 for aid, (sm, nm) in masks_all.items()
             }
-            res = match_core(cp, store, ts_all[s:e], masks)
+            res = match_core(cp, store, ts_all[s:e], masks, cap=cap, stats=stats)
             if not res:
                 continue
             key_val = keys[s]
@@ -934,9 +997,12 @@ def _run_batch_partition(df, cp: CompiledPattern, assume_clustered=False):
                     else:
                         row.append(None if p is None else int(tb[p]))
                 rows.append(tuple(row))
+        _flush_guard_stats(stats, acc)
         yield pd.DataFrame(rows, columns=out_cols)
 
-    return rep.mapInPandas(gen, schema=schema)
+    out = rep.mapInPandas(gen, schema=schema)
+    out.guard_drops = acc
+    return out
 
 
 def prefilter(df, cp: CompiledPattern, extra_cols=()):
@@ -991,7 +1057,8 @@ def prefilter_multi(df, cps, extra_cols=()):
 
 
 def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
-                    strategy="auto", assume_clustered=False):
+                    strategy="auto", assume_clustered=False,
+                    max_partials_per_state=None):
     """Run N compiled patterns over one keyed scan: single shuffle,
     single sort, one matcher pass per pattern; output is the array
     schema with ``pattern_id`` distinguishing the patterns.
@@ -1017,27 +1084,37 @@ def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
     ids = [cp.pattern.pattern_id for cp in cps]
     if len(set(ids)) != len(ids):
         raise ValueError(f"pattern_id values must be distinct, got {ids}")
+    cap = max_partials_per_state
     if strategy == "auto":
         strategy = "partition"
     if strategy == "partition":
-        return _run_batch_multi_partition(df, cps, emit_cols, assume_clustered)
+        return _run_batch_multi_partition(df, cps, emit_cols, assume_clustered, cap=cap)
     key_type = df.schema[p0.key].dataType
     schema = match_schema_array(p0, emit_cols, key_type)
+    acc = _guard_drops_acc(df, cap)
     base = prefilter_multi(df, cps, extra_cols=emit_cols)
 
     def fn(key, pdf):
         g = pdf.sort_values([p0.ts_col, p0.tiebreak_col]).reset_index(drop=True)
-        outs = [matches_to_pdf_array(cp, g, key[0], emit_cols) for cp in cps]
+        stats = {}
+        outs = []
+        for cp in cps:
+            res = match_group_nfa(cp, g, cap=cap, stats=stats)
+            outs.append(matches_to_pdf_array(cp, g, key[0], emit_cols, res=res))
+        _flush_guard_stats(stats, acc)
         return pd.concat(outs, ignore_index=True)
 
-    return base.groupBy(p0.key).applyInPandas(fn, schema=schema)
+    out = base.groupBy(p0.key).applyInPandas(fn, schema=schema)
+    out.guard_drops = acc
+    return out
 
 
-def _run_batch_multi_partition(df, cps, emit_cols, assume_clustered=False):
+def _run_batch_multi_partition(df, cps, emit_cols, assume_clustered=False, cap=None):
     """Partition-amortized multi-pattern execution (see run_batch_multi)."""
     p0 = cps[0].pattern
     key_type = df.schema[p0.key].dataType
     schema = match_schema_array(p0, emit_cols, key_type)
+    acc = _guard_drops_acc(df, cap)
     base = prefilter_multi(df, cps, extra_cols=emit_cols)
     if assume_clustered:
         rep = base.sortWithinPartitions(p0.key, p0.ts_col, p0.tiebreak_col)
@@ -1062,6 +1139,7 @@ def _run_batch_multi_partition(df, cps, emit_cols, assume_clustered=False):
         ts_all = cols_all[ts_col].astype("datetime64[ns]").astype(np.int64)
         masks_by_cp = [unary_masks(cp, cols_all, n) for cp in cps]
         rows = []
+        stats = {}
         for gi in range(len(bounds) - 1):
             s, e = int(bounds[gi]), int(bounds[gi + 1])
             sub_cols = {c: a[s:e] for c, a in cols_all.items()}
@@ -1071,12 +1149,15 @@ def _run_batch_multi_partition(df, cps, emit_cols, assume_clustered=False):
                     aid: ({sid: m[s:e] for sid, m in sm.items()}, [m[s:e] for m in nm])
                     for aid, (sm, nm) in masks_by_cp[ci].items()
                 }
-                res = match_core(cp, store, ts_all[s:e], masks)
+                res = match_core(cp, store, ts_all[s:e], masks, cap=cap, stats=stats)
                 if res:
                     rows.extend(
                         array_match_rows(cp, keys[s], emit_cols, res, sub_cols)
                     )
+        _flush_guard_stats(stats, acc)
         if rows:
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
-    return rep.mapInPandas(gen, schema=schema)
+    out = rep.mapInPandas(gen, schema=schema)
+    out.guard_drops = acc
+    return out

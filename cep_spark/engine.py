@@ -34,12 +34,17 @@ class CepEngine:
 
     _DEFAULT_EMIT = ("turn_idx", "role", "tool", "ts")
 
-    def run_batch(self, df, mode: str | None = None, emit_cols=_DEFAULT_EMIT):
+    def run_batch(self, df, mode: str | None = None, emit_cols=_DEFAULT_EMIT,
+                  max_partials_per_state: int | None = None):
         """NFA execution over a batch DataFrame.  mode=None auto-picks:
         flat for a single pattern, array (pattern_id column) for multi.
         Explicitly asking a multi-pattern engine for mode='flat' is an
         error, as is customizing emit_cols on the flat path (the flat
-        schema is fixed) — no silent schema surprises."""
+        schema is fixed) — no silent schema surprises.
+
+        ``max_partials_per_state``: opt-in hot-key state guard (bound
+        per-key per-NFA-state partial tables, drop oldest, counted on
+        the result's ``guard_drops`` accumulator — batch.run_batch)."""
         if mode is None:
             mode = "flat" if self._single is not None else "array"
         if mode not in ("flat", "array"):
@@ -56,10 +61,13 @@ class CepEngine:
                     "emit_cols has no effect on the flat path (fixed schema); "
                     "use mode='array' to select emitted columns"
                 )
-            return run_batch(df, self._single, mode="flat")
+            return run_batch(df, self._single, mode="flat",
+                             max_partials_per_state=max_partials_per_state)
         if self._single is not None:
-            return run_batch(df, self._single, mode="array", emit_cols=emit_cols)
-        return run_batch_multi(df, self.compiled, emit_cols=emit_cols)
+            return run_batch(df, self._single, mode="array", emit_cols=emit_cols,
+                             max_partials_per_state=max_partials_per_state)
+        return run_batch_multi(df, self.compiled, emit_cols=emit_cols,
+                               max_partials_per_state=max_partials_per_state)
 
     def run_join(self, df, kleene_arities: int | None = None):
         """Catalyst self-join lowering (single fixed-arity pattern)."""
@@ -68,10 +76,13 @@ class CepEngine:
         return plan_join(df, self._single, kleene_arities)
 
     def run_stream(self, stream_df, watermark: str, mode: str | None = None,
-                   emit_cols=_DEFAULT_EMIT, strategy: str = "auto"):
+                   emit_cols=_DEFAULT_EMIT, strategy: str = "auto",
+                   max_partials_per_state: int | None = None):
         """Stateful streaming execution (watermark-sealed emission).
         mode=None auto-picks like run_batch; `strategy` selects the
-        incremental vs rematch executor (stream_matches docstring)."""
+        incremental vs rematch executor (stream_matches docstring);
+        ``max_partials_per_state`` is the opt-in hot-key state guard
+        (incremental executors only — single and multi)."""
         if mode is None:
             mode = "flat" if self._single is not None else "array"
         if mode == "flat" and self._single is None:
@@ -81,9 +92,11 @@ class CepEngine:
             )
         if self._single is not None:
             return stream_matches(stream_df, self._single, watermark, mode=mode,
-                                  emit_cols=emit_cols, strategy=strategy)
+                                  emit_cols=emit_cols, strategy=strategy,
+                                  max_partials_per_state=max_partials_per_state)
         return stream_matches_multi(stream_df, self.compiled, watermark,
-                                    emit_cols=emit_cols, strategy=strategy)
+                                    emit_cols=emit_cols, strategy=strategy,
+                                    max_partials_per_state=max_partials_per_state)
 
     def oracle_sql(self, table: str, kleene_arities: int | None = None) -> list[str]:
         """Equivalent ANSI SQL per pattern (DuckDB-compatible)."""

@@ -212,7 +212,7 @@ def _seal_ts_ns(binding: dict, ts_ns: np.ndarray, alt_id, trailing_ids, w_ns) ->
 
 def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
                    emit_cols=("turn_idx", "role", "tool", "ts"),
-                   strategy: str = "auto"):
+                   strategy: str = "auto", max_partials_per_state=None):
     """Attach the stateful NFA to a streaming DataFrame.
 
     Returns the streaming match DataFrame (append mode); the caller
@@ -287,7 +287,15 @@ def stream_matches(df, cp: CompiledPattern, watermark: str, mode: str = "flat",
     if strategy not in ("incremental", "rematch"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "incremental":
-        return _stream_incremental(df, cp, out_schema, mode, emit_cols, w_ns)
+        return _stream_incremental(df, cp, out_schema, mode, emit_cols, w_ns,
+                                   cap=max_partials_per_state)
+    if max_partials_per_state is not None:
+        # the rematch executor's state is the event buffer, not partial
+        # tables — the guard has nothing to bound there; fail loudly
+        # rather than silently ignore the knob
+        raise ValueError(
+            "max_partials_per_state requires the incremental strategy"
+        )
 
     state_schema = T.StructType(
         [
@@ -468,7 +476,8 @@ def _make_rematch_fn(cp: CompiledPattern, mode, emit_cols, w_ns, trailing_ids, r
     return fn
 
 
-def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_ns):
+def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_ns,
+                        cap=None):
     """Incremental stateful executor (stream_matches strategy docstring).
 
     State per key:
@@ -504,7 +513,7 @@ def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_
             T.StructField("fellback", T.IntegerType()),
         ]
     )
-    fn = _make_incremental_fn(cp, mode, emit_cols, w_ns)
+    fn = _make_incremental_fn(cp, mode, emit_cols, w_ns, cap=cap)
 
     return df.groupBy(pat.key).applyInPandasWithState(
         fn,
@@ -552,12 +561,17 @@ def _park_partials(alt, bindings, ts_ns) -> "_Partials":
     return p
 
 
-def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
+def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns, cap=None):
     """Build the per-key state function for the incremental executor.
     Exposed separately so tests can drive it directly against a fake
     GroupState (fast randomized semantics checks without a Spark
-    streaming query)."""
-    from .batch import _edge_ok
+    streaming query).
+
+    ``cap``: per-state partial-table bound (advance_core's state guard)
+    — bounds the state-store footprint of a hot key instead of letting
+    it grow to the fallback threshold; dropped-oldest, warn-logged,
+    opt-in (None = exact)."""
+    from .batch import _edge_ok, _flush_guard_stats
 
     pat = cp.pattern
     ts_col, tb_col = pat.ts_col, pat.tiebreak_col
@@ -648,7 +662,8 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
                 ).reset_index(drop=True)
                 ts_ns = _ts_i8(g)
                 res = []
-                for a, b in match_group_nfa(cp, g):
+                fb_stats = {}
+                for a, b in match_group_nfa(cp, g, cap=cap, stats=fb_stats):
                     lts = _seal_ts_ns(b, ts_ns, a, trailing_ids, w_ns)
                     if lo_ns < lts <= wm_ns:
                         res.append((a, b))
@@ -656,6 +671,7 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
                         min_parked_seal is None or lts < min_parked_seal
                     ):
                         min_parked_seal = lts
+                _flush_guard_stats(fb_stats, None)
                 if res:
                     yield _emit(g, key[0], res)
                 if w_ns is not None and wm_ns > 0:
@@ -682,10 +698,13 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns):
                 # slot masks only over the new suffix (negation masks are
                 # full-range) — per-batch mask cost is O(new events)
                 masks = unary_masks(cp, store._cols, len(g), start=start)
+                stats = {}
                 res, tables = advance_core(
                     cp, store, ts_ns, masks,
                     tables_in=tables or None, start=start,
+                    cap=cap, stats=stats,
                 )
+                _flush_guard_stats(stats, None)
                 # re-verify parked matches against ONLY the freshly-
                 # sealed trailing-negation candidates (earlier sealed
                 # candidates were checked at accept / prior batches;
@@ -858,7 +877,7 @@ def run_stream(
 
 def stream_matches_multi(df, cps, watermark: str,
                          emit_cols=("turn_idx", "role", "tool", "ts"),
-                         strategy: str = "auto"):
+                         strategy: str = "auto", max_partials_per_state=None):
     """Streaming multi-pattern execution (reference `CEP(patterns=[...])`,
     SURVEY.md §2.3 E7): ONE keyed state stream runs every compiled
     pattern — one watermark, one shuffle, one event buffer per key
@@ -874,6 +893,13 @@ def stream_matches_multi(df, cps, watermark: str,
     (e.g. restarting a checkpoint written before the incremental
     executor existed); ``"incremental"`` — require the incremental path,
     rejecting pattern sets it cannot serve.
+
+    ``max_partials_per_state`` (opt-in hot-key guard, default None=exact):
+    per-pattern per-NFA-state bound on the persisted partial tables AND
+    on the in-flight matcher tables of per-pattern rematch fallbacks —
+    oldest partials dropped deterministically, loss-only, warn-logged
+    (batch.advance_core).  Rejected with strategy='rematch' (that
+    executor's state is the event buffer; the guard bounds nothing).
     """
     import pandas as pd
 
@@ -912,6 +938,10 @@ def stream_matches_multi(df, cps, watermark: str,
             "rematch"
         )
     force_rematch = strategy == "rematch"
+    if force_rematch and max_partials_per_state is not None:
+        raise ValueError(
+            "max_partials_per_state requires the incremental strategy"
+        )
 
     if isinstance(df.schema[p0.ts_col].dataType, T.TimestampNTZType):
         df = df.withColumn(p0.ts_col, df[p0.ts_col].cast(T.TimestampType()))
@@ -930,7 +960,8 @@ def stream_matches_multi(df, cps, watermark: str,
         ]
     )
     fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
-                        force_rematch=force_rematch)
+                        force_rematch=force_rematch,
+                        cap=max_partials_per_state)
 
     return df.groupBy(p0.key).applyInPandasWithState(
         fn,
@@ -942,9 +973,13 @@ def stream_matches_multi(df, cps, watermark: str,
 
 
 def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
-                   force_rematch: bool = False):
+                   force_rematch: bool = False, cap=None):
     """Per-key state function for multi-pattern streaming (exposed for
-    the fake-GroupState property harness, like _make_incremental_fn)."""
+    the fake-GroupState property harness, like _make_incremental_fn).
+
+    ``cap``: per-pattern per-NFA-state partial-table bound
+    (advance_core's state guard) — see stream_matches_multi."""
+    from .batch import _flush_guard_stats
     p0 = cps[0].pattern
     ts_col, tb_col = p0.ts_col, p0.tiebreak_col
     # patterns that must rematch (trailing-neg look-ahead), statically;
@@ -1020,12 +1055,14 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                     ).reset_index(drop=True)
                     ts_all = ts_i8(g_all)
                 res_sealed = []
-                for a, b in match_group_nfa(cp, g_all):
+                fb_stats = {}
+                for a, b in match_group_nfa(cp, g_all, cap=cap, stats=fb_stats):
                     lts = _seal_ts_ns(b, ts_all, a, trailing_of[ci], w_ns_of[ci])
                     if lo_ns < lts <= wm_ns:
                         res_sealed.append((a, b))
                     elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):
                         min_unsealed_ns = lts
+                _flush_guard_stats(fb_stats, None)
                 if res_sealed:
                     outs.append(matches_to_pdf_array(cp, g_all, key[0], emit_cols, res=res_sealed))
             else:
@@ -1036,10 +1073,13 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                         ts_s = ts_i8(g_sealed)
                     start = len(g_sealed) - n_new
                     masks_ci = unary_masks(cp, store._cols, len(g_sealed), start=start)
+                    stats = {}
                     res, tables = advance_core(
                         cp, store, ts_s, masks_ci,
                         tables_in=tables or None, start=start,
+                        cap=cap, stats=stats,
                     )
+                    _flush_guard_stats(stats, None)
                     if res:
                         outs.append(matches_to_pdf_array(cp, g_sealed, key[0], emit_cols, res=res))
                 tables_out[ci] = tables
