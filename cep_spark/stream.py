@@ -883,16 +883,17 @@ def stream_matches_multi(df, cps, watermark: str,
     pattern — one watermark, one shuffle, one event buffer per key
     (retention = the LARGEST pattern window).  Each pattern uses the
     incremental executor (persisted partial tables, advance over
-    newly-sealed events) unless it has a trailing negation or its
-    partial set outgrew the buffer (per-pattern rematch fallback,
-    tracked as a state bitmask).  Output is the array schema with
-    ``pattern_id``.
+    newly-sealed events; trailing negations handled by PARKING accepted
+    matches until their first.ts + window seal, exactly like the
+    single-pattern executor) unless its partial set outgrew the buffer
+    (per-pattern rematch fallback, tracked as a state bitmask).  Output
+    is the array schema with ``pattern_id``.
 
-    ``strategy``: ``"auto"`` — per-pattern incremental-unless-trailing
+    ``strategy``: ``"auto"`` — per-pattern incremental-with-fallback
     (above); ``"rematch"`` — force EVERY pattern onto the rematch path
     (e.g. restarting a checkpoint written before the incremental
-    executor existed); ``"incremental"`` — require the incremental path,
-    rejecting pattern sets it cannot serve.
+    executor existed); ``"incremental"`` — same as auto (kept for
+    symmetry with the single-pattern surface).
 
     ``max_partials_per_state`` (opt-in hot-key guard, default None=exact):
     per-pattern per-NFA-state bound on the persisted partial tables AND
@@ -931,12 +932,6 @@ def stream_matches_multi(df, cps, watermark: str,
 
     if strategy not in ("auto", "rematch", "incremental"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    if strategy == "incremental" and any(trailing_of):
-        raise ValueError(
-            "incremental strategy cannot evaluate trailing negations on "
-            "the multi-pattern path; use auto (per-pattern fallback) or "
-            "rematch"
-        )
     force_rematch = strategy == "rematch"
     if force_rematch and max_partials_per_state is not None:
         raise ValueError(
@@ -954,6 +949,7 @@ def stream_matches_multi(df, cps, watermark: str,
             T.StructField("buf", T.BinaryType()),
             T.StructField("limbo", T.BinaryType()),
             T.StructField("parts", T.BinaryType()),
+            T.StructField("parked", T.BinaryType()),  # {ci: parked tables}
             T.StructField("last_emit_wm_ms", T.LongType()),
             T.StructField("late_dropped", T.LongType()),
             T.StructField("fellback", T.LongType()),  # per-pattern bitmask
@@ -979,15 +975,24 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
 
     ``cap``: per-pattern per-NFA-state partial-table bound
     (advance_core's state guard) — see stream_matches_multi."""
-    from .batch import _flush_guard_stats
+    from .batch import _edge_ok, _flush_guard_stats
     p0 = cps[0].pattern
     ts_col, tb_col = p0.ts_col, p0.tiebreak_col
-    # patterns that must rematch (trailing-neg look-ahead), statically;
-    # strategy='rematch' pins every pattern (checkpoint compatibility)
-    if force_rematch:
-        static_rematch = (1 << len(cps)) - 1
-    else:
-        static_rematch = sum(1 << ci for ci, t in enumerate(trailing_of) if t)
+    # strategy='rematch' pins every pattern (checkpoint compatibility);
+    # trailing negations ride the incremental path via parked matches
+    # (single-pattern parity — _make_incremental_fn)
+    static_rematch = (1 << len(cps)) - 1 if force_rematch else 0
+    alts_of = [{alt.alt_id: alt for alt in cp.alternatives} for cp in cps]
+    trail_specs_of = [
+        {
+            alt.alt_id: [
+                si for si, sp in enumerate(alt.negs) if sp.kind == "trailing"
+            ]
+            for alt in cp.alternatives
+            if alt.alt_id in trailing_of[ci]
+        }
+        for ci, cp in enumerate(cps)
+    ]
 
     def fn(key, pdf_iter, state):
         import pickle
@@ -995,12 +1000,14 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         wm_ms = state.getCurrentWatermarkMs()
         wm_ns = wm_ms * 1_000_000
         if state.exists:
-            buf_raw, limbo_raw, parts_raw, last_emit_wm_ms, late_dropped, fellback = state.get
+            (buf_raw, limbo_raw, parts_raw, parked_raw,
+             last_emit_wm_ms, late_dropped, fellback) = state.get
             sealed = _de_buf(buf_raw) if buf_raw else None
             limbo = _de_buf(limbo_raw) if limbo_raw else None
             parts = pickle.loads(parts_raw) if parts_raw else {}
+            parked_by_ci = pickle.loads(parked_raw) if parked_raw else {}
         else:
-            sealed, limbo, parts = None, None, {}
+            sealed, limbo, parts, parked_by_ci = None, None, {}, {}
             last_emit_wm_ms, late_dropped, fellback = -1, 0, 0
         lo_ns = last_emit_wm_ms * 1_000_000
         rematch_mask = static_rematch | fellback
@@ -1044,6 +1051,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         store = ts_s = masks = None
         g_all = ts_all = None
         tables_out = {}
+        parked_out_by_ci = {}
         for ci, cp in enumerate(cps):
             if rematch_mask & (1 << ci):
                 if g_all is None:
@@ -1067,6 +1075,8 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                     outs.append(matches_to_pdf_array(cp, g_all, key[0], emit_cols, res=res_sealed))
             else:
                 tables = _de_tables(parts.get(ci))
+                parked = _de_tables(parked_by_ci.get(ci))
+                res = []
                 if n_new and g_sealed is not None:
                     if store is None:
                         store = _ColStore(g_sealed)
@@ -1080,9 +1090,81 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                         cap=cap, stats=stats,
                     )
                     _flush_guard_stats(stats, None)
-                    if res:
-                        outs.append(matches_to_pdf_array(cp, g_sealed, key[0], emit_cols, res=res))
+                    # re-verify parked matches against ONLY the freshly-
+                    # sealed trailing-negation candidates (single-pattern
+                    # executor parity — _make_incremental_fn)
+                    if parked:
+                        for alt_id in list(parked):
+                            p = parked[alt_id].get(0)
+                            if p is None or len(p) == 0:
+                                del parked[alt_id]
+                                continue
+                            alt = alts_of[ci][alt_id]
+                            _, neg_mask = masks_ci[alt_id]
+                            ok = np.ones(len(p), dtype=bool)
+                            for si in trail_specs_of[ci][alt_id]:
+                                fresh_pos = np.nonzero(neg_mask[si][start:])[0] + start
+                                if len(fresh_pos):
+                                    ok &= _edge_ok(
+                                        fresh_pos, alt.negs[si], store, p,
+                                        ts_s, w_ns_of[ci], leading=False,
+                                    )
+                            if not ok.all():
+                                p = p.select(ok)
+                            if len(p):
+                                parked[alt_id] = {0: p}
+                            else:
+                                del parked[alt_id]
+                    # split fresh accepts: trailing matches whose look-
+                    # ahead is still open get parked; the rest emit now
+                    if res and trailing_of[ci]:
+                        now = []
+                        to_park: dict = {}
+                        for a, b in res:
+                            if a in trailing_of[ci]:
+                                pos = [
+                                    x for vv in b.values()
+                                    for x in (vv if isinstance(vv, tuple) else (vv,))
+                                ]
+                                seal = int(ts_s[min(pos)]) + w_ns_of[ci]
+                                if seal <= wm_ns:
+                                    now.append((a, b))
+                                else:
+                                    to_park.setdefault(a, []).append(b)
+                            else:
+                                now.append((a, b))
+                        for a, blist in to_park.items():
+                            newp = _park_partials(alts_of[ci][a], blist, ts_s)
+                            old = parked.get(a, {}).get(0)
+                            if old is not None and len(old):
+                                old.extend(newp)
+                            else:
+                                parked[a] = {0: newp}
+                        res = now
+                # emit parked matches whose seal the watermark crossed
+                if parked:
+                    for alt_id in list(parked):
+                        p = parked[alt_id][0]
+                        seal_arr = p.first_ts + w_ns_of[ci]
+                        emit_mask = (seal_arr > lo_ns) & (seal_arr <= wm_ns)
+                        if emit_mask.any():
+                            sel = p.select(emit_mask)
+                            res.extend(
+                                (alt_id, _binding_of(sel, j)) for j in range(len(sel))
+                            )
+                            p = p.select(~emit_mask)
+                        if len(p):
+                            parked[alt_id] = {0: p}
+                            m = int((p.first_ts + w_ns_of[ci]).min())
+                            if min_unsealed_ns is None or m < min_unsealed_ns:
+                                min_unsealed_ns = m
+                        else:
+                            del parked[alt_id]
+                if res:
+                    outs.append(matches_to_pdf_array(cp, g_sealed, key[0], emit_cols, res=res))
                 tables_out[ci] = tables
+                if parked:
+                    parked_out_by_ci[ci] = parked
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
@@ -1099,6 +1181,10 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                     sealed = sealed.loc[keep].reset_index(drop=True)
                     for tables in tables_out.values():
                         _shift_tables(tables, off)
+                    # parked rows survive eviction by construction: seal
+                    # first_ts + W_ci > wm ⇒ first_ts > wm - W_ci ≥ wm - w_ns
+                    for parked in parked_out_by_ci.values():
+                        _shift_tables(parked, off)
                     if not len(sealed):
                         sealed = None
             if limbo is not None and len(limbo):
@@ -1115,14 +1201,23 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         for ci, tables in tables_out.items():
             if _tables_rows(tables) > max(256, 8 * buflen):
                 fellback |= 1 << ci
+                # the rematch fallback re-derives pending trailing
+                # matches every batch — drop this pattern's parked set
+                parked_out_by_ci.pop(ci, None)
             else:
                 raw = _ser_tables(tables)
                 if raw is not None:
                     parts_out[ci] = raw
+        parked_ser = {}
+        for ci, parked in parked_out_by_ci.items():
+            raw = _ser_tables(parked)
+            if raw is not None:
+                parked_ser[ci] = raw
 
         has_buf = sealed is not None and len(sealed)
         has_limbo = limbo is not None and len(limbo)
-        if not has_buf and not has_limbo and not parts_out and min_unsealed_ns is None:
+        if (not has_buf and not has_limbo and not parts_out
+                and not parked_ser and min_unsealed_ns is None):
             state.remove()
             return
         state.update(
@@ -1130,6 +1225,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                 _ser_buf(sealed) if has_buf else None,
                 _ser_buf(limbo) if has_limbo else None,
                 pickle.dumps(parts_out, protocol=5) if parts_out else None,
+                pickle.dumps(parked_ser, protocol=5) if parked_ser else None,
                 max(wm_ms, last_emit_wm_ms),
                 late_dropped,
                 fellback,

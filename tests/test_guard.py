@@ -292,6 +292,50 @@ def test_multi_incremental_guard_bounds_state():
     ]
 
 
+def test_multi_trailing_neg_parks_instead_of_rematch():
+    """The multi-pattern executor handles trailing negations by PARKING
+    (single-pattern parity), not by pinning the pattern onto the
+    per-batch buffer rematch: mid-stream the parked state field is
+    populated while the fallback bitmask stays 0."""
+    import pickle
+
+    from cep_spark.stream import (
+        _make_multi_fn,
+        _retention_w_ns,
+        _trailing_alt_ids,
+    )
+
+    cps = _multi_cps()
+    g = _hot_frame(n_assist=6)
+    w_ns_of = [int(cp.pattern.window.total_seconds() * 1e9) for cp in cps]
+    trailing_of = [_trailing_alt_ids(cp) for cp in cps]
+    w_ns = max(_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of))
+    fn = _make_multi_fn(cps, ("turn_idx",), w_ns_of, trailing_of, w_ns)
+    state = _FakeState()
+    # batch 1: everything arrives, wm still 0 → all limbo
+    list(fn(("hot",), iter([g]), state))
+    # batch 2: wm covers all events; every match of the trailing-neg
+    # pattern is accepted but its first.ts + 600 s seal is ahead of the
+    # watermark → parked, not emitted, not fallen back
+    wm = int(g["ts"].max().value // 1_000_000)
+    state.hasTimedOut = False
+    state.wm_ms = wm
+    state.timer_ms = None
+    out = list(fn(("hot",), iter([]), state))
+    assert not any((pdf["pattern_id"] == "pt").any() for pdf in out)
+    assert state.exists
+    parked_raw = state._val[3]
+    assert parked_raw is not None and pickle.loads(parked_raw)
+    assert state._val[6] == 0  # fellback bitmask
+    # final watermark past every seal: parked matches emit exactly once
+    state.hasTimedOut = True
+    state.wm_ms = wm + 700_000
+    state.timer_ms = None
+    out2 = list(fn(("hot",), iter([]), state))
+    n_pt = sum(int((pdf["pattern_id"] == "pt").sum()) for pdf in out2)
+    assert n_pt > 0
+
+
 def test_multi_rematch_strategy_rejects_guard(spark):
     from cep_spark.stream import stream_matches_multi
 
