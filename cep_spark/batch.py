@@ -402,7 +402,8 @@ def _edge_ok(spec_positions, spec, store, partials, ts_ns, w_ns, leading: bool):
     return ~bad
 
 
-def unary_masks(cp: CompiledPattern, cols: dict, n: int, start: int = 0):
+def unary_masks(cp: CompiledPattern, cols: dict, n: int, start: int = 0,
+                cache: dict | None = None):
     """Vectorized unary-condition masks over `n` rows for every slot and
     negation of every alternative: {alt_id: ({sid: bool[n]}, [bool[n]])}.
 
@@ -415,11 +416,28 @@ def unary_masks(cp: CompiledPattern, cols: dict, n: int, start: int = 0):
     resume point, so rows [0, start) are left False.  NEGATION masks
     stay full-range: gap/span/edge checks scan candidate positions
     across the whole retained buffer.  This keeps per-batch mask cost
-    O(new events) for the slot side instead of O(buffer)."""
+    O(new events) for the slot side instead of O(buffer).
+
+    Identical unary conditions are evaluated ONCE per frame: masks are
+    memoized on the condition's canonical SQL (var normalized) — OR
+    expansion repeats each slot across alternatives, and multi-pattern
+    execution repeats predicates like role='user' across patterns.
+    Pass a shared ``cache`` dict to extend the memo across patterns
+    within one frame (run_batch_multi / stream_matches_multi); masks
+    are returned by reference and must not be mutated by callers."""
     out = {}
+    if cache is None:
+        cache = {}  # always share across this pattern's alternatives
     rng = np.arange(start, n) if start else np.arange(n)
     for alt in cp.alternatives:
         def mask_of(var, cond, full):
+            full_range = bool(full and start) or not start
+            try:
+                ckey = (cond.sql({var: "e"}), full_range)
+            except Exception:  # UserPred & friends: no SQL form
+                ckey = None
+            if ckey is not None and ckey in cache:
+                return cache[ckey]
             idx = np.arange(n) if (full and start) else rng
             env = {var: _VarView(cols, idx)}
             r = cond.pd(env)
@@ -427,11 +445,13 @@ def unary_masks(cp: CompiledPattern, cols: dict, n: int, start: int = 0):
                 m = np.full(len(idx), bool(r))
             else:
                 m = np.asarray(r, dtype=bool)
-            if len(idx) == n:
-                return m
-            outm = np.zeros(n, dtype=bool)
-            outm[start:] = m
-            return outm
+            if len(idx) != n:
+                outm = np.zeros(n, dtype=bool)
+                outm[start:] = m
+                m = outm
+            if ckey is not None:
+                cache[ckey] = m
+            return m
 
         slot_mask = {s.sid: mask_of(s.var, s.unary, False) for s in alt.slots}
         neg_mask = [mask_of(sp.var, sp.unary, True) for sp in alt.negs]
@@ -1137,7 +1157,8 @@ def _run_batch_multi_partition(df, cps, emit_cols, assume_clustered=False, cap=N
         change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
         bounds = np.concatenate([[0], change, [n]])
         ts_all = cols_all[ts_col].astype("datetime64[ns]").astype(np.int64)
-        masks_by_cp = [unary_masks(cp, cols_all, n) for cp in cps]
+        shared = {}  # one evaluation per distinct predicate across ALL patterns
+        masks_by_cp = [unary_masks(cp, cols_all, n, cache=shared) for cp in cps]
         rows = []
         stats = {}
         for gi in range(len(bounds) - 1):

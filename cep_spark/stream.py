@@ -1052,6 +1052,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         g_all = ts_all = None
         tables_out = {}
         parked_out_by_ci = {}
+        mask_cache = {}  # shared predicate masks across patterns, per batch
         for ci, cp in enumerate(cps):
             if rematch_mask & (1 << ci):
                 if g_all is None:
@@ -1082,7 +1083,8 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                         store = _ColStore(g_sealed)
                         ts_s = ts_i8(g_sealed)
                     start = len(g_sealed) - n_new
-                    masks_ci = unary_masks(cp, store._cols, len(g_sealed), start=start)
+                    masks_ci = unary_masks(cp, store._cols, len(g_sealed),
+                                           start=start, cache=mask_cache)
                     stats = {}
                     res, tables = advance_core(
                         cp, store, ts_s, masks_ci,
