@@ -18,8 +18,10 @@ Jobs (chosen to exercise the engine's hot paths, not Spark overhead):
 
 Orchestrator mode (default): runs each job in a fresh subprocess per
 parallelism level (a Spark local master is fixed per JVM), computes
-efficiency = (thr_4N / thr_N) / 4, writes BENCH/BASELINE.md table and
-prints one JSON line.
+efficiency = (thr_4N / thr_N) / 4, regenerates the raw table in
+BENCH/SCALING_AUTO.md and prints one JSON line.  The curated verdict
+against the criterion lives in BENCH/BASELINE.md (update it when a
+clean-window run supersedes the pinned tables).
 
 Worker mode (BENCH_WORKER=<job>): runs one job and prints one JSON line.
 """
