@@ -705,18 +705,21 @@ ORACLES["doc_winnow"] = SQL_WINNOW
 #     ONE keep-group even when A!~C, which the single-hop min-id
 #     canonicalization (emb_cosine_dedup) deliberately does not do.
 #
-#     Scale shape: every round is one symmetric groupBy-min plus one
-#     join over the EDGE set (near-dup pairs, orders of magnitude
-#     smaller than the corpus), and the alternation provably converges
-#     in O(log n) rounds -- no path-length-bounded label propagation,
-#     no driver-side union-find.  Each round ends in an eager
-#     localCheckpoint so the loop's lineage (and the convergence probe)
-#     stays flat instead of re-running all prior rounds.  The
-#     convergence probe here is an exact symmetric exceptAll over the
-#     two edge sets; at 100 TB replace it with the one-aggregate
-#     (count, sum(xxhash64(u,v))) checksum -- noted rather than done
-#     because the exact probe is what makes the oracle comparison
-#     airtight at test scale.
+#     Scale shape: every round is one window-min per star phase over
+#     the EDGE set (near-dup pairs, orders of magnitude smaller than
+#     the corpus) -- a single shuffle on the node id, no groupBy+join
+#     re-shuffle -- and the alternation provably converges in O(log n)
+#     rounds: no path-length-bounded label propagation, no driver-side
+#     union-find.  Each round ends in an eager localCheckpoint so the
+#     loop's lineage (and the convergence probe) stays flat instead of
+#     re-running all prior rounds.  Convergence is detected by checking
+#     the star-forest INVARIANT itself (no node appears as both a star
+#     center and a leaf -- one semi-join + limit(1) over the contracted
+#     edges): a canonical edge set is a fixpoint of the alternation iff
+#     it is a disjoint star forest, which is exactly the property the
+#     final root-extraction step relies on.  This is exact (no delta
+#     diff, no checksum) and typically fires one round earlier than an
+#     edge-set equality probe would.
 
 
 CC_MAX_ROUNDS = 30  # >= O(log^2 n) for any realistic edge set; loud failure
@@ -726,6 +729,7 @@ def _cc_components(edges):
     """edges: DataFrame(u:long, v:long) undirected, u < v, distinct.
     Returns DataFrame(doc_id:long, cluster_id:long) for every node that
     appears in an edge; cluster_id = min doc_id of its component."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     def sym(e):
@@ -740,30 +744,40 @@ def _cc_components(edges):
             .distinct()
         )
 
-    def star(e, large):
+    def star(e, large, dedup):
+        # min-neighbor via a whole-partition window min: ONE shuffle of
+        # the symmetric edges on u (groupBy+join would shuffle twice).
         s = sym(e)
-        m = (
-            s.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", "u").alias("m"))
+        j = s.withColumn(
+            "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         )
-        j = s.join(m, "u")
         if large:
             out = j.filter(F.col("v") > F.col("u")).select("v", "m")
         else:
             out = j.filter(F.col("v") <= F.col("u")).select("v", "m").union(
-                j.select(F.col("u").alias("v"), "m").distinct()
+                j.select(F.col("u").alias("v"), "m").dropDuplicates(["v", "m"])
             )
-        return canon(out.select(F.col("v").alias("u"), F.col("m").alias("v")))
+        r = out.select(
+            F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        # duplicates between the two stars of one round are harmless
+        # (min is idempotent); dedup only at the round boundary
+        return r.distinct() if dedup else r
 
     e = canon(edges).localCheckpoint()
     for _ in range(CC_MAX_ROUNDS):
-        nxt = star(star(e, large=True), large=False).localCheckpoint()
-        changed = (
-            nxt.exceptAll(e).union(e.exceptAll(nxt)).limit(1).count() > 0
+        e = star(star(e, large=True, dedup=False), large=False, dedup=True
+                 ).localCheckpoint()
+        # fixpoint iff the canonical edge set is a disjoint star forest:
+        # no node appears as both a center (u side) and a leaf (v side)
+        converged = (
+            e.select("u")
+            .join(e.select(F.col("v").alias("u")), "u", "leftsemi")
+            .limit(1)
+            .count()
+            == 0
         )
-        prev, e = e, nxt
-        if not changed:
+        if converged:
             break
     else:
         raise RuntimeError("CC star contraction did not converge")
