@@ -427,6 +427,70 @@ def _multi_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Multi-pattern with PREFIX SHARING (cep_spark.merge): a family of funnel
+# rules over one signup->view prelude, merged into a single trie-like NFA
+# whose shared states advance once per event (9.5x over per-pattern on a
+# prefix-dominated 12-rule microbench, scripts/bench_merge.py).  The
+# oracle is the same generated per-pattern SQL UNION ALL as cep_multi —
+# sharing must be a pure execution detail, invisible in the output.
+
+def _shared_family() -> list:
+    w = timedelta(hours=12)
+    mk = lambda struct, where=None: Pattern(
+        struct, where=where if where is not None else TRUE, window=w,
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+    )
+    a = Ev("a", event_type="signup")
+    b = Ev("b", event_type="view")
+    return [
+        ("fun_purchase", mk(Seq(a, b, Ev("c", event_type="purchase")))),
+        ("fun_click_up", mk(Seq(a, b, Ev("c", event_type="click")),
+                            where=attr("c", "value") > attr("a", "value"))),
+        ("fun_error", mk(Seq(a, b, Ev("c", event_type="error")))),
+        ("fun_noerr_buy", mk(Seq(a, b, Neg(Ev("n", event_type="error")),
+                                 Ev("c", event_type="purchase")))),
+    ]
+
+
+def _multi_shared_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from cep_spark.batch import run_batch_multi
+
+    cps = [
+        compile_pattern(dataclasses.replace(pat, pattern_id=pid))
+        for pid, pat in _shared_family()
+    ]
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = run_batch_multi(df, cps, emit_cols=("event_id",), strategy="shared")
+    return out.select(
+        "user_id",
+        "pattern_id",
+        "alt_id",
+        F.expr(
+            "concat_ws(',', transform(array_sort(transform(matched, m -> m.event_id)), "
+            "x -> cast(x as string)))"
+        ).alias("match_key"),
+    )
+
+
+def _multi_shared_oracle() -> str:
+    parts = []
+    for pid, pat in _shared_family():
+        cp = compile_pattern(pat)
+        vars_ = cp.alternatives[0].var_order
+        ids = ", ".join(f"{v}_event_id" for v in vars_)
+        parts.append(
+            f"SELECT user_id, '{pid}' AS pattern_id, alt_id,\n"
+            f"       array_to_string(list_sort([{ids}]), ',') AS match_key\n"
+            f"FROM ({oracle_sql_for(cp, 'events')})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -453,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_composite_unbounded"] = _kleene_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
+    out["cep_multi_shared"] = _multi_shared_query
     out.update(windows.QUERIES)
     out.update(_pipeline_registry.queries())
     return out
@@ -467,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_composite_unbounded"] = _kleene_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()
+    out["cep_multi_shared"] = _multi_shared_oracle()
     out.update(windows.ORACLES)
     out.update(_pipeline_registry.oracle_sql())
     return out

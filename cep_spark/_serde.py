@@ -24,11 +24,11 @@ def ensure_shippable() -> None:
     except ImportError:  # pragma: no cover
         import cloudpickle  # type: ignore
     import cep_spark
-    from . import batch, compiler, conditions, pattern, skew, stream
+    from . import batch, compiler, conditions, merge, pattern, skew, stream
     from .pipeline import multimodal
 
-    for m in (cep_spark, conditions, pattern, compiler, batch, skew, stream,
-              multimodal):
+    for m in (cep_spark, conditions, pattern, compiler, batch, merge, skew,
+              stream, multimodal):
         try:
             cloudpickle.register_pickle_by_value(m)
         except Exception:  # pragma: no cover - old cloudpickle

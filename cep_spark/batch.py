@@ -530,13 +530,11 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
         else:
             tables = {st.sid: _Partials(svars[st.sid], kvars[st.sid]) for st in alt.states}
         tables_out[alt.alt_id] = tables
-        state_by_id = {st.sid: st for st in alt.states}
 
-        def emit(sub: _Partials, state_sid):
-            st = state_by_id[state_sid]
+        def _accept_negs(sub, neg_indices):
             # accept-time negation checks: span + leading/trailing edges
             okm = np.ones(len(sub), dtype=bool)
-            for si in alt.span_negs:
+            for si in neg_indices:
                 spec = alt.negs[si]
                 if spec.kind == "span":
                     okm &= _span_ok(neg_positions[si], spec, store, sub, alt)
@@ -545,6 +543,25 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                         neg_positions[si], spec, store, sub, ts_ns, w_ns,
                         leading=(spec.kind == "leading"),
                     )
+            return okm
+
+        def emit(sub: _Partials, state_sid):
+            if alt.accept_tags is not None:
+                # merged multi-pattern automaton: acceptance is per TAG
+                # (merge.merge_compiled) — each tag applies its own
+                # accept-time negs and renames canonical vars back to
+                # the owning pattern's variable names.
+                for tag in alt.accept_tags.get(state_sid, ()):
+                    okm = _accept_negs(sub, tag.accept_negs)
+                    sel = sub.select(okm) if not okm.all() else sub
+                    vmap = tag.var_map
+                    for j in range(len(sel)):
+                        b = {vmap[v]: int(sel.scalar[v][j]) for v in sel.scalar}
+                        for v in sel.kleene:
+                            b[vmap[v]] = tuple(sel.kleene[v][j])
+                        out.append((tag.key, b))
+                return
+            okm = _accept_negs(sub, alt.span_negs)
             sel = sub.select(okm) if not okm.all() else sub
             for j in range(len(sel)):
                 b = {v: int(sel.scalar[v][j]) for v in sel.scalar}
@@ -1083,10 +1100,14 @@ def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
     single sort, one matcher pass per pattern; output is the array
     schema with ``pattern_id`` distinguishing the patterns.
 
-    Default strategy is the partition-amortized executor (unary masks
-    evaluated vectorized ONCE per partition per pattern, group
-    boundaries by key-change scan — same ~13x small-group win as
-    run_batch's flat path); ``strategy='group'`` keeps the per-key
+    Strategies: ``'shared'`` merges the patterns into ONE prefix-shared
+    automaton (merge.merge_compiled) — states provably holding identical
+    partial tables across patterns are advanced once per event; requires
+    a common window.  ``'partition'`` runs one automaton per pattern
+    over the same frame (unary masks still shared via the cross-pattern
+    memo).  ``'auto'`` picks ``'shared'`` when the patterns are
+    mergeable and actually share at least one non-initial state, else
+    ``'partition'``.  ``'group'`` keeps the per-key
     groupBy().applyInPandas reference implementation.
 
     All patterns must share (key, ts_col, tiebreak_col); give each a
@@ -1107,6 +1128,24 @@ def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
     cap = max_partials_per_state
     if strategy == "auto":
         strategy = "partition"
+        from .merge import merge_compiled, mergeable
+
+        if len(cps) > 1 and mergeable(cps):
+            merged = merge_compiled(cps)
+            n_orig = sum(len(a.states) for cp in cps for a in cp.alternatives)
+            n_alts = sum(len(cp.alternatives) for cp in cps)
+            # the empty state always merges (n_alts-1 saved for free);
+            # pick the shared automaton only when NON-initial states
+            # merge too — that's where per-event work is actually saved
+            if len(merged.alternatives[0].states) < n_orig - (n_alts - 1):
+                strategy = "shared"
+    if strategy == "shared":
+        from .merge import merge_compiled
+
+        return _run_batch_multi_partition(
+            df, cps, emit_cols, assume_clustered, cap=cap,
+            merged=merge_compiled(cps),
+        )
     if strategy == "partition":
         return _run_batch_multi_partition(df, cps, emit_cols, assume_clustered, cap=cap)
     key_type = df.schema[p0.key].dataType
@@ -1129,8 +1168,14 @@ def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
     return out
 
 
-def _run_batch_multi_partition(df, cps, emit_cols, assume_clustered=False, cap=None):
-    """Partition-amortized multi-pattern execution (see run_batch_multi)."""
+def _run_batch_multi_partition(df, cps, emit_cols, assume_clustered=False, cap=None,
+                               merged=None):
+    """Partition-amortized multi-pattern execution (see run_batch_multi).
+
+    With ``merged`` (a merge.merge_compiled automaton) the N patterns
+    advance as ONE prefix-shared NFA per group; emissions come back
+    tagged ``((pattern_index, alt_id), binding)`` and are regrouped per
+    pattern for row building."""
     p0 = cps[0].pattern
     key_type = df.schema[p0.key].dataType
     schema = match_schema_array(p0, emit_cols, key_type)
@@ -1158,20 +1203,31 @@ def _run_batch_multi_partition(df, cps, emit_cols, assume_clustered=False, cap=N
         bounds = np.concatenate([[0], change, [n]])
         ts_all = cols_all[ts_col].astype("datetime64[ns]").astype(np.int64)
         shared = {}  # one evaluation per distinct predicate across ALL patterns
-        masks_by_cp = [unary_masks(cp, cols_all, n, cache=shared) for cp in cps]
+        run_cps = [merged] if merged is not None else cps
+        masks_by_cp = [unary_masks(cp, cols_all, n, cache=shared) for cp in run_cps]
         rows = []
         stats = {}
         for gi in range(len(bounds) - 1):
             s, e = int(bounds[gi]), int(bounds[gi + 1])
             sub_cols = {c: a[s:e] for c, a in cols_all.items()}
             store = _ColStore.from_cols(sub_cols)
-            for ci, cp in enumerate(cps):
+            for ci, cp in enumerate(run_cps):
                 masks = {
                     aid: ({sid: m[s:e] for sid, m in sm.items()}, [m[s:e] for m in nm])
                     for aid, (sm, nm) in masks_by_cp[ci].items()
                 }
                 res = match_core(cp, store, ts_all[s:e], masks, cap=cap, stats=stats)
-                if res:
+                if not res:
+                    continue
+                if merged is not None:
+                    by_cp: dict = {}
+                    for (pi, alt_id), b in res:
+                        by_cp.setdefault(pi, []).append((alt_id, b))
+                    for pi, lst in by_cp.items():
+                        rows.extend(
+                            array_match_rows(cps[pi], keys[s], emit_cols, lst, sub_cols)
+                        )
+                else:
                     rows.extend(
                         array_match_rows(cp, keys[s], emit_cols, res, sub_cols)
                     )

@@ -126,6 +126,15 @@ class CompiledAlternative:
     # sharing a group are zip-ALIGNED per repetition in multi-var
     # condition evaluation; independent kleene vars cross-product.
     var_group: dict = field(default_factory=dict)
+    # multi-pattern prefix sharing (merge.merge_compiled): state sid ->
+    # tuple of AcceptTag.  When set, this alternative is a MERGED
+    # automaton over several patterns: acceptance is per tag (each tag
+    # names its (pattern, alt), its accept-time negation indices into
+    # ``negs``, and the canonical->original variable renaming), and
+    # ``span_negs`` is empty — the executor's emit applies each tag's
+    # own accept-time negs instead.  None for ordinary single-pattern
+    # alternatives.
+    accept_tags: Optional[dict] = None
 
 
 @dataclass

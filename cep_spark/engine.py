@@ -35,7 +35,8 @@ class CepEngine:
     _DEFAULT_EMIT = ("turn_idx", "role", "tool", "ts")
 
     def run_batch(self, df, mode: str | None = None, emit_cols=_DEFAULT_EMIT,
-                  max_partials_per_state: int | None = None):
+                  max_partials_per_state: int | None = None,
+                  strategy: str = "auto"):
         """NFA execution over a batch DataFrame.  mode=None auto-picks:
         flat for a single pattern, array (pattern_id column) for multi.
         Explicitly asking a multi-pattern engine for mode='flat' is an
@@ -44,11 +45,22 @@ class CepEngine:
 
         ``max_partials_per_state``: opt-in hot-key state guard (bound
         per-key per-NFA-state partial tables, drop oldest, counted on
-        the result's ``guard_drops`` accumulator — batch.run_batch)."""
+        the result's ``guard_drops`` accumulator — batch.run_batch).
+
+        ``strategy`` (multi-pattern engines only): run_batch_multi's
+        executor pick — 'auto' (prefix-shared merged automaton when the
+        patterns actually share states), 'shared', 'partition', 'group'.
+        Single-pattern engines reject a non-default value rather than
+        ignoring it."""
         if mode is None:
             mode = "flat" if self._single is not None else "array"
         if mode not in ("flat", "array"):
             raise ValueError(f"mode must be 'flat' or 'array', got {mode!r}")
+        if strategy != "auto" and self._single is not None:
+            raise ValueError(
+                "strategy applies to multi-pattern engines only "
+                "(single-pattern execution has no merge choice)"
+            )
         if mode == "flat":
             if self._single is None:
                 raise ValueError(
@@ -67,6 +79,7 @@ class CepEngine:
             return run_batch(df, self._single, mode="array", emit_cols=emit_cols,
                              max_partials_per_state=max_partials_per_state)
         return run_batch_multi(df, self.compiled, emit_cols=emit_cols,
+                               strategy=strategy,
                                max_partials_per_state=max_partials_per_state)
 
     def run_join(self, df, kleene_arities: int | None = None):

@@ -1,0 +1,357 @@
+"""Multi-pattern prefix sharing: merge N compiled patterns into ONE NFA.
+
+When a deployment runs many pattern queries over the same stream (the
+reference's `CEP(eval_mechanism, [p1, p2, ...], events)` surface,
+SURVEY.md §2.3 E7), patterns routinely share structure — a family of
+funnels all starting `signup -> view`, fraud rules sharing a common
+two-step prelude, etc.  Running each pattern's automaton independently
+re-evaluates the shared prefix per pattern: the partial-match tables for
+`(signup)` and `(signup, view)` are built K times for K funnels.  This
+module builds the classic multi-query sharing structure (a trie-like
+merged automaton — cf. the MCEP / "sharing in complex event processing"
+line of work, e.g. Kolchinsky & Schuster VLDB'18 §multi-query and
+SASE-style shared NFA prefixes): states that provably hold identical
+partial-match tables are merged into one state advanced ONCE per event,
+and acceptance becomes per-TAG (each tag names its owning pattern).
+
+Soundness.  Slots, conditions and negations are canonicalized through
+their ``sql()`` form with variables renamed positionally (the same
+faithfulness contract ``batch.unary_masks`` already relies on — a Cond
+must either emit unambiguous SQL or raise).  Two states merge only when
+their signature matches on ALL of:
+
+* the multiset of bound-slot signatures — each slot's unary condition,
+  kleene-ness/cap/adjacent condition, composite-group role, structural
+  position (sid) AND prerequisite set.  Prereqs are load-bearing: order
+  constraints live in the reachability structure, not in conditions
+  (``SEQ(a,b)`` and ``AND(a,b)`` have identical slots/conds but
+  different prereqs and must not merge);
+* the in-progress composite-repetition marker (``mid``);
+* every multi-var conjunct whose variables are all bound at the state;
+* every gap-negation already crossed (post_slots intersecting bound).
+
+By induction over the event index, equal signatures imply bitwise-equal
+partial tables (the incoming transition classes of equal-sig states are
+equal), so the merge is exact — verified against independent per-pattern
+execution by the parity tests (tests/test_merge.py) and the random
+multi-pattern property sweep.
+
+Accept-time negations (span / leading / trailing) do NOT affect partial
+tables and therefore stay out of state signatures: they are applied per
+tag at emission (batch.advance_core emit).
+
+All patterns must share (key, ts_col, tiebreak_col) and the SAME window
+(window expiry mutates tables, so differing windows never share;
+``run_batch_multi(strategy="auto")`` falls back to per-pattern execution
+in that case).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .compiler import (
+    CompiledAlternative,
+    CompiledPattern,
+    NegSpec,
+    Slot,
+    State,
+    Transition,
+)
+
+__all__ = ["merge_compiled", "AcceptTag", "mergeable"]
+
+
+@dataclass(frozen=True)
+class AcceptTag:
+    """One pattern's acceptance at a merged state."""
+
+    key: tuple  # (pattern_index, original alt_id) — emission tag
+    var_map: dict  # canonical var -> original var (all slots of the alt)
+    accept_negs: tuple  # indices into the merged alternative's negs
+
+
+def _cond_sig(cond, cmap):
+    """Canonical signature of a condition under a variable renaming.
+
+    Conditions with no SQL form (UserPred) canonicalize by OBJECT
+    IDENTITY: two alternatives share through such a condition only when
+    they hold the very same Python object (same semantics by
+    construction); distinct objects never compare equal, so states
+    touching them simply don't merge."""
+    try:
+        return cond.sql(cmap)
+    except Exception:
+        return ("unshared", id(cond))
+
+
+def mergeable(cps) -> bool:
+    """True when the patterns can share one merged automaton: same key /
+    ts / tiebreak columns and one common window."""
+    p0 = cps[0].pattern
+    return all(
+        (cp.pattern.key, cp.pattern.ts_col, cp.pattern.tiebreak_col,
+         cp.pattern.window)
+        == (p0.key, p0.ts_col, p0.tiebreak_col, p0.window)
+        for cp in cps[1:]
+    )
+
+
+def merge_compiled(cps) -> CompiledPattern:
+    """Merge compiled patterns into one CompiledPattern with a single
+    merged alternative carrying ``accept_tags``.
+
+    The result runs through ``batch.advance_core`` unchanged: emissions
+    are ``(tag.key, binding)`` = ``((pattern_index, alt_id), {orig_var:
+    pos})`` instead of ``(alt_id, binding)``."""
+    from .conditions import subst
+
+    if not cps:
+        raise ValueError("no patterns")
+    if not mergeable(cps):
+        raise ValueError(
+            "merge_compiled requires identical key/ts/tiebreak/window "
+            "across patterns"
+        )
+
+    m_slots: list = []  # merged Slot objects
+    slot_of_sig: dict = {}  # slot sig -> merged slot
+    gid_of_key: dict = {}  # group key (member slot sigs) -> merged gid
+    m_negs: list = []  # merged NegSpec objects
+    neg_of_sig: dict = {}  # neg sig -> merged index
+    m_states: list = []  # merged State objects
+    state_of_sig: dict = {}  # state sig -> merged State
+    tr_seen: dict = {}  # (src sid) -> set of transition sigs
+    loop_seen: dict = {}  # (src sid) -> set of kleene-loop sigs
+    tags: dict = {}  # merged sid -> list[AcceptTag]
+
+    for cpi, cp in enumerate(cps):
+        for alt in cp.alternatives:
+            if alt.accept_tags is not None:
+                raise ValueError("cannot merge an already-merged pattern")
+            slots_by_sid = {s.sid: s for s in alt.slots}
+
+            # ---- slot signatures (canonical var names per structural sid)
+            cmap0 = {s.var: f"v{s.sid}" for s in alt.slots}
+            for s in alt.slots:
+                if s.adjacent is not None:
+                    cmap0[f"{s.var}__prev"] = f"v{s.sid}__prev"
+            slot_sig = {}
+            for s in alt.slots:
+                slot_sig[s.sid] = (
+                    s.sid,
+                    _cond_sig(s.unary, {s.var: "e"}),
+                    s.kleene,
+                    s.kleene_max,
+                    None if s.adjacent is None else _cond_sig(s.adjacent, cmap0),
+                    s.group,
+                    s.grp_idx,
+                    tuple(sorted(s.prereq)),
+                )
+
+            # ---- merged group ids (per distinct member-signature tuple)
+            m_gid: dict = {}
+            by_group: dict = {}
+            for s in alt.slots:
+                if s.group is not None:
+                    by_group.setdefault(s.group, []).append(s)
+            for g, members in by_group.items():
+                members.sort(key=lambda s: s.grp_idx)
+                gkey = tuple(slot_sig[s.sid] for s in members)
+                if gkey not in gid_of_key:
+                    gid_of_key[gkey] = len(gid_of_key)
+                m_gid[g] = gid_of_key[gkey]
+
+            # ---- get-or-create merged slots; canonical var map for conds
+            m_slot: dict = {}  # orig sid -> merged Slot
+            for s in alt.slots:
+                sig = slot_sig[s.sid]
+                ms = slot_of_sig.get(sig)
+                if ms is None:
+                    msid = len(m_slots)
+                    ms = Slot(
+                        msid,
+                        f"v{msid}",
+                        subst(s.unary, {s.var: f"v{msid}"}),
+                        s.kleene,
+                        s.kleene_max,
+                        frozenset(),  # prereq: compiler-only, unused by executors
+                        None
+                        if s.adjacent is None
+                        else subst(
+                            s.adjacent,
+                            {s.var: f"v{msid}", f"{s.var}__prev": f"v{msid}__prev"},
+                        ),
+                        None if s.group is None else m_gid[s.group],
+                        s.grp_idx,
+                    )
+                    m_slots.append(ms)
+                    slot_of_sig[sig] = ms
+                m_slot[s.sid] = ms
+            cmap = {s.var: m_slot[s.sid].var for s in alt.slots}
+            for s in alt.slots:
+                if s.adjacent is not None:
+                    cmap[f"{s.var}__prev"] = f"{m_slot[s.sid].var}__prev"
+
+            # ---- merged negation specs
+            m_neg_idx: dict = {}  # orig neg index -> merged index
+            neg_sig = {}
+            for ni, spec in enumerate(alt.negs):
+                msigs = [_cond_sig(c, {**cmap, spec.var: "n"}) for c in spec.multi]
+                nsig = (
+                    spec.kind,
+                    _cond_sig(spec.unary, {spec.var: "n"}),
+                    tuple(sorted(msigs, key=str)),
+                    tuple(sorted(m_slot[x].sid for x in spec.post_slots)),
+                )
+                neg_sig[ni] = nsig
+                mi = neg_of_sig.get(nsig)
+                if mi is None:
+                    mi = len(m_negs)
+                    nvar = f"n{mi}"
+                    m_negs.append(
+                        NegSpec(
+                            nvar,
+                            subst(spec.unary, {spec.var: nvar}),
+                            tuple(
+                                subst(c, {**cmap, spec.var: nvar})
+                                for c in spec.multi
+                            ),
+                            spec.kind,
+                            frozenset(m_slot[x].sid for x in spec.post_slots),
+                        )
+                    )
+                    neg_of_sig[nsig] = mi
+                m_neg_idx[ni] = mi
+
+            # ---- per-state multi-var conjunct universe (for signatures):
+            # every conjunct attached to any transition / kleene loop,
+            # deduplicated by canonical SQL
+            alt_conds: dict = {}  # canonical sig -> orig Cond
+
+            def _note(c):
+                sig = _cond_sig(c, cmap)
+                if sig not in alt_conds:
+                    alt_conds[sig] = c
+
+            for st in alt.states:
+                for tr in st.transitions:
+                    for c in tr.conds:
+                        _note(c)
+                for _, kconds in st.kleene_loops:
+                    for c in kconds:
+                        _note(c)
+
+            var_of_sid = {s.sid: s.var for s in alt.slots}
+
+            def _conds_within(bound):
+                bvars = frozenset(var_of_sid[x] for x in bound)
+                return tuple(
+                    sorted(
+                        (sig for sig, c in alt_conds.items() if c.vars() <= bvars),
+                        key=str,
+                    )
+                )
+
+            # ---- state signatures & merged states
+            st_of: dict = {}  # orig sid -> merged State
+            for st in alt.states:
+                ssig = (
+                    frozenset(slot_sig[x] for x in st.bound),
+                    tuple(sorted((m_gid[g], i) for g, i in st.mid)),
+                    _conds_within(st.bound),
+                    tuple(
+                        sorted(
+                            (neg_sig[ni] for ni in range(len(alt.negs))
+                             if alt.negs[ni].kind == "gap"
+                             and (alt.negs[ni].post_slots & st.bound)),
+                            key=str,
+                        )
+                    ),
+                )
+                mst = state_of_sig.get(ssig)
+                if mst is None:
+                    mst = State(
+                        len(m_states),
+                        frozenset(m_slot[x].sid for x in st.bound),
+                        mid=frozenset((m_gid[g], i) for g, i in st.mid),
+                    )
+                    m_states.append(mst)
+                    state_of_sig[ssig] = mst
+                    tr_seen[mst.sid] = {}
+                    loop_seen[mst.sid] = set()
+                st_of[st.sid] = mst
+                if st.accepting:
+                    tags.setdefault(mst.sid, []).append(
+                        AcceptTag(
+                            (cpi, alt.alt_id),
+                            {m_slot[s.sid].var: s.var for s in alt.slots},
+                            tuple(m_neg_idx[ni] for ni in alt.span_negs),
+                        )
+                    )
+
+            # ---- transitions & kleene loops (dedup per merged source)
+            for st in alt.states:
+                mst = st_of[st.sid]
+                for tr in st.transitions:
+                    tsig = (
+                        m_slot[tr.slot].sid,
+                        st_of[tr.target].sid,
+                        tuple(sorted((_cond_sig(c, cmap) for c in tr.conds), key=str)),
+                        tuple(sorted(m_neg_idx[g] for g in tr.gap_negs)),
+                        tr.repeat,
+                    )
+                    if tsig not in tr_seen[mst.sid]:
+                        tr_seen[mst.sid][tsig] = True
+                        mst.transitions.append(
+                            Transition(
+                                m_slot[tr.slot].sid,
+                                st_of[tr.target].sid,
+                                tuple(subst(c, cmap) for c in tr.conds),
+                                tuple(sorted(m_neg_idx[g] for g in tr.gap_negs)),
+                                False,  # accepting resolved from tags below
+                                tr.repeat,
+                            )
+                        )
+                for ksid, kconds in st.kleene_loops:
+                    lsig = (
+                        m_slot[ksid].sid,
+                        tuple(sorted((_cond_sig(c, cmap) for c in kconds), key=str)),
+                    )
+                    if lsig not in loop_seen[mst.sid]:
+                        loop_seen[mst.sid].add(lsig)
+                        mst.kleene_loops.append(
+                            (m_slot[ksid].sid, tuple(subst(c, cmap) for c in kconds))
+                        )
+
+    # acceptance: a merged state/transition accepts iff it has tags
+    tag_map = {sid: tuple(ts) for sid, ts in tags.items()}
+    for st in m_states:
+        st.accepting = st.sid in tag_map
+        st.transitions = [
+            Transition(t.slot, t.target, t.conds, t.gap_negs,
+                       t.target in tag_map, t.repeat)
+            for t in st.transitions
+        ]
+
+    var_group = {s.var: s.group for s in m_slots if s.group is not None}
+    merged_alt = CompiledAlternative(
+        0,
+        m_slots,
+        m_states,
+        m_negs,
+        (),  # span_negs handled per tag
+        [s.var for s in m_slots],
+        frozenset(s.var for s in m_slots if s.kleene),
+        var_group,
+        accept_tags=tag_map,
+    )
+    needed: dict = {}
+    for cp in cps:
+        for v, cols in cp.needed_cols.items():
+            needed.setdefault(v, set()).update(cols)
+    return CompiledPattern(
+        cps[0].pattern,  # window/ts/key/tiebreak are shared by contract
+        [merged_alt],
+        {v: sorted(c) for v, c in needed.items()},
+    )

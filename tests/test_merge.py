@@ -1,0 +1,313 @@
+"""Multi-pattern prefix sharing (cep_spark.merge): the merged automaton
+must be observationally identical to independent per-pattern execution.
+
+Layers:
+* fixed corpus parity (shared funnel prefixes incl. negation / Kleene /
+  conditions) — pure Python, no Spark;
+* hypothesis sweep: random pattern families built around a common
+  prefix (forcing real state sharing) mixed with unrelated structures
+  (forcing coexistence without sharing), vs per-pattern match_group_nfa;
+* Spark end-to-end: run_batch_multi(strategy='shared') ≡ 'partition'
+  on driver testdata, and the 'auto' pick.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cep_spark.batch import match_group_nfa
+from cep_spark.compiler import compile_pattern
+from cep_spark.conditions import TRUE, attr, lit
+from cep_spark.merge import merge_compiled, mergeable
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Pattern, Seq
+
+ROLES = ["user", "assistant", "tool"]
+
+
+def _pat(struct, where=None, window=timedelta(minutes=10), pid=0):
+    return Pattern(
+        struct,
+        where=where if where is not None else TRUE,
+        window=window,
+        pattern_id=pid,
+    )
+
+
+def _canon(res):
+    return sorted(
+        (alt, tuple(sorted((v, p if isinstance(p, tuple) else (p,)) for v, p in b.items())))
+        for alt, b in res
+    )
+
+
+def _group(seed, n=40):
+    rng = np.random.default_rng(seed)
+    ts0 = pd.Timestamp("2026-01-01")
+    return pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "role": rng.choice(ROLES, n),
+            "tool": rng.choice(["python", "sql"], n),
+            "ts": ts0 + pd.to_timedelta(np.cumsum(rng.integers(0, 60, n)), unit="s"),
+            "value": rng.uniform(0, 100, n).round(1),
+        }
+    )
+
+
+def _assert_parity(pats, g):
+    cps = [compile_pattern(p) for p in pats]
+    merged = merge_compiled(cps)
+    mres = match_group_nfa(merged, g)
+    by_cp: dict = {}
+    for (pi, alt), b in mres:
+        by_cp.setdefault(pi, []).append((alt, b))
+    for i, cp in enumerate(cps):
+        assert _canon(by_cp.get(i, [])) == _canon(match_group_nfa(cp, g)), (
+            f"pattern {i}: {pats[i].structure!r}"
+        )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# fixed corpus
+
+
+def test_funnel_family_shares_and_matches():
+    a = Ev("a", role="user")
+    b = Ev("b", role="assistant")
+    pats = [
+        _pat(Seq(a, b, Ev("c", role="tool")), pid=0),
+        _pat(
+            Seq(a, b, Ev("d", role="user")),
+            where=attr("d", "value") > attr("a", "value"),
+            pid=1,
+        ),
+        _pat(Seq(a, b, Neg(Ev("n", role="tool")), Ev("e", role="user")), pid=2),
+        _pat(Seq(a, Kleene(Ev("k", role="assistant")), Ev("f", role="tool")), pid=3),
+    ]
+    merged = _assert_parity(pats, _group(1))
+    cps = [compile_pattern(p) for p in pats]
+    n_orig = sum(len(al.states) for cp in cps for al in cp.alternatives)
+    # real sharing: well below the sum minus the free initial merges
+    assert len(merged.alternatives[0].states) < n_orig - (len(cps) - 1)
+
+
+def test_seq_vs_and_do_not_merge():
+    # same slots/conds, different ORDER semantics: the b slot's prereq
+    # ({a} for SEQ, {} for AND) keeps the {a,b} accept states apart.
+    # {} and {a} legitimately share — their tables are identical; the
+    # automata diverge exactly where the order constraint starts.
+    a1, b1 = Ev("a", role="user"), Ev("b", role="tool")
+    pats = [_pat(Seq(a1, b1), pid=0), _pat(And_(a1, b1), pid=1)]
+    merged = _assert_parity(pats, _group(2))
+    # merged: {}, {a} shared; {a,b}_seq, {b}_and, {a,b}_and distinct
+    assert len(merged.alternatives[0].states) == 5
+    # the two accept states are distinct (no tag shares a state)
+    tag_states = [sid for sid, ts in merged.alternatives[0].accept_tags.items()]
+    assert len(tag_states) == 2
+
+
+def test_or_alternatives_share_within_one_pattern():
+    # Or_ expands to alternatives; the two alternatives of p0 share their
+    # (a) prefix with each other AND with p1 — all in one merged automaton
+    from cep_spark.pattern import Or_
+
+    pats = [
+        _pat(
+            Or_(
+                Seq(Ev("a", role="user"), Ev("t", role="tool")),
+                Seq(Ev("a", role="user"), Ev("u", role="assistant")),
+            ),
+            pid=0,
+        ),
+        _pat(Seq(Ev("a", role="user"), Ev("b", role="assistant"), Ev("c", role="tool")), pid=1),
+    ]
+    merged = _assert_parity(pats, _group(3))
+    # {} and {a} shared across all three alternatives: 3*3 - 2*2 = 5
+    assert len(merged.alternatives[0].states) == 5
+
+
+def test_different_windows_refuse_merge():
+    pats = [
+        _pat(Seq(Ev("a", role="user"), Ev("b", role="tool")), window=timedelta(minutes=1), pid=0),
+        _pat(Seq(Ev("a", role="user"), Ev("b", role="tool")), window=timedelta(minutes=2), pid=1),
+    ]
+    cps = [compile_pattern(p) for p in pats]
+    assert not mergeable(cps)
+    with pytest.raises(ValueError):
+        merge_compiled(cps)
+
+
+def test_identical_patterns_fully_merge():
+    pats = [
+        _pat(Seq(Ev("a", role="user"), Ev("b", role="tool")), pid=0),
+        _pat(Seq(Ev("x", role="user"), Ev("y", role="tool")), pid=1),
+    ]
+    merged = _assert_parity(pats, _group(4))
+    alt = merged.alternatives[0]
+    assert len(alt.states) == 3  # one automaton, two tags at the accept
+    assert sum(len(v) for v in alt.accept_tags.values()) == 2
+
+
+def test_trailing_and_leading_negation_tags():
+    a = Ev("a", role="user")
+    b = Ev("b", role="tool")
+    pats = [
+        _pat(Seq(a, b, Neg(Ev("n", role="assistant"))), pid=0),  # trailing
+        _pat(Seq(Neg(Ev("m", role="assistant")), a, b), pid=1),  # leading
+        _pat(Seq(a, b), pid=2),  # same positives, no negs
+    ]
+    merged = _assert_parity(pats, _group(5))
+    # the three patterns' positive automata are identical: 3 states, 3 tags
+    assert len(merged.alternatives[0].states) == 3
+
+
+def test_group_kleene_merge_parity():
+    pats = [
+        _pat(
+            Seq(Ev("s", role="user"),
+                Kleene(Seq(Ev("p", role="assistant"), Ev("q", role="tool")),
+                       max_len=None)),
+            pid=0,
+        ),
+        _pat(
+            Seq(Ev("s", role="user"),
+                Kleene(Seq(Ev("p", role="assistant"), Ev("q", role="tool")),
+                       max_len=None),
+                Ev("z", role="user")),
+            pid=1,
+        ),
+    ]
+    _assert_parity(pats, _group(6, n=24))
+
+
+# ---------------------------------------------------------------------------
+# hypothesis sweep — prefix-sharing families + unrelated mixtures
+
+_vc = [0]
+
+
+def _fresh():
+    _vc[0] += 1
+    return f"w{_vc[0]}"
+
+
+@st.composite
+def _leaf(draw):
+    return Ev(_fresh(), role=draw(st.sampled_from(ROLES)))
+
+
+@st.composite
+def _suffix_part(draw):
+    kind = draw(st.sampled_from(["leaf", "leaf", "kleene", "neg_then_leaf", "group"]))
+    if kind == "kleene":
+        return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
+    if kind == "neg_then_leaf":
+        return [Neg(draw(_leaf())), draw(_leaf())]
+    if kind == "group":
+        return [Kleene(Seq(draw(_leaf()), draw(_leaf())), max_len=None)]
+    return [draw(_leaf())]
+
+
+@st.composite
+def _family(draw):
+    """2-3 patterns around a shared prefix + optionally one unrelated."""
+    _vc[0] = 0
+    prefix = [draw(_leaf()) for _ in range(draw(st.integers(1, 2)))]
+    pats = []
+    n_pat = draw(st.integers(2, 3))
+    for pid in range(n_pat):
+        parts = list(prefix)
+        for _ in range(draw(st.integers(1, 2))):
+            parts.extend(draw(_suffix_part()))
+        vars_ = [l.name for p in parts for l in (p.leaves() if not isinstance(p, Neg) else [])]
+        where = TRUE
+        if len(vars_) >= 2 and draw(st.booleans()):
+            a, b = draw(st.sampled_from([(x, y) for x in vars_ for y in vars_ if x != y]))
+            where = attr(a, "value") > attr(b, "value")
+            if draw(st.booleans()):
+                where = where | (attr(a, "tool") == lit("python"))
+        pats.append(_pat(Seq(*parts), where=where, pid=pid))
+    if draw(st.booleans()):
+        extra = [draw(_leaf()) for _ in range(2)]
+        pats.append(_pat(And_(*extra), pid=n_pat))
+    return pats
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pats=_family(), seed=st.integers(0, 2**31))
+def test_random_family_merge_parity(pats, seed):
+    try:
+        cps = [compile_pattern(p) for p in pats]
+    except ValueError:
+        return  # documented compile-time rejection
+    g = _group(seed, n=18)
+    merged = merge_compiled(cps)
+    mres = match_group_nfa(merged, g)
+    by_cp: dict = {}
+    for (pi, alt), b in mres:
+        by_cp.setdefault(pi, []).append((alt, b))
+    for i, cp in enumerate(cps):
+        assert _canon(by_cp.get(i, [])) == _canon(match_group_nfa(cp, g))
+
+
+# ---------------------------------------------------------------------------
+# Spark end-to-end (sf0.001 events): shared ≡ partition ≡ group
+
+
+def test_run_batch_multi_shared_spark(spark):
+    from cep_spark.batch import run_batch_multi
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def p(struct, where=None, pid=0):
+        return Pattern(
+            struct,
+            where=where if where is not None else TRUE,
+            window=timedelta(hours=12),
+            key="user_id",
+            ts_col="ts",
+            tiebreak_col="event_id",
+            pattern_id=pid,
+        )
+
+    pats = [
+        p(Seq(Ev("a", event_type="signup"), Ev("b", event_type="view"),
+              Ev("c", event_type="purchase")), pid="p0"),
+        p(Seq(Ev("a", event_type="signup"), Ev("b", event_type="view"),
+              Ev("d", event_type="click")),
+          where=attr("d", "value") > attr("a", "value"), pid="p1"),
+        p(Seq(Ev("a", event_type="signup"), Neg(Ev("n", event_type="error")),
+              Ev("b", event_type="purchase")), pid="p2"),
+    ]
+    cps = [compile_pattern(q) for q in pats]
+
+    def rows(strategy):
+        df = run_batch_multi(
+            ev, cps, emit_cols=("event_id", "event_type", "ts"), strategy=strategy
+        )
+        return sorted(
+            (r["user_id"], r["pattern_id"], r["alt_id"],
+             tuple((m["var"], m["event_id"]) for m in r["matched"]))
+            for r in df.collect()
+        )
+
+    shared = rows("shared")
+    assert shared == rows("partition")
+    assert shared == rows("auto")  # auto must pick a correct plan either way
+    assert len(shared) > 0
+
+
+def test_engine_facade_strategy_validation():
+    from cep_spark.engine import CepEngine
+
+    single = CepEngine(_pat(Seq(Ev("a", role="user"), Ev("b", role="tool"))))
+    with pytest.raises(ValueError, match="multi-pattern engines only"):
+        single.run_batch(None, strategy="shared")  # validated before df use
