@@ -131,14 +131,20 @@ def merge_compiled(cps) -> CompiledPattern:
                 raise ValueError("cannot merge an already-merged pattern")
             slots_by_sid = {s.sid: s for s in alt.slots}
 
-            # ---- slot signatures (canonical var names per structural sid)
+            # ---- slot signatures (canonical var names per structural sid).
+            # Group slots must not share across DIFFERENT groups — a
+            # group's identity is its full member list (the first
+            # sub-slot of Kleene(Seq(u,u)) and Kleene(Seq(u,t)) is
+            # otherwise indistinguishable), so the whole group's member
+            # base-signature tuple is folded into each member's final
+            # signature (and keys the merged group id).
             cmap0 = {s.var: f"v{s.sid}" for s in alt.slots}
             for s in alt.slots:
                 if s.adjacent is not None:
                     cmap0[f"{s.var}__prev"] = f"v{s.sid}__prev"
-            slot_sig = {}
+            base_sig = {}
             for s in alt.slots:
-                slot_sig[s.sid] = (
+                base_sig[s.sid] = (
                     s.sid,
                     _cond_sig(s.unary, {s.var: "e"}),
                     s.kleene,
@@ -149,18 +155,26 @@ def merge_compiled(cps) -> CompiledPattern:
                     tuple(sorted(s.prereq)),
                 )
 
-            # ---- merged group ids (per distinct member-signature tuple)
+            # merged group ids (per distinct member base-signature tuple)
             m_gid: dict = {}
+            gkey_of: dict = {}
             by_group: dict = {}
             for s in alt.slots:
                 if s.group is not None:
                     by_group.setdefault(s.group, []).append(s)
             for g, members in by_group.items():
                 members.sort(key=lambda s: s.grp_idx)
-                gkey = tuple(slot_sig[s.sid] for s in members)
+                gkey = tuple(base_sig[s.sid] for s in members)
                 if gkey not in gid_of_key:
                     gid_of_key[gkey] = len(gid_of_key)
                 m_gid[g] = gid_of_key[gkey]
+                gkey_of[g] = gkey
+
+            slot_sig = {
+                s.sid: base_sig[s.sid]
+                + ((gkey_of[s.group],) if s.group is not None else (None,))
+                for s in alt.slots
+            }
 
             # ---- get-or-create merged slots; canonical var map for conds
             m_slot: dict = {}  # orig sid -> merged Slot

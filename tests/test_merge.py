@@ -311,3 +311,36 @@ def test_engine_facade_strategy_validation():
     single = CepEngine(_pat(Seq(Ev("a", role="user"), Ev("b", role="tool"))))
     with pytest.raises(ValueError, match="multi-pattern engines only"):
         single.run_batch(None, strategy="shared")  # validated before df use
+
+
+def test_group_identity_in_slot_signature():
+    """Regression (found by the 4000-example soak): the first sub-slot
+    of Kleene(Seq(user,user)) and Kleene(Seq(user,tool)) share every
+    slot-local attribute — only the GROUP's full member list separates
+    them.  Without the group key in the slot signature they merged into
+    one slot, crossing the two groups' repetition machinery."""
+    pats = [
+        _pat(Seq(Ev("w1", role="assistant"),
+                 Kleene(Seq(Ev("w2", role="user"), Ev("w3", role="user")),
+                        max_len=None)), pid=0),
+        _pat(Seq(Ev("w1", role="assistant"),
+                 Kleene(Seq(Ev("w4", role="user"), Ev("w5", role="tool")),
+                        max_len=None)),
+             where=(attr("w5", "value") > attr("w4", "value"))
+             | (attr("w5", "tool") == lit("python")), pid=1),
+    ]
+    _assert_parity(pats, _group(98, n=18))
+    # identical groups must still share their sub-slots
+    same = [
+        _pat(Seq(Ev("a", role="assistant"),
+                 Kleene(Seq(Ev("p", role="user"), Ev("q", role="tool")),
+                        max_len=None)), pid=0),
+        _pat(Seq(Ev("a", role="assistant"),
+                 Kleene(Seq(Ev("p", role="user"), Ev("q", role="tool")),
+                        max_len=None),
+                 Ev("z", role="user")), pid=1),
+    ]
+    merged = _assert_parity(same, _group(99, n=18))
+    cps = [compile_pattern(p) for p in same]
+    n_orig = sum(len(al.states) for cp in cps for al in cp.alternatives)
+    assert len(merged.alternatives[0].states) < n_orig - 1
