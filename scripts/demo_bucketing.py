@@ -1,17 +1,23 @@
 #!/usr/bin/env python
-"""Bucketing demo: the CEP self-join over a bucketed+sorted table runs
-with ZERO shuffle exchanges (co-located join), vs the same plan over a
+"""Bucketing demo: CEP over a bucketed+sorted table runs with ZERO
+shuffle exchanges on BOTH physical paths, vs the same plans over a
 plain parquet source.
 
 This is the 100 TB pre-partitioning story (SURVEY.md §4 / README
 "Scale design"): write the event table ONCE bucketed by the partition
-key (`bucketBy(n, key).sortBy(key, ts, tiebreak)`), and every
-fixed-arity CEP pattern — a k-way self-join on that key — runs without
-moving a byte across the network; only the match output shuffles.  On
-Iceberg the same layout is a bucket partition transform.
+key (`bucketBy(n, key).sortBy(key, ts, tiebreak)`), then
 
-Run: python scripts/demo_bucketing.py
-Prints: RESULT <source> shuffle-exchanges: <n> rows: <matches>
+* every fixed-arity CEP pattern — a k-way self-join on that key —
+  runs as a co-located join without moving a byte across the network
+  (only the match output shuffles), and
+* the NFA executor (`run_batch(..., assume_clustered=True)`) skips its
+  repartition: the mapInPandas matcher reads each bucket's key-sorted
+  rows in place.
+
+On Iceberg the same layout is a bucket partition transform.
+
+Run: python scripts/demo_bucketing.py   (SPARK_GRAFT_SF_DIR to scale)
+Prints: RESULT <source>/<path> shuffle-exchanges: <n> rows: <matches>
 """
 
 from __future__ import annotations
@@ -65,9 +71,22 @@ def main() -> int:
         key="user_id", ts_col="ts", tiebreak_col="event_id",
     )
     cp = compile_pattern(pat)
+    from cep_spark.batch import run_batch
+
+    def nfa(src, clustered):
+        # the saved bucketed table is bucket-hashed by user_id and
+        # sorted (user_id, ts, event_id) within each bucket file — the
+        # exact layout assume_clustered asserts
+        return run_batch(src, cp, mode="flat", assume_clustered=clustered)
+
     counts = {}
-    for name, src in [("plain", ev), ("bucketed", bt)]:
-        df = plan_join(src, cp)
+    jobs = [
+        ("plain/join", plan_join(ev, cp)),
+        ("bucketed/join", plan_join(bt, cp)),
+        ("plain/nfa", nfa(ev, False)),
+        ("bucketed/nfa", nfa(bt, True)),
+    ]
+    for name, df in jobs:
         df.collect()  # finalize the AQE plan
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
@@ -78,9 +97,14 @@ def main() -> int:
               flush=True)
     spark.stop()
     shutil.rmtree(wh, ignore_errors=True)
-    ok = (counts["bucketed"][0] == 0
-          and counts["plain"][0] > 0
-          and counts["plain"][1] == counts["bucketed"][1])
+    rows = {counts[n][1] for n in counts}
+    ok = (
+        counts["bucketed/join"][0] == 0
+        and counts["bucketed/nfa"][0] == 0
+        and counts["plain/join"][0] > 0
+        and counts["plain/nfa"][0] > 0
+        and len(rows) == 1
+    )
     return 0 if ok else 1
 
 
