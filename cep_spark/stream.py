@@ -893,7 +893,17 @@ def stream_matches_multi(df, cps, watermark: str,
     (above); ``"rematch"`` — force EVERY pattern onto the rematch path
     (e.g. restarting a checkpoint written before the incremental
     executor existed); ``"incremental"`` — same as auto (kept for
-    symmetry with the single-pattern surface).
+    symmetry with the single-pattern surface); ``"shared"`` — merge the
+    patterns into ONE prefix-shared automaton (merge.merge_compiled;
+    requires a common window): shared prefix states live ONCE in the
+    state store and advance once per sealed event, acceptance is per
+    tag, and trailing-neg parking / rematch fallback apply to the
+    merged automaton as a whole.  The persisted partial tables of
+    ``"shared"`` describe the merged automaton — switching an existing
+    checkpoint between ``"shared"`` and the per-pattern strategies is
+    detected via a format marker and fails loudly; start a fresh
+    checkpoint to migrate (the exactly-once sink keeps replays
+    idempotent).
 
     ``max_partials_per_state`` (opt-in hot-key guard, default None=exact):
     per-pattern per-NFA-state bound on the persisted partial tables AND
@@ -930,13 +940,23 @@ def stream_matches_multi(df, cps, watermark: str,
     rets = [_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of)]
     w_ns = None if any(r is None for r in rets) else max(rets)
 
-    if strategy not in ("auto", "rematch", "incremental"):
+    if strategy not in ("auto", "rematch", "incremental", "shared"):
         raise ValueError(f"unknown strategy {strategy!r}")
     force_rematch = strategy == "rematch"
     if force_rematch and max_partials_per_state is not None:
         raise ValueError(
             "max_partials_per_state requires the incremental strategy"
         )
+    merged = None
+    if strategy == "shared":
+        from .merge import merge_compiled, mergeable
+
+        if not mergeable(cps):
+            raise ValueError(
+                "strategy='shared' requires identical key/ts/tiebreak/window "
+                "across patterns (per-pattern windows cannot share state)"
+            )
+        merged = merge_compiled(cps)
 
     if isinstance(df.schema[p0.ts_col].dataType, T.TimestampNTZType):
         df = df.withColumn(p0.ts_col, df[p0.ts_col].cast(T.TimestampType()))
@@ -957,7 +977,7 @@ def stream_matches_multi(df, cps, watermark: str,
     )
     fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                         force_rematch=force_rematch,
-                        cap=max_partials_per_state)
+                        cap=max_partials_per_state, merged=merged)
 
     return df.groupBy(p0.key).applyInPandasWithState(
         fn,
@@ -969,19 +989,29 @@ def stream_matches_multi(df, cps, watermark: str,
 
 
 def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
-                   force_rematch: bool = False, cap=None):
+                   force_rematch: bool = False, cap=None, merged=None):
     """Per-key state function for multi-pattern streaming (exposed for
     the fake-GroupState property harness, like _make_incremental_fn).
 
     ``cap``: per-pattern per-NFA-state partial-table bound
-    (advance_core's state guard) — see stream_matches_multi."""
+    (advance_core's state guard) — see stream_matches_multi.
+
+    ``merged`` (strategy='shared'): the merge.merge_compiled automaton.
+    The loop then runs ONE execution unit whose advance emissions carry
+    tag keys ``(pattern_index, alt_id)`` instead of plain alt ids; the
+    per-unit lookup tables below (trailing set, alt objects, trailing
+    neg-spec indices) are keyed accordingly, and the parked-match
+    re-verification evaluates the ORIGINAL patterns' negation masks
+    (parked bindings carry original variable names) — the shared
+    predicate-mask cache makes those evaluations hits, not re-work."""
     from .batch import _edge_ok, _flush_guard_stats
     p0 = cps[0].pattern
     ts_col, tb_col = p0.ts_col, p0.tiebreak_col
+    merged_mode = merged is not None
+    _SHARED_FMT = "shared-v1"
     # strategy='rematch' pins every pattern (checkpoint compatibility);
     # trailing negations ride the incremental path via parked matches
     # (single-pattern parity — _make_incremental_fn)
-    static_rematch = (1 << len(cps)) - 1 if force_rematch else 0
     alts_of = [{alt.alt_id: alt for alt in cp.alternatives} for cp in cps]
     trail_specs_of = [
         {
@@ -993,6 +1023,27 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         }
         for ci, cp in enumerate(cps)
     ]
+    if merged_mode:
+        run_cps = [merged]
+        unit_w_ns = [w_ns_of[0]]  # mergeable() guarantees a common window
+        unit_trailing = [frozenset(
+            (pi, aid) for pi, trail in enumerate(trailing_of) for aid in trail
+        )]
+        unit_alts = [{
+            (pi, alt.alt_id): alt
+            for pi, cp in enumerate(cps) for alt in cp.alternatives
+        }]
+        unit_trail_specs = [{
+            (pi, aid): specs
+            for pi, d in enumerate(trail_specs_of) for aid, specs in d.items()
+        }]
+    else:
+        run_cps = cps
+        unit_w_ns = w_ns_of
+        unit_trailing = trailing_of
+        unit_alts = alts_of
+        unit_trail_specs = trail_specs_of
+    static_rematch = (1 << len(run_cps)) - 1 if force_rematch else 0
 
     def fn(key, pdf_iter, state):
         import pickle
@@ -1006,6 +1057,19 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
             limbo = _de_buf(limbo_raw) if limbo_raw else None
             parts = pickle.loads(parts_raw) if parts_raw else {}
             parked_by_ci = pickle.loads(parked_raw) if parked_raw else {}
+            fmt = parts.pop("__fmt__", None)
+            if parts and merged_mode and fmt != _SHARED_FMT:
+                raise RuntimeError(
+                    "state store holds PER-PATTERN partial tables but "
+                    "strategy='shared' expects the merged-automaton layout; "
+                    "restart from a fresh checkpoint to switch strategies"
+                )
+            if parts and not merged_mode and fmt == _SHARED_FMT:
+                raise RuntimeError(
+                    "state store holds MERGED-automaton partial tables "
+                    "(written by strategy='shared'); restart from a fresh "
+                    "checkpoint to switch to a per-pattern strategy"
+                )
         else:
             sealed, limbo, parts, parked_by_ci = None, None, {}, {}
             last_emit_wm_ms, late_dropped, fellback = -1, 0, 0
@@ -1053,7 +1117,25 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         tables_out = {}
         parked_out_by_ci = {}
         mask_cache = {}  # shared predicate masks across patterns, per batch
-        for ci, cp in enumerate(cps):
+        orig_masks_cache = {}
+
+        def unit_rows(g, res):
+            # merged emissions are tagged (pattern_index, alt_id):
+            # regroup per original pattern for row building
+            if not merged_mode:
+                return None  # caller uses its own cp directly
+            by: dict = {}
+            for (pi, aid), b in res:
+                by.setdefault(pi, []).append((aid, b))
+            return pd.concat(
+                [
+                    matches_to_pdf_array(cps[pi], g, key[0], emit_cols, res=lst)
+                    for pi, lst in by.items()
+                ],
+                ignore_index=True,
+            )
+
+        for ci, cp in enumerate(run_cps):
             if rematch_mask & (1 << ci):
                 if g_all is None:
                     allb = [x for x in (sealed, limbo) if x is not None and len(x)]
@@ -1066,14 +1148,17 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                 res_sealed = []
                 fb_stats = {}
                 for a, b in match_group_nfa(cp, g_all, cap=cap, stats=fb_stats):
-                    lts = _seal_ts_ns(b, ts_all, a, trailing_of[ci], w_ns_of[ci])
+                    lts = _seal_ts_ns(b, ts_all, a, unit_trailing[ci], unit_w_ns[ci])
                     if lo_ns < lts <= wm_ns:
                         res_sealed.append((a, b))
                     elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):
                         min_unsealed_ns = lts
                 _flush_guard_stats(fb_stats, None)
                 if res_sealed:
-                    outs.append(matches_to_pdf_array(cp, g_all, key[0], emit_cols, res=res_sealed))
+                    outs.append(
+                        unit_rows(g_all, res_sealed) if merged_mode
+                        else matches_to_pdf_array(cp, g_all, key[0], emit_cols, res=res_sealed)
+                    )
             else:
                 tables = _de_tables(parts.get(ci))
                 parked = _de_tables(parked_by_ci.get(ci))
@@ -1101,15 +1186,28 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                             if p is None or len(p) == 0:
                                 del parked[alt_id]
                                 continue
-                            alt = alts_of[ci][alt_id]
-                            _, neg_mask = masks_ci[alt_id]
+                            alt = unit_alts[ci][alt_id]
+                            if merged_mode:
+                                # parked bindings use ORIGINAL var names:
+                                # evaluate the original pattern's neg
+                                # masks (cache-shared with the merged
+                                # automaton's identical predicates)
+                                pi = alt_id[0]
+                                if pi not in orig_masks_cache:
+                                    orig_masks_cache[pi] = unary_masks(
+                                        cps[pi], store._cols, len(g_sealed),
+                                        start=start, cache=mask_cache,
+                                    )
+                                _, neg_mask = orig_masks_cache[pi][alt_id[1]]
+                            else:
+                                _, neg_mask = masks_ci[alt_id]
                             ok = np.ones(len(p), dtype=bool)
-                            for si in trail_specs_of[ci][alt_id]:
+                            for si in unit_trail_specs[ci][alt_id]:
                                 fresh_pos = np.nonzero(neg_mask[si][start:])[0] + start
                                 if len(fresh_pos):
                                     ok &= _edge_ok(
                                         fresh_pos, alt.negs[si], store, p,
-                                        ts_s, w_ns_of[ci], leading=False,
+                                        ts_s, unit_w_ns[ci], leading=False,
                                     )
                             if not ok.all():
                                 p = p.select(ok)
@@ -1119,16 +1217,16 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                                 del parked[alt_id]
                     # split fresh accepts: trailing matches whose look-
                     # ahead is still open get parked; the rest emit now
-                    if res and trailing_of[ci]:
+                    if res and unit_trailing[ci]:
                         now = []
                         to_park: dict = {}
                         for a, b in res:
-                            if a in trailing_of[ci]:
+                            if a in unit_trailing[ci]:
                                 pos = [
                                     x for vv in b.values()
                                     for x in (vv if isinstance(vv, tuple) else (vv,))
                                 ]
-                                seal = int(ts_s[min(pos)]) + w_ns_of[ci]
+                                seal = int(ts_s[min(pos)]) + unit_w_ns[ci]
                                 if seal <= wm_ns:
                                     now.append((a, b))
                                 else:
@@ -1136,7 +1234,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                             else:
                                 now.append((a, b))
                         for a, blist in to_park.items():
-                            newp = _park_partials(alts_of[ci][a], blist, ts_s)
+                            newp = _park_partials(unit_alts[ci][a], blist, ts_s)
                             old = parked.get(a, {}).get(0)
                             if old is not None and len(old):
                                 old.extend(newp)
@@ -1147,7 +1245,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                 if parked:
                     for alt_id in list(parked):
                         p = parked[alt_id][0]
-                        seal_arr = p.first_ts + w_ns_of[ci]
+                        seal_arr = p.first_ts + unit_w_ns[ci]
                         emit_mask = (seal_arr > lo_ns) & (seal_arr <= wm_ns)
                         if emit_mask.any():
                             sel = p.select(emit_mask)
@@ -1157,13 +1255,16 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                             p = p.select(~emit_mask)
                         if len(p):
                             parked[alt_id] = {0: p}
-                            m = int((p.first_ts + w_ns_of[ci]).min())
+                            m = int((p.first_ts + unit_w_ns[ci]).min())
                             if min_unsealed_ns is None or m < min_unsealed_ns:
                                 min_unsealed_ns = m
                         else:
                             del parked[alt_id]
                 if res:
-                    outs.append(matches_to_pdf_array(cp, g_sealed, key[0], emit_cols, res=res))
+                    outs.append(
+                        unit_rows(g_sealed, res) if merged_mode
+                        else matches_to_pdf_array(cp, g_sealed, key[0], emit_cols, res=res)
+                    )
                 tables_out[ci] = tables
                 if parked:
                     parked_out_by_ci[ci] = parked
@@ -1174,8 +1275,8 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         # horizon; shift positions by the shared prefix offset
         if w_ns is not None and wm_ns > 0:
             for ci, tables in tables_out.items():
-                if w_ns_of[ci] is not None:
-                    _prune_tables(tables, wm_ns - w_ns_of[ci])
+                if unit_w_ns[ci] is not None:
+                    _prune_tables(tables, wm_ns - unit_w_ns[ci])
             if sealed is not None and len(sealed):
                 keep = ts_i8(sealed) > wm_ns - w_ns
                 off = int((~keep).sum())
@@ -1210,6 +1311,8 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                 raw = _ser_tables(tables)
                 if raw is not None:
                     parts_out[ci] = raw
+        if merged_mode and parts_out:
+            parts_out["__fmt__"] = _SHARED_FMT
         parked_ser = {}
         for ci, parked in parked_out_by_ci.items():
             raw = _ser_tables(parked)

@@ -142,10 +142,85 @@ def run(name: str, pats: list, df: pd.DataFrame) -> None:
     )
 
 
+class _FakeState:
+    """Minimal pyspark GroupState stand-in (mirrors the test harness)."""
+
+    def __init__(self):
+        self._val, self.exists = None, False
+        self.hasTimedOut, self.removed = False, False
+        self.wm_ms, self.timer_ms = 0, None
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val, self.exists, self.removed = tuple(v), True, False
+
+    def remove(self):
+        self._val, self.exists, self.removed = None, False, True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timer_ms = ms
+
+
+def run_stream(name: str, pats: list, df: pd.DataFrame, n_batches=20) -> None:
+    """Streaming state-fn A/B: per-pattern multi executor vs
+    strategy='shared' (merged tables in the state store), identical
+    watermark schedule, identical emissions asserted."""
+    from cep_spark.stream import _make_multi_fn, _retention_w_ns, _trailing_alt_ids
+
+    cps = [compile_pattern(p) for p in pats]
+    w_ns_of = [int(cp.pattern.window.total_seconds() * 1e9) for cp in cps]
+    trailing_of = [_trailing_alt_ids(cp) for cp in cps]
+    w_ns = max(_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of))
+    bounds = np.linspace(0, len(df), n_batches + 1).astype(int)
+    batches = [df.iloc[bounds[i]:bounds[i + 1]] for i in range(n_batches)]
+
+    def drive(merged):
+        fn = _make_multi_fn(cps, ("event_id",), w_ns_of, trailing_of, w_ns,
+                            merged=merged)
+        state = _FakeState()
+        wm = 0
+        n_rows = 0
+        t0 = time.perf_counter()
+        for b in batches:
+            state.hasTimedOut = False
+            state.wm_ms = wm
+            for pdf in fn(("k",), iter([b]), state):
+                n_rows += len(pdf)
+            if len(b):
+                wm = max(wm, int(b["ts"].max().value // 1_000_000))
+        return time.perf_counter() - t0, n_rows
+
+    drive(None)  # warm
+    t_pp, n_pp = drive(None)
+    t_m, n_m = drive(merge_compiled(cps))
+    assert n_pp == n_m, (n_pp, n_m)
+    print(
+        json.dumps(
+            {
+                "workload": name,
+                "patterns": len(pats),
+                "events": len(df),
+                "batches": n_batches,
+                "matches": n_pp,
+                "per_pattern_sec": round(t_pp, 3),
+                "merged_sec": round(t_m, 3),
+                "speedup": round(t_pp / t_m, 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     df = _events(N_EVENTS)
     run("prefix_bound", _prefix_bound(), df)
     run("emission_bound", _emission_bound(), df)
+    run_stream("stream_prefix_bound", _prefix_bound(), df)
 
 
 if __name__ == "__main__":

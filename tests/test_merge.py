@@ -344,3 +344,172 @@ def test_group_identity_in_slot_signature():
     cps = [compile_pattern(p) for p in same]
     n_orig = sum(len(al.states) for cp in cps for al in cp.alternatives)
     assert len(merged.alternatives[0].states) < n_orig - 1
+
+
+# ---------------------------------------------------------------------------
+# streaming strategy='shared' — the merged automaton in the state store
+
+
+def _mergeable_stream_family():
+    a = Ev("a", role="user")
+    b = Ev("b", role="assistant")
+    w = timedelta(seconds=120)
+    mk = lambda struct, pid, where=None: Pattern(
+        struct, where=where if where is not None else TRUE, window=w,
+        pattern_id=pid,
+    )
+    return [
+        mk(Seq(a, b, Ev("c", role="tool")), "p_fun"),
+        mk(Seq(a, b, Ev("d", role="user")), "p_up",
+           where=attr("d", "value") > attr("a", "value")),
+        mk(Seq(a, b, Neg(Ev("n", role="tool"))), "p_tneg"),  # trailing
+        mk(Seq(a, Kleene(Ev("k", role="assistant")), Ev("e", role="tool")),
+           "p_kleene"),
+    ]
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31), n=st.integers(2, 24),
+       cuts=st.lists(st.integers(0, 24), max_size=4))
+def test_stream_shared_exactly_once_parity(seed, n, cuts):
+    """strategy='shared' streaming (merged automaton in the state store,
+    per-tag trailing-neg parking) == per-pattern multi streaming == the
+    union of batch runs over the effective rows — exactly once."""
+    from test_stream_fn_property import (
+        _canon_multi,
+        _drive_multi,
+        _effective_rows,
+    )
+
+    from cep_spark.batch import matches_to_pdf_array
+
+    cps = [compile_pattern(p) for p in _mergeable_stream_family()]
+    g = _group(seed, n=n)
+    cuts = sorted(min(c, n) for c in cuts)
+    bounds = [0] + cuts + [n]
+    batches = [g.iloc[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+    final_wm = int(g["ts"].max().value // 1_000_000) + 10_000_000
+
+    out_s, st_s = _drive_multi(cps, batches, final_wm, strategy="shared")
+    out_p, st_p = _drive_multi(cps, batches, final_wm)
+    got_s, got_p = _canon_multi(out_s), _canon_multi(out_p)
+    assert got_s == got_p, f"shared={got_s}\nper-pattern={got_p}"
+
+    eff = _effective_rows(batches)
+    want = []
+    if len(eff):
+        g2 = eff.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        for cp in cps:
+            res = match_group_nfa(cp, g2)
+            if res:
+                want.extend(_canon_multi(
+                    [matches_to_pdf_array(cp, g2, "k0", ("turn_idx",), res=res)]
+                ))
+    assert got_s == sorted(want)
+    assert st_s.removed or not st_s.exists
+
+
+def test_stream_shared_checkpoint_format_guard():
+    """A state store written by the per-pattern executor must be refused
+    by strategy='shared' (and vice versa) — loudly, not by corrupting
+    partial tables of the wrong automaton."""
+    from test_stream_fn_property import FakeState, _drive_multi
+
+    cps = [compile_pattern(p) for p in _mergeable_stream_family()]
+    g = _group(7, n=16)
+    batches = [g.iloc[:8], g.iloc[8:]]
+
+    def drive_then_switch(first, then):
+        from cep_spark.merge import merge_compiled
+        from cep_spark.stream import (
+            _make_multi_fn,
+            _retention_w_ns,
+            _trailing_alt_ids,
+        )
+
+        w_ns_of = [int(cp.pattern.window.total_seconds() * 1e9) for cp in cps]
+        trailing_of = [_trailing_alt_ids(cp) for cp in cps]
+        w_ns = max(_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of))
+        mk_fn = lambda s: _make_multi_fn(
+            cps, ("turn_idx",), w_ns_of, trailing_of, w_ns,
+            merged=merge_compiled(cps) if s == "shared" else None,
+        )
+        state = FakeState()
+        state.wm_ms = 0
+        fn = mk_fn(first)
+        for _ in fn(("c0",), iter([batches[0]]), state):
+            pass
+        state.wm_ms = int(batches[0]["ts"].max().value // 1_000_000)
+        for _ in fn(("c0",), iter([pd.DataFrame(columns=batches[0].columns)]), state):
+            pass
+        assert state.exists  # partial tables persisted
+        fn2 = mk_fn(then)
+        with pytest.raises(RuntimeError, match="fresh checkpoint"):
+            for _ in fn2(("c0",), iter([batches[1]]), state):
+                pass
+
+    drive_then_switch("partition", "shared")
+    drive_then_switch("shared", "partition")
+
+
+def test_stream_shared_spark_parity(spark, tmp_path):
+    """strategy='shared' through the REAL Structured Streaming state
+    store (availableNow) == union of per-pattern batch runs."""
+    from test_stream import _flush_row, _split_files, events_pdf as _mk_pdf
+
+    from cep_spark.batch import run_batch
+    from cep_spark.stream import stream_matches_multi
+
+    events_pdf = _mk_pdf.__wrapped__()
+    emit = ("event_id", "event_type", "ts")
+
+    def mk(struct, pid, where=None):
+        return Pattern(struct, where=where if where is not None else TRUE,
+                       window=timedelta(hours=12), key="user_id",
+                       ts_col="ts", tiebreak_col="event_id", pattern_id=pid)
+
+    cps = [
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"),
+                               Ev("b", event_type="view"),
+                               Ev("c", event_type="purchase")), "f0")),
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"),
+                               Ev("b", event_type="view"),
+                               Ev("d", event_type="click")), "f1",
+                           where=attr("d", "value") > attr("a", "value"))),
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"),
+                               Ev("b", event_type="view"),
+                               Neg(Ev("n", event_type="error"))), "f2")),
+    ]
+    src = str(tmp_path / "src")
+    with_flush = pd.concat(
+        [events_pdf, _flush_row(events_pdf)], ignore_index=True
+    )
+    _split_files(with_flush, src, k=4)
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_matches_multi(sdf, cps, watermark="0 seconds",
+                               emit_cols=emit, strategy="shared")
+    q = (
+        out.writeStream.format("memory").queryName("mps").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+
+    def canon(rows):
+        return sorted(
+            (r["user_id"], r["pattern_id"], r["alt_id"],
+             tuple((m["var"], m["event_id"]) for m in r["matched"]))
+            for r in rows
+        )
+
+    got = canon(spark.sql("SELECT * FROM mps").collect())
+    ev_df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = []
+    for cp in cps:
+        want.extend(canon(run_batch(ev_df, cp, mode="array", emit_cols=emit).collect()))
+    assert got == sorted(want) and len(got) > 0

@@ -312,7 +312,8 @@ def _effective_rows(batches):
     return pd.concat(keep, ignore_index=True) if keep else pd.DataFrame()
 
 
-def _drive_multi(cps, batches, final_wm_ms, emit_cols=("turn_idx",)):
+def _drive_multi(cps, batches, final_wm_ms, emit_cols=("turn_idx",),
+                 strategy=None):
     from cep_spark.stream import _make_multi_fn, _retention_w_ns, _trailing_alt_ids
 
     w_ns_of = [None if cp.pattern.window is None
@@ -320,7 +321,13 @@ def _drive_multi(cps, batches, final_wm_ms, emit_cols=("turn_idx",)):
     trailing_of = [_trailing_alt_ids(cp) for cp in cps]
     rets = [_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of)]
     w_ns = None if any(r is None for r in rets) else max(rets)
-    fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns)
+    merged = None
+    if strategy == "shared":
+        from cep_spark.merge import merge_compiled
+
+        merged = merge_compiled(cps)
+    fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
+                        merged=merged)
     state = FakeState()
     out = []
     wm = 0
