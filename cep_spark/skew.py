@@ -32,7 +32,12 @@ import numpy as np
 from .batch import match_group_nfa, match_schema_flat, matches_to_pdf_flat, prefilter
 from .compiler import CompiledPattern
 
-__all__ = ["run_batch_sliced", "run_batch_auto"]
+__all__ = [
+    "run_batch_sliced",
+    "run_batch_auto",
+    "run_batch_multi_sliced",
+    "run_batch_multi_auto",
+]
 
 
 def _slice_expr(ts_col: str, w_us: int):
@@ -114,6 +119,84 @@ def run_batch_sliced(df, cp: CompiledPattern):
     )
 
 
+def run_batch_multi_sliced(df, cps, emit_cols=("turn_idx", "role", "tool", "ts")):
+    """Window-sliced MULTI-pattern execution: a hot conversation running
+    N rules parallelizes across ceil(span/W) tasks AND matches all N
+    patterns in one prefix-shared automaton per slice (merge.py) — the
+    composition of the two hot-key answers.  Requires a common window
+    (the slice width; merge.mergeable).  Output is the array schema
+    with ``pattern_id``, identical to run_batch_multi."""
+    from pyspark.sql import functions as F
+
+    from ._serde import ensure_shippable
+    from .batch import (
+        _ColStore,
+        array_match_rows,
+        cpu_parallelism,
+        match_core,
+        match_schema_array,
+        prefilter_multi,
+        unary_masks,
+    )
+    from .merge import merge_compiled, mergeable
+
+    ensure_shippable()
+    if not cps:
+        raise ValueError("no patterns")
+    if not mergeable(cps):
+        raise ValueError(
+            "run_batch_multi_sliced requires identical key/ts/tiebreak/window "
+            "across patterns (the common window is the slice width)"
+        )
+    pat = cps[0].pattern
+    if pat.window is None:
+        raise ValueError("run_batch_multi_sliced requires a pattern window")
+    merged = merge_compiled(cps)
+    w_us = pat.window // timedelta(microseconds=1)
+    w_ns = w_us * 1000
+    key_type = df.schema[pat.key].dataType
+    base = prefilter_multi(df, cps, extra_cols=emit_cols)
+
+    own = _slice_expr(pat.ts_col, w_us)
+    has_leading = any(
+        n.kind == "leading"
+        for cp in cps for alt in cp.alternatives for n in alt.negs
+    )
+    replicas = [own, own - 1] + ([own + 1] if has_leading else [])
+    sliced = base.withColumn("__slice", F.explode(F.array(*replicas)))
+
+    schema = match_schema_array(pat, emit_cols, key_type)
+    ts_col, tb_col = pat.ts_col, pat.tiebreak_col
+    out_cols = schema.fieldNames()
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        key_val, k = key[0], key[1]
+        g = pdf.sort_values([ts_col, tb_col]).reset_index(drop=True)
+        cols = {c: g[c].to_numpy() for c in g.columns}
+        ts_ns = cols[ts_col].astype("datetime64[ns]").astype(np.int64)
+        store = _ColStore.from_cols(cols)
+        masks = unary_masks(merged, cols, len(g))
+        lo, hi = k * w_ns, (k + 1) * w_ns
+        by_cp: dict = {}
+        for (pi, alt_id), binding in match_core(merged, store, ts_ns, masks):
+            first = min(
+                pos
+                for p in binding.values()
+                for pos in (p if isinstance(p, tuple) else (p,))
+            )
+            if lo <= ts_ns[first] < hi:  # this slice owns the match
+                by_cp.setdefault(pi, []).append((alt_id, binding))
+        rows = []
+        for pi, lst in by_cp.items():
+            rows.extend(array_match_rows(cps[pi], key_val, emit_cols, lst, cols))
+        return pd.DataFrame(rows, columns=out_cols)
+
+    sliced = sliced.repartition(cpu_parallelism(df), pat.key, "__slice")
+    return sliced.groupBy(pat.key, "__slice").applyInPandas(fn, schema=schema)
+
+
 def hot_keys(df, cp: CompiledPattern, threshold: int):
     """Keys whose (pattern-relevant) event count exceeds `threshold`, as
     a one-column DataFrame — never collected to the driver, so a skewed
@@ -158,4 +241,36 @@ def run_batch_auto(df, cp: CompiledPattern, hot_threshold: int = 100_000):
     hot_df = df.join(F.broadcast(hot), on=pat.key, how="left_semi")
     return run_batch(cold_df, cp, mode="flat").unionByName(
         run_batch_sliced(hot_df, cp)
+    )
+
+
+def run_batch_multi_auto(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
+                         hot_threshold: int = 100_000):
+    """Multi-pattern analogue of run_batch_auto: normal keys run the
+    (prefix-shared when profitable) multi executor; keys whose
+    pattern-relevant event count exceeds ``hot_threshold`` run
+    window-sliced, prefix-shared.  Requires merge.mergeable patterns
+    when any key is hot (the slice width is the common window)."""
+    from pyspark.sql import functions as F
+
+    from .batch import prefilter_multi, run_batch_multi
+
+    pat = cps[0].pattern
+    if pat.window is None:
+        return run_batch_multi(df, cps, emit_cols=emit_cols)
+    hot = (
+        prefilter_multi(df, cps)
+        .filter(F.col(pat.key).isNotNull())
+        .groupBy(pat.key)
+        .count()
+        .filter(F.col("count") > hot_threshold)
+        .select(pat.key)
+        .localCheckpoint()
+    )
+    if hot.isEmpty():
+        return run_batch_multi(df, cps, emit_cols=emit_cols)
+    cold_df = df.join(F.broadcast(hot), on=pat.key, how="left_anti")
+    hot_df = df.join(F.broadcast(hot), on=pat.key, how="left_semi")
+    return run_batch_multi(cold_df, cps, emit_cols=emit_cols).unionByName(
+        run_batch_multi_sliced(hot_df, cps, emit_cols=emit_cols)
     )

@@ -180,3 +180,78 @@ def test_auto_path(spark, events_df):
     plain = _canon(run_batch(events_df, cp, mode="flat"))
     assert _canon(run_batch_auto(events_df, cp, hot_threshold=10)) == plain
     assert _canon(run_batch_auto(events_df, cp, hot_threshold=10**9)) == plain
+
+
+def test_multi_sliced_equals_multi_plain(spark, events_df):
+    """Window-sliced prefix-shared MULTI execution == run_batch_multi
+    (incl. a leading-neg pattern forcing the 3-replica path and a
+    trailing-neg pattern)."""
+    from cep_spark.batch import run_batch_multi
+    from cep_spark.skew import run_batch_multi_sliced
+
+    def mk(struct, pid, where=None):
+        return Pattern(struct, where=where if where is not None else TRUE,
+                       window=timedelta(hours=12), key="user_id",
+                       ts_col="ts", tiebreak_col="event_id", pattern_id=pid)
+
+    cps = [
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"),
+                               Ev("b", event_type="view"),
+                               Ev("c", event_type="purchase")), "m0")),
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"),
+                               Ev("b", event_type="view"),
+                               Ev("d", event_type="click")), "m1",
+                           where=attr("d", "value") > attr("a", "value"))),
+        compile_pattern(mk(Seq(Neg(Ev("n", event_type="error")),
+                               Ev("a", event_type="signup"),
+                               Ev("b", event_type="purchase")), "m2")),
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"),
+                               Ev("b", event_type="purchase"),
+                               Neg(Ev("n", event_type="error"))), "m3")),
+    ]
+    emit = ("event_id",)
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["pattern_id"], r["alt_id"],
+             tuple((m["var"], m["event_id"]) for m in r["matched"]))
+            for r in df.collect()
+        )
+
+    plain = canon(run_batch_multi(events_df, cps, emit_cols=emit))
+    sliced = canon(run_batch_multi_sliced(events_df, cps, emit_cols=emit))
+    assert plain == sliced and len(plain) > 0
+
+
+def test_multi_auto_routes_hot_keys(spark, events_df):
+    """run_batch_multi_auto with a tiny threshold (everything hot) ==
+    with an infinite threshold (everything cold) == run_batch_multi."""
+    from cep_spark.batch import run_batch_multi
+    from cep_spark.skew import run_batch_multi_auto
+
+    def mk(struct, pid):
+        return Pattern(struct, where=TRUE, window=timedelta(hours=12),
+                       key="user_id", ts_col="ts", tiebreak_col="event_id",
+                       pattern_id=pid)
+
+    cps = [
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"),
+                               Ev("b", event_type="purchase")), "a0")),
+        compile_pattern(mk(Seq(Ev("a", event_type="signup"),
+                               Ev("b", event_type="click")), "a1")),
+    ]
+    emit = ("event_id",)
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["pattern_id"], r["alt_id"],
+             tuple(m["event_id"] for m in r["matched"]))
+            for r in df.collect()
+        )
+
+    want = canon(run_batch_multi(events_df, cps, emit_cols=emit))
+    all_hot = canon(run_batch_multi_auto(events_df, cps, emit_cols=emit,
+                                         hot_threshold=1))
+    all_cold = canon(run_batch_multi_auto(events_df, cps, emit_cols=emit,
+                                          hot_threshold=10**9))
+    assert want == all_hot == all_cold and len(want) > 0
