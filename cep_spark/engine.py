@@ -93,7 +93,9 @@ class CepEngine:
                    max_partials_per_state: int | None = None):
         """Stateful streaming execution (watermark-sealed emission).
         mode=None auto-picks like run_batch; `strategy` selects the
-        incremental vs rematch executor (stream_matches docstring);
+        incremental vs rematch executor (stream_matches docstring) and,
+        on multi-pattern engines, `'shared'` for the prefix-merged
+        automaton in the state store (stream_matches_multi docstring);
         ``max_partials_per_state`` is the opt-in hot-key state guard
         (incremental executors only — single and multi)."""
         if mode is None:

@@ -129,7 +129,6 @@ def merge_compiled(cps) -> CompiledPattern:
         for alt in cp.alternatives:
             if alt.accept_tags is not None:
                 raise ValueError("cannot merge an already-merged pattern")
-            slots_by_sid = {s.sid: s for s in alt.slots}
 
             # ---- slot signatures (canonical var names per structural sid).
             # Group slots must not share across DIFFERENT groups — a
@@ -303,6 +302,16 @@ def merge_compiled(cps) -> CompiledPattern:
                             tuple(m_neg_idx[ni] for ni in alt.span_negs),
                         )
                     )
+            # every alternative's empty state MUST land on merged sid 0:
+            # advance_core fires initial transitions only from sid 0, so a
+            # diverged empty-state signature would silently never start
+            # this alternative's automaton.  (Unreachable today — the
+            # empty state's signature components are all trivially equal —
+            # but cheap insurance against future signature extensions.)
+            if st_of[alt.states[0].sid].sid != 0:
+                raise AssertionError(
+                    "merge_compiled: empty states failed to unify"
+                )
 
             # ---- transitions & kleene loops (dedup per merged source)
             for st in alt.states:
