@@ -1057,14 +1057,14 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
             limbo = _de_buf(limbo_raw) if limbo_raw else None
             parts = pickle.loads(parts_raw) if parts_raw else {}
             parked_by_ci = pickle.loads(parked_raw) if parked_raw else {}
-            fmt = parts.pop("__fmt__", None)
-            if parts and merged_mode and fmt != _SHARED_FMT:
+            fmt = parts.pop("__fmt__", None) or parked_by_ci.pop("__fmt__", None)
+            if (parts or parked_by_ci) and merged_mode and fmt != _SHARED_FMT:
                 raise RuntimeError(
                     "state store holds PER-PATTERN partial tables but "
                     "strategy='shared' expects the merged-automaton layout; "
                     "restart from a fresh checkpoint to switch strategies"
                 )
-            if parts and not merged_mode and fmt == _SHARED_FMT:
+            if (parts or parked_by_ci) and not merged_mode and fmt == _SHARED_FMT:
                 raise RuntimeError(
                     "state store holds MERGED-automaton partial tables "
                     "(written by strategy='shared'); restart from a fresh "
@@ -1318,6 +1318,8 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
             raw = _ser_tables(parked)
             if raw is not None:
                 parked_ser[ci] = raw
+        if merged_mode and parked_ser:
+            parked_ser["__fmt__"] = _SHARED_FMT
 
         has_buf = sealed is not None and len(sealed)
         has_limbo = limbo is not None and len(limbo)
