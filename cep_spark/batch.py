@@ -1126,25 +1126,27 @@ def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
     if len(set(ids)) != len(ids):
         raise ValueError(f"pattern_id values must be distinct, got {ids}")
     cap = max_partials_per_state
+    merged = None
     if strategy == "auto":
         strategy = "partition"
         from .merge import merge_compiled, mergeable
 
         if len(cps) > 1 and mergeable(cps):
-            merged = merge_compiled(cps)
+            cand = merge_compiled(cps)
             n_orig = sum(len(a.states) for cp in cps for a in cp.alternatives)
             n_alts = sum(len(cp.alternatives) for cp in cps)
             # the empty state always merges (n_alts-1 saved for free);
             # pick the shared automaton only when NON-initial states
             # merge too — that's where per-event work is actually saved
-            if len(merged.alternatives[0].states) < n_orig - (n_alts - 1):
-                strategy = "shared"
+            if len(cand.alternatives[0].states) < n_orig - (n_alts - 1):
+                strategy, merged = "shared", cand
     if strategy == "shared":
-        from .merge import merge_compiled
+        if merged is None:
+            from .merge import merge_compiled
 
+            merged = merge_compiled(cps)
         return _run_batch_multi_partition(
-            df, cps, emit_cols, assume_clustered, cap=cap,
-            merged=merge_compiled(cps),
+            df, cps, emit_cols, assume_clustered, cap=cap, merged=merged,
         )
     if strategy == "partition":
         return _run_batch_multi_partition(df, cps, emit_cols, assume_clustered, cap=cap)
