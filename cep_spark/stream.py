@@ -911,6 +911,9 @@ def stream_matches_multi(df, cps, watermark: str,
     oldest partials dropped deterministically, loss-only, warn-logged
     (batch.advance_core).  Rejected with strategy='rematch' (that
     executor's state is the event buffer; the guard bounds nothing).
+    Under strategy='shared' the bound applies per MERGED state — a
+    shared prefix state's table serves every tagged pattern, so the cap
+    bounds their combined partials once rather than N times.
     """
     import pandas as pd
 

@@ -513,3 +513,58 @@ def test_stream_shared_spark_parity(spark, tmp_path):
     for cp in cps:
         want.extend(canon(run_batch(ev_df, cp, mode="array", emit_cols=emit).collect()))
     assert got == sorted(want) and len(got) > 0
+
+
+def test_stream_shared_with_state_guard():
+    """strategy='shared' + max_partials_per_state: the loss-only cap
+    applies per MERGED state; output is a subset of the exact run and
+    the state function completes cleanly."""
+    from test_stream_fn_property import FakeState
+
+    from cep_spark.merge import merge_compiled
+    from cep_spark.stream import (
+        _make_multi_fn,
+        _retention_w_ns,
+        _trailing_alt_ids,
+    )
+
+    cps = [compile_pattern(p) for p in _mergeable_stream_family()]
+    g = _group(11, n=24)
+    w_ns_of = [int(cp.pattern.window.total_seconds() * 1e9) for cp in cps]
+    trailing_of = [_trailing_alt_ids(cp) for cp in cps]
+    w_ns = max(_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of))
+
+    def drive(cap):
+        fn = _make_multi_fn(cps, ("turn_idx",), w_ns_of, trailing_of, w_ns,
+                            merged=merge_compiled(cps), cap=cap)
+        state = FakeState()
+        rows = []
+        wm = 0
+        for b in (g.iloc[:12], g.iloc[12:], g.iloc[:0]):
+            state.hasTimedOut = False
+            state.wm_ms = wm
+            for pdf in fn(("c0",), iter([b]), state):
+                rows.extend(pdf.to_dict("records"))
+            if len(b):
+                wm = max(wm, int(b["ts"].max().value // 1_000_000))
+        wm += 10_000_000
+        for _ in range(32):
+            if state.removed or not state.exists:
+                break
+            if state.timer_ms is None or state.timer_ms > wm:
+                break
+            state.hasTimedOut = True
+            state.wm_ms = wm
+            state.timer_ms = None
+            for pdf in fn(("c0",), iter([]), state):
+                rows.extend(pdf.to_dict("records"))
+        return sorted(
+            (r["conv_id"], r["pattern_id"], r["alt_id"],
+             tuple((m["var"], m["turn_idx"]) for m in r["matched"]))
+            for r in rows
+        )
+
+    exact = drive(None)
+    capped = drive(2)
+    assert set(capped) <= set(exact)
+    assert len(exact) > 0
