@@ -218,9 +218,13 @@ def _suffix_part(draw):
 
 @st.composite
 def _family(draw):
-    """2-3 patterns around a shared prefix + optionally one unrelated."""
+    """2-3 patterns around a shared prefix + optionally one unrelated.
+    The prefix itself sometimes contains a Kleene or a composite group
+    (the group-signature soak bug lived in exactly that corner)."""
     _vc[0] = 0
     prefix = [draw(_leaf()) for _ in range(draw(st.integers(1, 2)))]
+    if draw(st.integers(0, 2)) == 0:
+        prefix.extend(draw(_suffix_part()))
     pats = []
     n_pat = draw(st.integers(2, 3))
     for pid in range(n_pat):
