@@ -713,13 +713,21 @@ ORACLES["doc_winnow"] = SQL_WINNOW
 #     union-find.  Each round ends in an eager localCheckpoint so the
 #     loop's lineage (and the convergence probe) stays flat instead of
 #     re-running all prior rounds.  Convergence is detected by checking
-#     the star-forest INVARIANT itself (no node appears as both a star
-#     center and a leaf -- one semi-join + limit(1) over the contracted
-#     edges): a canonical edge set is a fixpoint of the alternation iff
-#     it is a disjoint star forest, which is exactly the property the
-#     final root-extraction step relies on.  This is exact (no delta
-#     diff, no checksum) and typically fires one round earlier than an
-#     edge-set equality probe would.
+#     the DISJOINT star-forest invariant itself, which is exactly the
+#     property the final root-extraction step relies on -- two facts
+#     over the canonical contracted edges (center = u side, leaf = v
+#     side, since the root is the component min and u < v):
+#       (a) no node is both a center and a leaf, AND
+#       (b) every leaf has exactly ONE center (a leaf shared by two
+#           centers still bridges two stars of one component; root
+#           extraction would wrongly split it -- e.g. edges
+#           {(0,2),(0,4),(1,2),(1,3)} pass (a) alone but are ONE
+#           component).
+#     Both are one combined aggregate + limit(1) over the edge set.
+#     (a) alone is NOT sufficient; (a)+(b) is verified exhaustively
+#     over all graphs n<=6 in tests/test_docs_cc.py.  This is exact
+#     (no delta diff, no checksum) and typically fires one round
+#     earlier than an edge-set equality probe would.
 
 
 CC_MAX_ROUNDS = 30  # >= O(log^2 n) for any realistic edge set; loud failure
@@ -768,11 +776,21 @@ def _cc_components(edges):
     for _ in range(CC_MAX_ROUNDS):
         e = star(star(e, large=True, dedup=False), large=False, dedup=True
                  ).localCheckpoint()
-        # fixpoint iff the canonical edge set is a disjoint star forest:
-        # no node appears as both a center (u side) and a leaf (v side)
+        # fixpoint iff the canonical edge set is a DISJOINT star forest:
+        # (a) no node is both a center (u side) and a leaf (v side), and
+        # (b) no leaf has two centers (count as leaf > 1).  One combined
+        # aggregate over the node roles; a node violates iff it appears
+        # as a leaf more than once, or as both leaf and center.
+        roles = e.select(F.col("u").alias("n"), F.lit(0).alias("leaf")).union(
+            e.select(F.col("v").alias("n"), F.lit(1).alias("leaf"))
+        )
         converged = (
-            e.select("u")
-            .join(e.select(F.col("v").alias("u")), "u", "leftsemi")
+            roles.groupBy("n")
+            .agg(F.sum("leaf").alias("l"), F.count(F.lit(1)).alias("c"))
+            .filter(
+                (F.col("l") > 1)
+                | ((F.col("l") >= 1) & (F.col("c") > F.col("l")))
+            )
             .limit(1)
             .count()
             == 0
