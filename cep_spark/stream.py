@@ -976,6 +976,14 @@ def stream_matches_multi(df, cps, watermark: str,
             T.StructField("last_emit_wm_ms", T.LongType()),
             T.StructField("late_dropped", T.LongType()),
             T.StructField("fellback", T.LongType()),  # per-pattern bitmask
+            # strategy/format indicator, written UNCONDITIONALLY on every
+            # update and validated on every restore: the fellback bitmask
+            # and partial tables are meaningless under the other layout
+            # (shared = one merged unit, per-pattern = one bit/dict entry
+            # per pattern), and a shared run that fell back to rematch
+            # persists fellback=1 with NO tables — without this column a
+            # per-pattern restart would silently reinterpret that state.
+            T.StructField("fmt", T.StringType()),
         ]
     )
     fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
@@ -1012,6 +1020,8 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
     ts_col, tb_col = p0.ts_col, p0.tiebreak_col
     merged_mode = merged is not None
     _SHARED_FMT = "shared-v1"
+    _PERPAT_FMT = "perpat-v1"
+    my_fmt = _SHARED_FMT if merged_mode else _PERPAT_FMT
     # strategy='rematch' pins every pattern (checkpoint compatibility);
     # trailing negations ride the incremental path via parked matches
     # (single-pattern parity — _make_incremental_fn)
@@ -1055,24 +1065,22 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         wm_ns = wm_ms * 1_000_000
         if state.exists:
             (buf_raw, limbo_raw, parts_raw, parked_raw,
-             last_emit_wm_ms, late_dropped, fellback) = state.get
+             last_emit_wm_ms, late_dropped, fellback, fmt) = state.get
+            # validate on EVERY restore, not only when partial tables
+            # exist: a shared run whose merged unit fell back to rematch
+            # persists fellback=1 with no tables — reinterpreting that
+            # bitmask per-pattern would silently drop matches.
+            if fmt != my_fmt:
+                raise RuntimeError(
+                    f"state store was written by strategy layout "
+                    f"{fmt!r} but this query runs {my_fmt!r} "
+                    f"({'shared merged-automaton' if merged_mode else 'per-pattern'}); "
+                    "restart from a fresh checkpoint to switch strategies"
+                )
             sealed = _de_buf(buf_raw) if buf_raw else None
             limbo = _de_buf(limbo_raw) if limbo_raw else None
             parts = pickle.loads(parts_raw) if parts_raw else {}
             parked_by_ci = pickle.loads(parked_raw) if parked_raw else {}
-            fmt = parts.pop("__fmt__", None) or parked_by_ci.pop("__fmt__", None)
-            if (parts or parked_by_ci) and merged_mode and fmt != _SHARED_FMT:
-                raise RuntimeError(
-                    "state store holds PER-PATTERN partial tables but "
-                    "strategy='shared' expects the merged-automaton layout; "
-                    "restart from a fresh checkpoint to switch strategies"
-                )
-            if (parts or parked_by_ci) and not merged_mode and fmt == _SHARED_FMT:
-                raise RuntimeError(
-                    "state store holds MERGED-automaton partial tables "
-                    "(written by strategy='shared'); restart from a fresh "
-                    "checkpoint to switch to a per-pattern strategy"
-                )
         else:
             sealed, limbo, parts, parked_by_ci = None, None, {}, {}
             last_emit_wm_ms, late_dropped, fellback = -1, 0, 0
@@ -1314,15 +1322,11 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                 raw = _ser_tables(tables)
                 if raw is not None:
                     parts_out[ci] = raw
-        if merged_mode and parts_out:
-            parts_out["__fmt__"] = _SHARED_FMT
         parked_ser = {}
         for ci, parked in parked_out_by_ci.items():
             raw = _ser_tables(parked)
             if raw is not None:
                 parked_ser[ci] = raw
-        if merged_mode and parked_ser:
-            parked_ser["__fmt__"] = _SHARED_FMT
 
         has_buf = sealed is not None and len(sealed)
         has_limbo = limbo is not None and len(limbo)
@@ -1339,6 +1343,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                 max(wm_ms, last_emit_wm_ms),
                 late_dropped,
                 fellback,
+                my_fmt,
             )
         )
         timer = None

@@ -457,6 +457,52 @@ def test_stream_shared_checkpoint_format_guard():
     drive_then_switch("shared", "partition")
 
 
+def test_stream_shared_fellback_state_guard():
+    """Round-4 ADVICE (medium): a strategy='shared' run whose merged
+    unit fell back to rematch persists fellback=1 with NO partial
+    tables.  The format indicator must be written unconditionally so a
+    per-pattern restart of that state is refused instead of silently
+    reinterpreting the fellback bitmask (bit 0 = pattern 0) and
+    resuming patterns 1..N-1 incrementally with empty tables
+    mid-buffer."""
+    from test_stream_fn_property import FakeState
+
+    from cep_spark.merge import merge_compiled
+    from cep_spark.stream import (
+        _make_multi_fn,
+        _retention_w_ns,
+        _trailing_alt_ids,
+    )
+
+    cps = [compile_pattern(p) for p in _mergeable_stream_family()]
+    g = _group(7, n=16)
+
+    w_ns_of = [int(cp.pattern.window.total_seconds() * 1e9) for cp in cps]
+    trailing_of = [_trailing_alt_ids(cp) for cp in cps]
+    w_ns = max(_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of))
+    # force_rematch stands in for the 8x-buffer fallback: the shared
+    # unit keeps NO partial tables, only buffer + fellback bits
+    fn_shared = _make_multi_fn(
+        cps, ("turn_idx",), w_ns_of, trailing_of, w_ns,
+        merged=merge_compiled(cps), force_rematch=True,
+    )
+    state = FakeState()
+    state.wm_ms = 0
+    for _ in fn_shared(("c0",), iter([g.iloc[:8]]), state):
+        pass
+    assert state.exists
+    parts_raw, parked_raw = state._val[2], state._val[3]
+    assert parts_raw is None and parked_raw is None  # no tables persisted
+    assert state._val[7] == "shared-v1"  # ...but the layout IS recorded
+
+    fn_perpat = _make_multi_fn(
+        cps, ("turn_idx",), w_ns_of, trailing_of, w_ns, merged=None,
+    )
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        for _ in fn_perpat(("c0",), iter([g.iloc[8:]]), state):
+            pass
+
+
 def test_stream_shared_spark_parity(spark, tmp_path):
     """strategy='shared' through the REAL Structured Streaming state
     store (availableNow) == union of per-pattern batch runs."""
