@@ -42,7 +42,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from .conditions import Cond, TRUE, split_conditions, subst
+from .conditions import Cond, FALSE, TRUE, split_conditions, subst
 from .pattern import And_, Ev, Kleene, Neg, Node, Or_, Pattern, Seq
 
 __all__ = ["compile_pattern", "CompiledPattern", "CompiledAlternative", "Slot", "NegSpec"]
@@ -552,10 +552,11 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
         # split the global where into unary (merged into slot unary) and
         # multi-var conjuncts (attached to transitions); leaf conditions
         # may also carry multi-var conjuncts — hoist those too.
-        unary, multi = split_conditions(pat.where)
+        unary, multi, sat_alt = split_conditions(pat.where)
         slot_list = []
         for s in slots:
-            s_unary, s_multi = split_conditions(s.unary)
+            s_unary, s_multi, s_sat = split_conditions(s.unary)
+            sat_alt = sat_alt and s_sat
             u = s_unary.get(s.var, TRUE)
             if s.var in unary:
                 u = u & unary[s.var]
@@ -569,6 +570,18 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                 for v, col in s.adjacent.cols():
                     base_v = v[: -len("__prev")] if v.endswith("__prev") else v
                     needed.setdefault(base_v, set()).add(col)
+        if not sat_alt:
+            # a zero-variable conjunct constant-folded to FALSE: the
+            # alternative is unsatisfiable.  Compile it to match nothing
+            # in every lowering (FALSE slot unary -> empty NFA mask,
+            # FALSE join filter, `WHERE FALSE` oracle) rather than
+            # silently dropping the conjunct.
+            slot_list = [
+                Slot(s.sid, s.var, FALSE, s.kleene, s.kleene_max, s.prereq,
+                     s.adjacent, s.group, s.grp_idx)
+                for s in slot_list
+            ]
+            multi = []
         slots = slot_list
         alt_vars = set(names)
         neg_names = {ng.name for ng, _ in raw_negs}
@@ -577,7 +590,16 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
         # negation specs (extract neg-var conjuncts before kleene checks)
         neg_specs: list[NegSpec] = []
         for ng, post in raw_negs:
-            n_unary, n_multi = split_conditions(ng.inner.where)
+            n_unary, n_multi, n_sat = split_conditions(ng.inner.where)
+            if not n_sat:
+                # the negated event is unsatisfiable -> the Neg can
+                # never fire; drop the spec (and any global conjuncts
+                # that condition on its variable — they would only be
+                # evaluated against the never-existing event)
+                for c in list(multi):
+                    if ng.name in c.vars():
+                        multi.remove(c)
+                continue
             u = n_unary.get(ng.name, TRUE) & unary.get(ng.name, TRUE)
             extra = [c for c in n_multi]
             # pull conjuncts of the global where that mention the neg var

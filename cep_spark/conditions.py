@@ -524,6 +524,39 @@ class TrueCond(Cond):
 TRUE = TrueCond()
 
 
+class FalseCond(Cond):
+    """Compile-time-unsatisfiable condition.  Produced by constant
+    folding (a zero-variable `where` conjunct that evaluates FALSE);
+    an alternative whose slots carry FALSE matches nothing in every
+    lowering (NFA mask, join filter, oracle SQL `WHERE FALSE`)."""
+
+    def vars(self):
+        return frozenset()
+
+    def cols(self):
+        return frozenset()
+
+    def pd(self, env):
+        return False
+
+    def sql(self, aliases):
+        return "FALSE"
+
+    def spark_col(self, var_cols=None):
+        from pyspark.sql import functions as F
+
+        return F.lit(False)
+
+    def __and__(self, o):
+        return self
+
+    def __repr__(self):
+        return "FALSE"
+
+
+FALSE = FalseCond()
+
+
 def attr(var: str, col: str) -> AttrRef:
     """Reference `IdentifierTerm(var, lambda x: x[col])` analogue."""
     return AttrRef(var, col)
@@ -540,7 +573,7 @@ def subst(e: Expr, mapping: Mapping[str, str]) -> Expr:
     instantiated for ``k1..kr``)."""
     if isinstance(e, AttrRef):
         return AttrRef(mapping.get(e.var, e.var), e.col)
-    if isinstance(e, (Literal, TrueCond)):
+    if isinstance(e, (Literal, TrueCond, FalseCond)):
         return e
     if isinstance(e, Arith):
         return Arith(e.op, subst(e.left, mapping), subst(e.right, mapping))
@@ -563,23 +596,38 @@ def subst(e: Expr, mapping: Mapping[str, str]) -> Expr:
 
 def split_conditions(
     cond: Cond, var_order_hint: list[str] | None = None
-) -> tuple[dict[str, Cond], list[Cond]]:
+) -> tuple[dict[str, Cond], list[Cond], bool]:
     """Split a conjunction into per-variable unary conditions (pushed to
     the scan -> Catalyst predicate pushdown) and multi-variable residual
-    conjuncts (evaluated at NFA transitions / join conditions).
+    conjuncts (evaluated at NFA transitions / join conditions), plus a
+    satisfiability flag.
+
+    Zero-variable conjuncts are constant-folded at compile time: TRUE
+    drops out, FALSE makes the whole conjunction unsatisfiable
+    (``sat=False`` — the caller compiles the alternative to match
+    nothing).  Silently dropping them (the pre-round-4 behavior) made
+    ``where=lit(1) < lit(0)`` match as if TRUE in every lowering.
 
     Mirrors the reference's `Formula.get_formula_of(names)` pushdown
     (SURVEY.md §2.2 C7) but at compile time over a declarative IR.
     """
     unary: dict[str, Cond] = {}
     multi: list[Cond] = []
+    sat = True
     for c in cond.conjuncts():
         vs = c.vars()
         if len(vs) == 1:
             (v,) = vs
             unary[v] = unary[v] & c if v in unary else c
         elif len(vs) == 0:
-            continue
+            try:
+                val = bool(c.pd({}))
+            except Exception as exc:  # e.g. a zero-arg UserPred
+                raise ValueError(
+                    f"cannot constant-fold zero-variable condition {c!r}"
+                ) from exc
+            if not val:
+                sat = False
         else:
             multi.append(c)
-    return unary, multi
+    return unary, multi, sat

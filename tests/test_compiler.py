@@ -40,10 +40,21 @@ def test_condition_split():
         & (attr("b", "value") > attr("a", "value"))
         & (attr("b", "role") == lit("assistant"))
     )
-    unary, multi = split_conditions(cond)
+    unary, multi, sat = split_conditions(cond)
+    assert sat
     assert set(unary) == {"a", "b"}
     assert len(multi) == 1
     assert multi[0].vars() == {"a", "b"}
+
+
+def test_condition_split_constant_fold():
+    base = attr("a", "value") > lit(5)
+    # constant TRUE conjunct drops out
+    unary, multi, sat = split_conditions(base & (lit(1) < lit(2)))
+    assert sat and set(unary) == {"a"} and not multi
+    # constant FALSE conjunct -> unsatisfiable
+    unary, multi, sat = split_conditions(base & (lit(1) < lit(0)))
+    assert not sat
 
 
 def test_conditions_pushed_to_first_full_binding():

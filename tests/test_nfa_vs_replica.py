@@ -276,3 +276,72 @@ def test_nfa_matches_replica(name):
         nonzero += bool(o)
     # the fixture must actually exercise the operator
     assert nonzero > 0, f"{name}: no trial produced matches — weak fixture"
+
+
+def test_constant_where_conjuncts_fold():
+    """Round-4 fix: zero-variable `where` conjuncts constant-fold
+    instead of silently vanishing (pre-fix, where=lit(1)<lit(0))
+    matched as if TRUE in engine, replica, and oracle alike)."""
+    from cep_spark.join_planner import oracle_sql_for
+
+    rng = np.random.default_rng(zlib.crc32(b"constfold"))
+    base = Pattern(
+        Seq(Ev("a", role="user"), Ev("b", role="assistant")),
+        window=timedelta(minutes=5),
+    )
+    p_false = Pattern(base.structure, where=lit(1) < lit(0),
+                      window=timedelta(minutes=5))
+    p_true = Pattern(
+        base.structure,
+        where=(lit(1) < lit(2)) & (attr("b", "value") > attr("a", "value")),
+        window=timedelta(minutes=5),
+    )
+    p_ref = Pattern(base.structure,
+                    where=attr("b", "value") > attr("a", "value"),
+                    window=timedelta(minutes=5))
+    cp_false = compile_pattern(p_false)
+    cp_true = compile_pattern(p_true)
+    cp_ref = compile_pattern(p_ref)
+    nonzero = 0
+    for _ in range(8):
+        g = _gen_group(rng, int(rng.integers(4, 14)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        # constant FALSE: nothing matches, in the NFA and the replica
+        assert match_group_nfa(cp_false, gs) == []
+        assert match_group(p_false, g.copy()) == []
+        # constant TRUE conjunct: identical to the pattern without it
+        mt = _canon_nfa(match_group_nfa(cp_true, gs))
+        mr = _canon_nfa(match_group_nfa(cp_ref, gs))
+        assert mt == mr
+        assert mt == _canon_oracle(match_group(p_true, g.copy()))
+        nonzero += bool(mt)
+    assert nonzero > 0
+    # the oracle SQL for the unsatisfiable pattern must select nothing
+    sql = oracle_sql_for(cp_false, "events")
+    assert "FALSE" in sql
+
+
+def test_constant_false_neg_inner_where():
+    """A Neg whose inner where is constant-FALSE can never fire: the
+    pattern behaves as if the Neg were absent."""
+    rng = np.random.default_rng(zlib.crc32(b"constneg"))
+    p_neg = Pattern(
+        Seq(Ev("a", role="user"),
+            Neg(Ev("n", where=lit(1) < lit(0), role="tool")),
+            Ev("b", role="assistant")),
+        window=timedelta(minutes=5),
+    )
+    p_plain = Pattern(Seq(Ev("a", role="user"), Ev("b", role="assistant")),
+                      window=timedelta(minutes=5))
+    cp_neg = compile_pattern(p_neg)
+    cp_plain = compile_pattern(p_plain)
+    nonzero = 0
+    for _ in range(8):
+        g = _gen_group(rng, int(rng.integers(4, 14)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        got = _canon_nfa(match_group_nfa(cp_neg, gs))
+        want = _canon_nfa(match_group_nfa(cp_plain, gs))
+        assert got == want
+        assert got == _canon_oracle(match_group(p_neg, g.copy()))
+        nonzero += bool(got)
+    assert nonzero > 0

@@ -119,6 +119,14 @@ def pattern(draw):
             where = base & attr(b, "role").isin("user", "assistant")
         else:
             where = base
+    # zero-variable conjuncts must constant-fold, not silently drop
+    # (round-4 fix): TRUE is a no-op, FALSE makes the pattern match
+    # nothing in engine, replica, and oracle alike
+    const = draw(st.sampled_from([None, None, None, None, "true", "false"]))
+    if const == "true":
+        where = where & (lit(1) < lit(2))
+    elif const == "false":
+        where = where & (lit(1) < lit(0))
     window = draw(st.sampled_from([timedelta(minutes=2), timedelta(minutes=10), None]))
     return Pattern(struct, where=where, window=window)
 
