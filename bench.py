@@ -103,23 +103,34 @@ def main() -> None:
         rows[name] = n
     wall = round(time.perf_counter() - t0, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "cep_spark_bench_total",
-                "value": round(sum(per_query.values()), 4),
-                "unit": "sec",
-                "queries": per_query,
-                "rows": rows,
-                "sf": sf,
-                "cpus": cpus,
-                "repeat": repeat,
-                "wall_sec": wall,
-                "cpu_health_mips": health,
-            }
-        )
-    )
     spark.stop()
+
+    summary = {
+        "metric": "cep_spark_bench_total",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": cpus,
+        "repeat": repeat,
+        "wall_sec": wall,
+        "cpu_health_mips": health,
+    }
+    # full payload (incl. row counts) goes to a sidecar + stderr; the
+    # driver's tail capture is size-bounded, and the r3 line outgrew it
+    # ("parsed": null in BENCH_r03.json) — the machine-readable stdout
+    # line must stay compact and be printed LAST.
+    full = dict(summary, rows=rows)
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({"rows": rows}, separators=(",", ":")), file=sys.stderr)
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

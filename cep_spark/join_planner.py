@@ -44,6 +44,13 @@ def expand_fixed(cp: CompiledPattern, kleene_arities: int | None = None) -> list
     to the NFA executor."""
     out = []
     for alt in cp.alternatives:
+        if alt.accept_tags is not None:
+            raise ValueError(
+                "merged multi-pattern automaton (merge_compiled) has no "
+                "fixed-arity join lowering — its slots carry merged "
+                "prereqs and per-tag acceptance; run it via the NFA "
+                "executors (run_batch_multi / stream_matches_multi)"
+            )
         if any(s.group is not None for s in alt.slots):
             raise ValueError(
                 "unbounded composite Kleene (group lowering) has no fixed-"

@@ -147,8 +147,9 @@ def q_ann_lsh_pairs(spark, sf_dir):
     ep = e.crossJoin(F.broadcast(_const_planes(spark, "planes", PLANES)))
     band_structs = []
     for b in range(LSH_BANDS):
-        # this band's 4 planes, sliced from the broadcast matrix; bit k
-        # is the sign of the same left-fold dot as the SQL oracle's bit k
+        # this band's LSH_BITS planes, sliced from the broadcast matrix;
+        # bit k is the sign of the same left-fold dot as the SQL
+        # oracle's bit k
         planes_b = F.slice("planes", b * LSH_BITS + 1, LSH_BITS)
         bits = F.transform(
             planes_b,

@@ -618,3 +618,16 @@ def test_stream_shared_with_state_guard():
     capped = drive(2)
     assert set(capped) <= set(exact)
     assert len(exact) > 0
+
+
+def test_merged_automaton_rejected_by_join_lowering():
+    """Round-4 ADVICE (low): plan_join/expand_fixed must refuse a
+    merge_compiled automaton (empty prereqs would silently drop all
+    order constraints) instead of building a wrong plan."""
+    from cep_spark.join_planner import expand_fixed
+    from cep_spark.merge import merge_compiled
+
+    cps = [compile_pattern(p) for p in _mergeable_stream_family()]
+    merged = merge_compiled(cps)
+    with pytest.raises(ValueError, match="merged multi-pattern"):
+        expand_fixed(merged)
