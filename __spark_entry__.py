@@ -435,9 +435,14 @@ def _multi_oracle() -> str:
 # sharing must be a pure execution detail, invisible in the output.
 
 def _shared_family() -> list:
+    # MIXED windows (round 4): the shared automaton runs under the max
+    # (12h) and re-checks span <= W_tag per accept tag; the per-pattern
+    # DuckDB oracles below are generated with each pattern's OWN window,
+    # so this entry keeps the mixed-window sharing path under the exact
+    # correctness gate.
     w = timedelta(hours=12)
-    mk = lambda struct, where=None: Pattern(
-        struct, where=where if where is not None else TRUE, window=w,
+    mk = lambda struct, where=None, win=w: Pattern(
+        struct, where=where if where is not None else TRUE, window=win,
         key="user_id", ts_col="ts", tiebreak_col="event_id",
     )
     a = Ev("a", event_type="signup")
@@ -445,10 +450,12 @@ def _shared_family() -> list:
     return [
         ("fun_purchase", mk(Seq(a, b, Ev("c", event_type="purchase")))),
         ("fun_click_up", mk(Seq(a, b, Ev("c", event_type="click")),
-                            where=attr("c", "value") > attr("a", "value"))),
+                            where=attr("c", "value") > attr("a", "value"),
+                            win=timedelta(hours=4))),
         ("fun_error", mk(Seq(a, b, Ev("c", event_type="error")))),
         ("fun_noerr_buy", mk(Seq(a, b, Neg(Ev("n", event_type="error")),
-                                 Ev("c", event_type="purchase")))),
+                                 Ev("c", event_type="purchase")),
+                             win=timedelta(hours=8))),
     ]
 
 

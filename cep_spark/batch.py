@@ -531,8 +531,10 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
             tables = {st.sid: _Partials(svars[st.sid], kvars[st.sid]) for st in alt.states}
         tables_out[alt.alt_id] = tables
 
-        def _accept_negs(sub, neg_indices):
+        def _accept_negs(sub, neg_indices, edge_w=None):
             # accept-time negation checks: span + leading/trailing edges
+            if edge_w is None:
+                edge_w = w_ns
             okm = np.ones(len(sub), dtype=bool)
             for si in neg_indices:
                 spec = alt.negs[si]
@@ -540,7 +542,7 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                     okm &= _span_ok(neg_positions[si], spec, store, sub, alt)
                 else:
                     okm &= _edge_ok(
-                        neg_positions[si], spec, store, sub, ts_ns, w_ns,
+                        neg_positions[si], spec, store, sub, ts_ns, edge_w,
                         leading=(spec.kind == "leading"),
                     )
             return okm
@@ -550,9 +552,21 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                 # merged multi-pattern automaton: acceptance is per TAG
                 # (merge.merge_compiled) — each tag applies its own
                 # accept-time negs and renames canonical vars back to
-                # the owning pattern's variable names.
+                # the owning pattern's variable names.  Under MIXED
+                # windows the merged automaton prunes at the max window,
+                # so each tag re-checks span <= W_tag here (exact: see
+                # merge.py module docstring) and bounds its edge-neg
+                # intervals by its own window.
                 for tag in alt.accept_tags.get(state_sid, ()):
-                    okm = _accept_negs(sub, tag.accept_negs)
+                    tw = tag.w_ns if tag.w_ns is not None else w_ns
+                    okm = _accept_negs(sub, tag.accept_negs, edge_w=tw)
+                    if tag.w_ns is not None and (
+                        w_ns is None or tag.w_ns < w_ns
+                    ):
+                        okm &= (
+                            sub.first_ts
+                            >= ts_ns[sub.last_pos] - tag.w_ns
+                        )
                     sel = sub.select(okm) if not okm.all() else sub
                     vmap = tag.var_map
                     for j in range(len(sel)):
@@ -1102,8 +1116,9 @@ def run_batch_multi(df, cps, emit_cols=("turn_idx", "role", "tool", "ts"),
 
     Strategies: ``'shared'`` merges the patterns into ONE prefix-shared
     automaton (merge.merge_compiled) — states provably holding identical
-    partial tables across patterns are advanced once per event; requires
-    a common window.  ``'partition'`` runs one automaton per pattern
+    partial tables across patterns are advanced once per event; windows
+    may differ (the merge runs under the max window with exact per-tag
+    span re-checks at accept).  ``'partition'`` runs one automaton per pattern
     over the same frame (unary masks still shared via the cross-pattern
     memo).  ``'auto'`` picks ``'shared'`` when the patterns are
     mergeable and actually share at least one non-initial state, else

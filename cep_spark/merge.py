@@ -40,10 +40,22 @@ Accept-time negations (span / leading / trailing) do NOT affect partial
 tables and therefore stay out of state signatures: they are applied per
 tag at emission (batch.advance_core emit).
 
-All patterns must share (key, ts_col, tiebreak_col) and the SAME window
-(window expiry mutates tables, so differing windows never share;
-``run_batch_multi(strategy="auto")`` falls back to per-pattern execution
-in that case).
+All patterns must share (key, ts_col, tiebreak_col).  Windows may
+DIFFER (round 4): the merged automaton runs under the MAX window (the
+shared pruning horizon — so tables stay identical across tags and the
+signature-equality induction still holds), and each ``AcceptTag``
+carries its owning pattern's ``w_ns``; ``batch.advance_core`` re-checks
+``span <= W_tag`` at emission and bounds that tag's leading/trailing
+negation intervals by ``W_tag``.  This is exact: the per-pattern
+executor's window enforcement is "an event never extends a partial
+whose first_ts is more than W old", and since events arrive in
+``(ts, tiebreak)`` order a completed match violates that rule iff its
+final span exceeds W — so post-filtering accepted bindings by span
+reproduces per-pattern semantics bit-for-bit (parity-swept in
+tests/test_merge.py mixed-window families).  The cost is retention:
+short-window patterns' partials live to the max horizon before
+pruning.  A window of ``None`` (unbounded) makes the shared horizon
+unbounded too.
 """
 
 from __future__ import annotations
@@ -62,6 +74,14 @@ from .compiler import (
 __all__ = ["merge_compiled", "AcceptTag", "mergeable"]
 
 
+# (mixed-window sharing cost model, for the curious: under W_max the
+# shared prefix tables hold partials that a short-window pattern would
+# already have pruned; the extra work is bounded by the event density
+# in (W_tag, W_max] per start, and scripts/bench_merge.py's
+# mixed_window workload shows the sharing win surviving a 16x window
+# spread on a prefix-dominated family.)
+
+
 @dataclass(frozen=True)
 class AcceptTag:
     """One pattern's acceptance at a merged state."""
@@ -69,6 +89,11 @@ class AcceptTag:
     key: tuple  # (pattern_index, original alt_id) — emission tag
     var_map: dict  # canonical var -> original var (all slots of the alt)
     accept_negs: tuple  # indices into the merged alternative's negs
+    # the owning pattern's window in ns (None = unbounded).  The merged
+    # automaton prunes at the MAX window; advance_core re-checks
+    # span <= w_ns per tag at emission and bounds this tag's edge-neg
+    # intervals by it.
+    w_ns: int | None = None
 
 
 def _cond_sig(cond, cmap):
@@ -87,12 +112,12 @@ def _cond_sig(cond, cmap):
 
 def mergeable(cps) -> bool:
     """True when the patterns can share one merged automaton: same key /
-    ts / tiebreak columns and one common window."""
+    ts / tiebreak columns.  Windows may differ — the merge runs under
+    the max window with per-tag span re-checks at accept."""
     p0 = cps[0].pattern
     return all(
-        (cp.pattern.key, cp.pattern.ts_col, cp.pattern.tiebreak_col,
-         cp.pattern.window)
-        == (p0.key, p0.ts_col, p0.tiebreak_col, p0.window)
+        (cp.pattern.key, cp.pattern.ts_col, cp.pattern.tiebreak_col)
+        == (p0.key, p0.ts_col, p0.tiebreak_col)
         for cp in cps[1:]
     )
 
@@ -110,9 +135,19 @@ def merge_compiled(cps) -> CompiledPattern:
         raise ValueError("no patterns")
     if not mergeable(cps):
         raise ValueError(
-            "merge_compiled requires identical key/ts/tiebreak/window "
+            "merge_compiled requires identical key/ts/tiebreak columns "
             "across patterns"
         )
+    w_ns_of = [
+        None if cp.pattern.window is None
+        else int(cp.pattern.window.total_seconds() * 1e9)
+        for cp in cps
+    ]
+    # shared pruning horizon = max window (None = unbounded wins)
+    shared_window = (
+        None if any(w is None for w in (cp.pattern.window for cp in cps))
+        else max(cp.pattern.window for cp in cps)
+    )
 
     m_slots: list = []  # merged Slot objects
     slot_of_sig: dict = {}  # slot sig -> merged slot
@@ -300,6 +335,7 @@ def merge_compiled(cps) -> CompiledPattern:
                             (cpi, alt.alt_id),
                             {m_slot[s.sid].var: s.var for s in alt.slots},
                             tuple(m_neg_idx[ni] for ni in alt.span_negs),
+                            w_ns=w_ns_of[cpi],
                         )
                     )
             # every alternative's empty state MUST land on merged sid 0:
@@ -373,8 +409,12 @@ def merge_compiled(cps) -> CompiledPattern:
     for cp in cps:
         for v, cols in cp.needed_cols.items():
             needed.setdefault(v, set()).update(cols)
+    from dataclasses import replace as _dc_replace
+
     return CompiledPattern(
-        cps[0].pattern,  # window/ts/key/tiebreak are shared by contract
+        # ts/key/tiebreak are shared by contract; the merged automaton
+        # prunes at the MAX window (per-tag spans re-checked at accept)
+        _dc_replace(cps[0].pattern, window=shared_window),
         [merged_alt],
         {v: sorted(c) for v, c in needed.items()},
     )

@@ -123,9 +123,11 @@ def run_batch_multi_sliced(df, cps, emit_cols=("turn_idx", "role", "tool", "ts")
     """Window-sliced MULTI-pattern execution: a hot conversation running
     N rules parallelizes across ceil(span/W) tasks AND matches all N
     patterns in one prefix-shared automaton per slice (merge.py) — the
-    composition of the two hot-key answers.  Requires a common window
-    (the slice width; merge.mergeable).  Output is the array schema
-    with ``pattern_id``, identical to run_batch_multi."""
+    composition of the two hot-key answers.  Windows may differ: the
+    slice width is the MAX window (every pattern's match span fits in
+    one slice + its predecessor replica), and per-tag span re-checks at
+    accept keep each pattern exact (merge.py).  Output is the array
+    schema with ``pattern_id``, identical to run_batch_multi."""
     from pyspark.sql import functions as F
 
     from ._serde import ensure_shippable
@@ -145,14 +147,18 @@ def run_batch_multi_sliced(df, cps, emit_cols=("turn_idx", "role", "tool", "ts")
         raise ValueError("no patterns")
     if not mergeable(cps):
         raise ValueError(
-            "run_batch_multi_sliced requires identical key/ts/tiebreak/window "
-            "across patterns (the common window is the slice width)"
+            "run_batch_multi_sliced requires identical key/ts/tiebreak "
+            "columns across patterns"
         )
     pat = cps[0].pattern
-    if pat.window is None:
-        raise ValueError("run_batch_multi_sliced requires a pattern window")
+    if any(cp.pattern.window is None for cp in cps):
+        raise ValueError(
+            "run_batch_multi_sliced requires a window on every pattern "
+            "(the max window is the slice width)"
+        )
     merged = merge_compiled(cps)
-    w_us = pat.window // timedelta(microseconds=1)
+    # slice width = the merged automaton's shared horizon (max window)
+    w_us = merged.pattern.window // timedelta(microseconds=1)
     w_ns = w_us * 1000
     key_type = df.schema[pat.key].dataType
     base = prefilter_multi(df, cps, extra_cols=emit_cols)

@@ -956,8 +956,9 @@ def stream_matches_multi(df, cps, watermark: str,
 
         if not mergeable(cps):
             raise ValueError(
-                "strategy='shared' requires identical key/ts/tiebreak/window "
-                "across patterns (per-pattern windows cannot share state)"
+                "strategy='shared' requires identical key/ts/tiebreak "
+                "columns across patterns (windows may differ — the merge "
+                "runs under the max window with per-tag span re-checks)"
             )
         merged = merge_compiled(cps)
 
@@ -1038,7 +1039,12 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
     ]
     if merged_mode:
         run_cps = [merged]
-        unit_w_ns = [w_ns_of[0]]  # mergeable() guarantees a common window
+        # shared PRUNING horizon = max window (None = unbounded wins);
+        # per-TAG window math (seal instants, park deadlines, edge-neg
+        # intervals) uses tag_w below
+        unit_w_ns = [
+            None if any(w is None for w in w_ns_of) else max(w_ns_of)
+        ]
         unit_trailing = [frozenset(
             (pi, aid) for pi, trail in enumerate(trailing_of) for aid in trail
         )]
@@ -1057,6 +1063,14 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         unit_alts = alts_of
         unit_trail_specs = trail_specs_of
     static_rematch = (1 << len(run_cps)) - 1 if force_rematch else 0
+
+    if merged_mode:
+        # per-tag window: merged alt ids are (pattern_index, alt_id)
+        def tag_w(ci, alt_id):
+            return w_ns_of[alt_id[0]]
+    else:
+        def tag_w(ci, alt_id):
+            return unit_w_ns[ci]
 
     def fn(key, pdf_iter, state):
         import pickle
@@ -1159,7 +1173,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                 res_sealed = []
                 fb_stats = {}
                 for a, b in match_group_nfa(cp, g_all, cap=cap, stats=fb_stats):
-                    lts = _seal_ts_ns(b, ts_all, a, unit_trailing[ci], unit_w_ns[ci])
+                    lts = _seal_ts_ns(b, ts_all, a, unit_trailing[ci], tag_w(ci, a))
                     if lo_ns < lts <= wm_ns:
                         res_sealed.append((a, b))
                     elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):
@@ -1218,7 +1232,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                                 if len(fresh_pos):
                                     ok &= _edge_ok(
                                         fresh_pos, alt.negs[si], store, p,
-                                        ts_s, unit_w_ns[ci], leading=False,
+                                        ts_s, tag_w(ci, alt_id), leading=False,
                                     )
                             if not ok.all():
                                 p = p.select(ok)
@@ -1237,7 +1251,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                                     x for vv in b.values()
                                     for x in (vv if isinstance(vv, tuple) else (vv,))
                                 ]
-                                seal = int(ts_s[min(pos)]) + unit_w_ns[ci]
+                                seal = int(ts_s[min(pos)]) + tag_w(ci, a)
                                 if seal <= wm_ns:
                                     now.append((a, b))
                                 else:
@@ -1256,7 +1270,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                 if parked:
                     for alt_id in list(parked):
                         p = parked[alt_id][0]
-                        seal_arr = p.first_ts + unit_w_ns[ci]
+                        seal_arr = p.first_ts + tag_w(ci, alt_id)
                         emit_mask = (seal_arr > lo_ns) & (seal_arr <= wm_ns)
                         if emit_mask.any():
                             sel = p.select(emit_mask)
@@ -1266,7 +1280,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                             p = p.select(~emit_mask)
                         if len(p):
                             parked[alt_id] = {0: p}
-                            m = int((p.first_ts + unit_w_ns[ci]).min())
+                            m = int((p.first_ts + tag_w(ci, alt_id)).min())
                             if min_unsealed_ns is None or m < min_unsealed_ns:
                                 min_unsealed_ns = m
                         else:

@@ -60,11 +60,11 @@ def _events(n: int) -> pd.DataFrame:
     return df.sort_values(["ts", "event_id"]).reset_index(drop=True)
 
 
-def _pat(struct, where=None, pid="0"):
+def _pat(struct, where=None, pid="0", win=timedelta(hours=1)):
     return Pattern(
         struct,
         where=where if where is not None else TRUE,
-        window=timedelta(hours=1),
+        window=win,
         key="user_id",
         ts_col="ts",
         tiebreak_col="event_id",
@@ -87,6 +87,33 @@ def _prefix_bound() -> list:
                 ),
                 where=attr("c", "value") > attr("b", "value"),
                 pid=str(i),
+            )
+        )
+    return pats
+
+
+def _mixed_window() -> list:
+    """The prefix-bound family with a 16x spread of per-rule windows
+    (round 4: sharing no longer requires identical windows — the merge
+    runs under the max window with per-tag span re-checks).  Match
+    counts are asserted equal to per-pattern execution, where each rule
+    prunes at its own window."""
+    wins = [timedelta(minutes=m) for m in (4, 8, 15, 30, 60, 64)]
+    pats = []
+    for i in range(12):
+        thr = 185 + i
+        pats.append(
+            _pat(
+                Seq(
+                    Ev("a", event_type="signup"),
+                    Ev("b", event_type="view"),
+                    Ev("c", event_type="click"),
+                    Ev("d", where=(attr("d", "event_type") == lit("error"))
+                       & (attr("d", "value") > lit(float(thr)))),
+                ),
+                where=attr("c", "value") > attr("b", "value"),
+                pid=str(i),
+                win=wins[i % len(wins)],
             )
         )
     return pats
@@ -219,8 +246,10 @@ def run_stream(name: str, pats: list, df: pd.DataFrame, n_batches=20) -> None:
 def main() -> None:
     df = _events(N_EVENTS)
     run("prefix_bound", _prefix_bound(), df)
+    run("mixed_window", _mixed_window(), df)
     run("emission_bound", _emission_bound(), df)
     run_stream("stream_prefix_bound", _prefix_bound(), df)
+    run_stream("stream_mixed_window", _mixed_window(), df)
 
 
 if __name__ == "__main__":

@@ -134,15 +134,31 @@ def test_or_alternatives_share_within_one_pattern():
     assert len(merged.alternatives[0].states) == 5
 
 
-def test_different_windows_refuse_merge():
+def test_different_windows_share():
+    """Round 4: mixed windows share one automaton — the merge runs
+    under the MAX window and each tag re-checks span <= W_tag at
+    accept.  Parity vs per-pattern execution over a corpus whose gaps
+    straddle the smaller window."""
+    a = Ev("a", role="user")
+    b = Ev("b", role="assistant")
     pats = [
-        _pat(Seq(Ev("a", role="user"), Ev("b", role="tool")), window=timedelta(minutes=1), pid=0),
-        _pat(Seq(Ev("a", role="user"), Ev("b", role="tool")), window=timedelta(minutes=2), pid=1),
+        _pat(Seq(a, b, Ev("c", role="tool")), window=timedelta(seconds=45), pid=0),
+        _pat(Seq(a, b, Ev("d", role="user")), window=timedelta(minutes=10),
+             where=attr("d", "value") > attr("a", "value"), pid=1),
+        # trailing neg: the forbidden look-ahead is bounded by the TAG's
+        # window, not the shared max
+        _pat(Seq(a, b, Neg(Ev("n", role="tool"))),
+             window=timedelta(seconds=90), pid=2),
+        _pat(Seq(a, Kleene(Ev("k", role="assistant")), Ev("f", role="tool")),
+             window=timedelta(seconds=60), pid=3),
     ]
     cps = [compile_pattern(p) for p in pats]
-    assert not mergeable(cps)
-    with pytest.raises(ValueError):
-        merge_compiled(cps)
+    assert mergeable(cps)
+    merged = _assert_parity(pats, _group(41))
+    assert merged.pattern.window == timedelta(minutes=10)
+    # and real sharing still happens across the differing windows
+    n_orig = sum(len(al.states) for cp in cps for al in cp.alternatives)
+    assert len(merged.alternatives[0].states) < n_orig - (len(cps) - 1)
 
 
 def test_identical_patterns_fully_merge():
@@ -238,7 +254,13 @@ def _family(draw):
             where = attr(a, "value") > attr(b, "value")
             if draw(st.booleans()):
                 where = where | (attr(a, "tool") == lit("python"))
-        pats.append(_pat(Seq(*parts), where=where, pid=pid))
+        # mixed per-pattern windows (round 4): the merge runs under the
+        # max window with per-tag span re-checks — sweep that path too
+        win = draw(st.sampled_from([
+            timedelta(minutes=10), timedelta(minutes=10),
+            timedelta(seconds=90), timedelta(minutes=3),
+        ]))
+        pats.append(_pat(Seq(*parts), where=where, window=win, pid=pid))
     if draw(st.booleans()):
         extra = [draw(_leaf()) for _ in range(2)]
         pats.append(_pat(And_(*extra), pid=n_pat))
@@ -271,11 +293,11 @@ def test_run_batch_multi_shared_spark(spark):
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
 
-    def p(struct, where=None, pid=0):
+    def p(struct, where=None, pid=0, win=timedelta(hours=12)):
         return Pattern(
             struct,
             where=where if where is not None else TRUE,
-            window=timedelta(hours=12),
+            window=win,
             key="user_id",
             ts_col="ts",
             tiebreak_col="event_id",
@@ -285,9 +307,12 @@ def test_run_batch_multi_shared_spark(spark):
     pats = [
         p(Seq(Ev("a", event_type="signup"), Ev("b", event_type="view"),
               Ev("c", event_type="purchase")), pid="p0"),
+        # mixed window (round 4): shared execution under the max window
+        # must still match this pattern's tighter 4h span exactly
         p(Seq(Ev("a", event_type="signup"), Ev("b", event_type="view"),
               Ev("d", event_type="click")),
-          where=attr("d", "value") > attr("a", "value"), pid="p1"),
+          where=attr("d", "value") > attr("a", "value"), pid="p1",
+          win=timedelta(hours=4)),
         p(Seq(Ev("a", event_type="signup"), Neg(Ev("n", event_type="error")),
               Ev("b", event_type="purchase")), pid="p2"),
     ]
@@ -354,32 +379,41 @@ def test_group_identity_in_slot_signature():
 # streaming strategy='shared' — the merged automaton in the state store
 
 
-def _mergeable_stream_family():
+def _mergeable_stream_family(mixed_windows=False):
     a = Ev("a", role="user")
     b = Ev("b", role="assistant")
     w = timedelta(seconds=120)
-    mk = lambda struct, pid, where=None: Pattern(
-        struct, where=where if where is not None else TRUE, window=w,
+    # mixed: per-pattern windows straddling the corpus gap scale —
+    # exercises per-tag seal instants / park deadlines / span re-checks
+    ws = (
+        [timedelta(seconds=45), timedelta(seconds=120),
+         timedelta(seconds=75), timedelta(seconds=180)]
+        if mixed_windows else [w, w, w, w]
+    )
+    mk = lambda struct, pid, win, where=None: Pattern(
+        struct, where=where if where is not None else TRUE, window=win,
         pattern_id=pid,
     )
     return [
-        mk(Seq(a, b, Ev("c", role="tool")), "p_fun"),
-        mk(Seq(a, b, Ev("d", role="user")), "p_up",
+        mk(Seq(a, b, Ev("c", role="tool")), "p_fun", ws[0]),
+        mk(Seq(a, b, Ev("d", role="user")), "p_up", ws[1],
            where=attr("d", "value") > attr("a", "value")),
-        mk(Seq(a, b, Neg(Ev("n", role="tool"))), "p_tneg"),  # trailing
+        mk(Seq(a, b, Neg(Ev("n", role="tool"))), "p_tneg", ws[2]),  # trailing
         mk(Seq(a, Kleene(Ev("k", role="assistant")), Ev("e", role="tool")),
-           "p_kleene"),
+           "p_kleene", ws[3]),
     ]
 
 
 @settings(max_examples=120, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(seed=st.integers(0, 2**31), n=st.integers(2, 24),
-       cuts=st.lists(st.integers(0, 24), max_size=4))
-def test_stream_shared_exactly_once_parity(seed, n, cuts):
+       cuts=st.lists(st.integers(0, 24), max_size=4),
+       mixed=st.booleans())
+def test_stream_shared_exactly_once_parity(seed, n, cuts, mixed):
     """strategy='shared' streaming (merged automaton in the state store,
     per-tag trailing-neg parking) == per-pattern multi streaming == the
-    union of batch runs over the effective rows — exactly once."""
+    union of batch runs over the effective rows — exactly once.  With
+    ``mixed``, the family's windows differ per pattern (round 4)."""
     from test_stream_fn_property import (
         _canon_multi,
         _drive_multi,
@@ -388,7 +422,8 @@ def test_stream_shared_exactly_once_parity(seed, n, cuts):
 
     from cep_spark.batch import matches_to_pdf_array
 
-    cps = [compile_pattern(p) for p in _mergeable_stream_family()]
+    cps = [compile_pattern(p)
+           for p in _mergeable_stream_family(mixed_windows=mixed)]
     g = _group(seed, n=n)
     cuts = sorted(min(c, n) for c in cuts)
     bounds = [0] + cuts + [n]
