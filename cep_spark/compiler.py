@@ -135,6 +135,12 @@ class CompiledAlternative:
     # own accept-time negs instead.  None for ordinary single-pattern
     # alternatives.
     accept_tags: Optional[dict] = None
+    # merged automata only: state sid -> frozenset of owning pattern
+    # indices (which input patterns touch this merged state).  Drives
+    # merge.merge_components' connected-component partition, so one
+    # exploding rule's streaming rematch fallback doesn't drag rules
+    # that share no state with it.
+    state_owners: Optional[dict] = None
 
 
 @dataclass

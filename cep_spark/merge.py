@@ -71,7 +71,53 @@ from .compiler import (
     Transition,
 )
 
-__all__ = ["merge_compiled", "AcceptTag", "mergeable"]
+__all__ = ["merge_compiled", "merge_components", "AcceptTag", "mergeable"]
+
+
+def merge_components(cps) -> list:
+    """Partition patterns into connected components of the merged
+    automaton — patterns sharing at least one non-initial merged state
+    land in one component — and return ``[(merged_cp, idxs)]`` where
+    ``idxs`` are the GLOBAL pattern indices of the component, sorted,
+    and the components are ordered by their smallest index (the
+    partition is deterministic for a fixed pattern list, which is what
+    lets streaming checkpoint state key on the component index).
+
+    Why: the streaming shared strategy's rematch fallback (8x-buffer
+    state-guard breach) used to be whole-automaton — one Kleene-dense
+    rule dragged every merged rule to per-batch rematching.  Per
+    component, an exploding rule only takes down rules it actually
+    shares state with.
+    """
+    full = merge_compiled(cps)
+    owners = full.alternatives[0].state_owners
+    parent = list(range(len(cps)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for sid, own in owners.items():
+        if sid == 0:
+            continue  # the empty state is shared by construction
+        it = iter(sorted(own))
+        f = find(next(it))
+        for o in it:
+            r = find(o)
+            if r != f:
+                parent[max(r, f)] = min(r, f)
+                f = min(r, f)
+    comps: dict = {}
+    for i in range(len(cps)):
+        comps.setdefault(find(i), []).append(i)
+    if len(comps) == 1:
+        return [(full, list(range(len(cps))))]
+    return [
+        (merge_compiled([cps[i] for i in idxs]), idxs)
+        for _, idxs in sorted(comps.items())
+    ]
 
 
 # (mixed-window sharing cost model, for the curious: under W_max the
@@ -159,6 +205,7 @@ def merge_compiled(cps) -> CompiledPattern:
     tr_seen: dict = {}  # (src sid) -> set of transition sigs
     loop_seen: dict = {}  # (src sid) -> set of kleene-loop sigs
     tags: dict = {}  # merged sid -> list[AcceptTag]
+    owners: dict = {}  # merged sid -> set of owning pattern indices
 
     for cpi, cp in enumerate(cps):
         for alt in cp.alternatives:
@@ -329,6 +376,7 @@ def merge_compiled(cps) -> CompiledPattern:
                     tr_seen[mst.sid] = {}
                     loop_seen[mst.sid] = set()
                 st_of[st.sid] = mst
+                owners.setdefault(mst.sid, set()).add(cpi)
                 if st.accepting:
                     tags.setdefault(mst.sid, []).append(
                         AcceptTag(
@@ -404,6 +452,7 @@ def merge_compiled(cps) -> CompiledPattern:
         frozenset(s.var for s in m_slots if s.kleene),
         var_group,
         accept_tags=tag_map,
+        state_owners={sid: frozenset(o) for sid, o in owners.items()},
     )
     needed: dict = {}
     for cp in cps:

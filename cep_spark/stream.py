@@ -952,7 +952,7 @@ def stream_matches_multi(df, cps, watermark: str,
         )
     merged = None
     if strategy == "shared":
-        from .merge import merge_compiled, mergeable
+        from .merge import merge_components, mergeable
 
         if not mergeable(cps):
             raise ValueError(
@@ -960,7 +960,10 @@ def stream_matches_multi(df, cps, watermark: str,
                 "columns across patterns (windows may differ — the merge "
                 "runs under the max window with per-tag span re-checks)"
             )
-        merged = merge_compiled(cps)
+        # one merged automaton per CONNECTED COMPONENT: an exploding
+        # rule's rematch fallback then only drags rules it actually
+        # shares state with (per-unit fellback bits below)
+        merged = merge_components(cps)
 
     if isinstance(df.schema[p0.ts_col].dataType, T.TimestampNTZType):
         df = df.withColumn(p0.ts_col, df[p0.ts_col].cast(T.TimestampType()))
@@ -1020,7 +1023,10 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
     p0 = cps[0].pattern
     ts_col, tb_col = p0.ts_col, p0.tiebreak_col
     merged_mode = merged is not None
-    _SHARED_FMT = "shared-v1"
+    # v2: shared state is keyed by CONNECTED-COMPONENT index
+    # (merge_components) instead of one whole-family unit — v1 shared
+    # checkpoints refuse loudly on restore
+    _SHARED_FMT = "shared-v2"
     _PERPAT_FMT = "perpat-v1"
     my_fmt = _SHARED_FMT if merged_mode else _PERPAT_FMT
     # strategy='rematch' pins every pattern (checkpoint compatibility);
@@ -1038,26 +1044,52 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         for ci, cp in enumerate(cps)
     ]
     if merged_mode:
-        run_cps = [merged]
-        # shared PRUNING horizon = max window (None = unbounded wins);
-        # per-TAG window math (seal instants, park deadlines, edge-neg
-        # intervals) uses tag_w below
+        # ``merged``: list of (merged_cp, global pattern idxs) —
+        # merge_components units — or a single merged CompiledPattern
+        # covering all patterns (legacy callers / whole-family merge).
+        # One execution unit (run_cps entry, fellback bit, parts slot)
+        # per component; tag pattern indices inside a unit are LOCAL
+        # and unit_pats maps them back to global.
+        units = (
+            merged if isinstance(merged, list)
+            else [(merged, list(range(len(cps))))]
+        )
+        run_cps = [mc for mc, _ in units]
+        unit_pats = [idxs for _, idxs in units]
+        # per-unit PRUNING horizon = the component's max window
+        # (None = unbounded wins); per-TAG window math (seal instants,
+        # park deadlines, edge-neg intervals) uses tag_w below
         unit_w_ns = [
-            None if any(w is None for w in w_ns_of) else max(w_ns_of)
+            None if any(w_ns_of[i] is None for i in idxs)
+            else max(w_ns_of[i] for i in idxs)
+            for idxs in unit_pats
         ]
-        unit_trailing = [frozenset(
-            (pi, aid) for pi, trail in enumerate(trailing_of) for aid in trail
-        )]
-        unit_alts = [{
-            (pi, alt.alt_id): alt
-            for pi, cp in enumerate(cps) for alt in cp.alternatives
-        }]
-        unit_trail_specs = [{
-            (pi, aid): specs
-            for pi, d in enumerate(trail_specs_of) for aid, specs in d.items()
-        }]
+        unit_trailing = [
+            frozenset(
+                (li, aid)
+                for li, gi in enumerate(idxs) for aid in trailing_of[gi]
+            )
+            for idxs in unit_pats
+        ]
+        unit_alts = [
+            {
+                (li, alt.alt_id): alt
+                for li, gi in enumerate(idxs)
+                for alt in cps[gi].alternatives
+            }
+            for idxs in unit_pats
+        ]
+        unit_trail_specs = [
+            {
+                (li, aid): specs
+                for li, gi in enumerate(idxs)
+                for aid, specs in trail_specs_of[gi].items()
+            }
+            for idxs in unit_pats
+        ]
     else:
         run_cps = cps
+        unit_pats = [[i] for i in range(len(cps))]
         unit_w_ns = w_ns_of
         unit_trailing = trailing_of
         unit_alts = alts_of
@@ -1065,9 +1097,9 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
     static_rematch = (1 << len(run_cps)) - 1 if force_rematch else 0
 
     if merged_mode:
-        # per-tag window: merged alt ids are (pattern_index, alt_id)
+        # per-tag window: merged alt ids are (LOCAL pattern idx, alt_id)
         def tag_w(ci, alt_id):
-            return w_ns_of[alt_id[0]]
+            return w_ns_of[unit_pats[ci][alt_id[0]]]
     else:
         def tag_w(ci, alt_id):
             return unit_w_ns[ci]
@@ -1144,18 +1176,18 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         mask_cache = {}  # shared predicate masks across patterns, per batch
         orig_masks_cache = {}
 
-        def unit_rows(g, res):
-            # merged emissions are tagged (pattern_index, alt_id):
-            # regroup per original pattern for row building
+        def unit_rows(g, res, ci):
+            # merged emissions are tagged (LOCAL pattern idx, alt_id):
+            # regroup per original (global) pattern for row building
             if not merged_mode:
                 return None  # caller uses its own cp directly
             by: dict = {}
-            for (pi, aid), b in res:
-                by.setdefault(pi, []).append((aid, b))
+            for (li, aid), b in res:
+                by.setdefault(unit_pats[ci][li], []).append((aid, b))
             return pd.concat(
                 [
-                    matches_to_pdf_array(cps[pi], g, key[0], emit_cols, res=lst)
-                    for pi, lst in by.items()
+                    matches_to_pdf_array(cps[gi], g, key[0], emit_cols, res=lst)
+                    for gi, lst in by.items()
                 ],
                 ignore_index=True,
             )
@@ -1181,7 +1213,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                 _flush_guard_stats(fb_stats, None)
                 if res_sealed:
                     outs.append(
-                        unit_rows(g_all, res_sealed) if merged_mode
+                        unit_rows(g_all, res_sealed, ci) if merged_mode
                         else matches_to_pdf_array(cp, g_all, key[0], emit_cols, res=res_sealed)
                     )
             else:
@@ -1217,13 +1249,13 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                                 # evaluate the original pattern's neg
                                 # masks (cache-shared with the merged
                                 # automaton's identical predicates)
-                                pi = alt_id[0]
-                                if pi not in orig_masks_cache:
-                                    orig_masks_cache[pi] = unary_masks(
-                                        cps[pi], store._cols, len(g_sealed),
+                                gi = unit_pats[ci][alt_id[0]]
+                                if gi not in orig_masks_cache:
+                                    orig_masks_cache[gi] = unary_masks(
+                                        cps[gi], store._cols, len(g_sealed),
                                         start=start, cache=mask_cache,
                                     )
-                                _, neg_mask = orig_masks_cache[pi][alt_id[1]]
+                                _, neg_mask = orig_masks_cache[gi][alt_id[1]]
                             else:
                                 _, neg_mask = masks_ci[alt_id]
                             ok = np.ones(len(p), dtype=bool)
@@ -1287,7 +1319,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                             del parked[alt_id]
                 if res:
                     outs.append(
-                        unit_rows(g_sealed, res) if merged_mode
+                        unit_rows(g_sealed, res, ci) if merged_mode
                         else matches_to_pdf_array(cp, g_sealed, key[0], emit_cols, res=res)
                     )
                 tables_out[ci] = tables

@@ -528,7 +528,7 @@ def test_stream_shared_fellback_state_guard():
     assert state.exists
     parts_raw, parked_raw = state._val[2], state._val[3]
     assert parts_raw is None and parked_raw is None  # no tables persisted
-    assert state._val[7] == "shared-v1"  # ...but the layout IS recorded
+    assert state._val[7] == "shared-v2"  # ...but the layout IS recorded
 
     fn_perpat = _make_multi_fn(
         cps, ("turn_idx",), w_ns_of, trailing_of, w_ns, merged=None,
@@ -666,3 +666,105 @@ def test_merged_automaton_rejected_by_join_lowering():
     merged = merge_compiled(cps)
     with pytest.raises(ValueError, match="merged multi-pattern"):
         expand_fixed(merged)
+
+
+def test_stream_shared_per_component_fallback():
+    """Round-4 VERDICT #3: one exploding rule must not drag rules it
+    shares no state with to whole-automaton rematch.  Two disjoint
+    components — a benign prefix-shared pair and a Kleene powerset bomb
+    — drive the shared strategy through the fake state; only the bomb's
+    component flips its fellback bit, the benign component keeps its
+    partial tables, and emissions match per-pattern batch runs."""
+    from test_stream_fn_property import (
+        FakeState,
+        _canon_multi,
+        _drive_multi,
+        _effective_rows,
+    )
+
+    from cep_spark.batch import matches_to_pdf_array
+    from cep_spark.merge import merge_components
+    from cep_spark.stream import (
+        _make_multi_fn,
+        _retention_w_ns,
+        _trailing_alt_ids,
+    )
+
+    w = timedelta(minutes=30)
+    pats = [
+        _pat(Seq(Ev("a", role="user"), Ev("b", role="assistant"),
+                 Ev("c", role="user")), window=w, pid="benign0"),
+        _pat(Seq(Ev("a", role="user"), Ev("b", role="assistant"),
+                 Ev("d", role="assistant")), window=w, pid="benign1"),
+        # the bomb: powerset Kleene over a dense role — partial count
+        # ~2^(#tool events in window), blowing the 8x-buffer guard
+        _pat(Seq(Ev("s", role="tool"), Kleene(Ev("k", role="tool"))),
+             window=w, pid="bomb"),
+    ]
+    cps = [compile_pattern(p) for p in pats]
+    units = merge_components(cps)
+    assert [idxs for _, idxs in units] == [[0, 1], [2]]
+
+    # corpus: the FIRST batch carries 12 tool events (sealed together at
+    # the second invocation -> ~2^12 bomb partials > max(256, 8*buflen))
+    # plus benign matches; the second batch is benign-heavy
+    rng = np.random.default_rng(7)
+    n = 36
+    roles = np.array(
+        ["user", "assistant", "user"] + ["tool"] * 12
+        + ["user", "assistant", "assistant"]
+        + list(rng.choice(["user", "assistant"], n - 18))
+    )
+    g = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": np.arange(n, dtype=np.int32),
+            "role": roles,
+            "tool": rng.choice(["python", "sql"], n),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(np.cumsum(rng.integers(1, 30, n)), unit="s"),
+            "value": rng.uniform(0, 100, n).round(1),
+        }
+    )
+    batches = [g.iloc[:18], g.iloc[18:]]
+    final_wm = int(g["ts"].max().value // 1_000_000) + 10_000_000
+
+    # A/B state inspection: drive the fn directly (not via _drive_multi)
+    # so the fellback bitmask / parts can be asserted mid-stream
+    w_ns_of = [int(cp.pattern.window.total_seconds() * 1e9) for cp in cps]
+    trailing_of = [_trailing_alt_ids(cp) for cp in cps]
+    w_ns = max(_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of))
+    fn = _make_multi_fn(cps, ("turn_idx",), w_ns_of, trailing_of, w_ns,
+                        merged=units)
+    state = FakeState()
+    out = []
+    wm = 0
+    for b in batches:
+        state.hasTimedOut = False
+        state.wm_ms = wm
+        state.timer_ms = None
+        for pdf in fn(("c0",), iter([b]), state):
+            out.append(pdf)
+        wm = int(b["ts"].max().value // 1_000_000)
+    import pickle
+
+    assert state.exists
+    fellback = state._val[6]
+    assert fellback == 0b10, f"expected only the bomb component, got {fellback:b}"
+    parts = pickle.loads(state._val[2]) if state._val[2] else {}
+    assert 0 in parts and 1 not in parts  # benign tables persisted, bomb's dropped
+
+    # exactly-once emission parity incl. the drain phase
+    out2, st2 = _drive_multi(cps, batches, final_wm, strategy="shared")
+    eff = _effective_rows(batches)
+    want = []
+    if len(eff):
+        g2 = eff.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        for cp in cps:
+            res = match_group_nfa(cp, g2)
+            if res:
+                want.extend(_canon_multi(
+                    [matches_to_pdf_array(cp, g2, "k0", ("turn_idx",), res=res)]
+                ))
+    assert _canon_multi(out2) == sorted(want)
+    assert st2.removed or not st2.exists

@@ -323,9 +323,9 @@ def _drive_multi(cps, batches, final_wm_ms, emit_cols=("turn_idx",),
     w_ns = None if any(r is None for r in rets) else max(rets)
     merged = None
     if strategy == "shared":
-        from cep_spark.merge import merge_compiled
+        from cep_spark.merge import merge_components
 
-        merged = merge_compiled(cps)
+        merged = merge_components(cps)
     fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                         merged=merged)
     state = FakeState()
