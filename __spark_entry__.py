@@ -326,6 +326,77 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 4: Neg BETWEEN the leaves INSIDE the unbounded repetition —
+# every repetition's (u_j, w_j) gap must be free of qualifying 'error'
+# events (NegSpec.per_repeat; compiler._collect group branch).  The
+# oracle repeats the NOT EXISTS guard in the base case AND the
+# recursive step, so the approximation-free CTE checks the gap once
+# per repetition exactly like the NFA does.
+
+_KLEENE_GROUP_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Neg(Ev("n", event_type="error")),
+                   Ev("w", event_type="click"))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_group_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_NEG_PAT), mode="flat")
+
+
+def _kleene_group_neg_oracle() -> str:
+    w = int(_KLEENE_GROUP_NEG_PAT.window.total_seconds())
+    gap_free = """NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = u.user_id AND n.event_type = 'error'
+        AND (u.ts < n.ts OR (u.ts = n.ts AND u.event_id < n.event_id))
+        AND (n.ts < w.ts OR (n.ts = w.ts AND n.event_id < w.event_id)))"""
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT u.user_id,
+         u.event_id AS u_first, u.ts AS first_ts, 1 AS r,
+         u.event_id AS u_last,
+         w.event_id AS w_first, w.event_id AS w_last,
+         w.event_id AS last_id, w.ts AS last_ts
+  FROM events u JOIN events w ON w.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND EPOCH(w.ts) - EPOCH(u.ts) <= {w}
+    AND {gap_free}
+  UNION ALL
+  SELECT s.user_id, s.u_first, s.first_ts, s.r + 1,
+         u.event_id, s.w_first, w.event_id, w.event_id, w.ts
+  FROM chains s
+  JOIN events u ON u.user_id = s.user_id
+  JOIN events w ON w.user_id = s.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND (s.last_ts < u.ts OR (s.last_ts = u.ts AND s.last_id < u.event_id))
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND EPOCH(w.ts) - EPOCH(s.first_ts) <= {w}
+    AND {gap_free}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CAST(s.r AS BIGINT) AS w_len,
+       CAST(s.w_first AS BIGINT) AS w_first,
+       CAST(s.w_last AS BIGINT) AS w_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
 # ---------------------------------------------------------------------------
 # udf_pred (the reference's arbitrary-lambda conditions, SURVEY.md §2.2):
 # a vectorized user predicate has NO SQL lowering by design, so this entry
@@ -522,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_pair_cond"] = _cep_query_nfa(CEP_PATTERNS["cep_kleene_pair_cond"])
     out["cep_kleene_unbounded"] = _kleene_unbounded_query
     out["cep_kleene_composite_unbounded"] = _kleene_group_query
+    out["cep_kleene_group_neg"] = _kleene_group_neg_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
     out["cep_multi_shared"] = _multi_shared_query
@@ -537,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
     out = {name: oracle_sql_for(compile_pattern(pat), "events") for name, pat in CEP_PATTERNS.items()}
     out["cep_kleene_unbounded"] = _kleene_unbounded_oracle()
     out["cep_kleene_composite_unbounded"] = _kleene_group_oracle()
+    out["cep_kleene_group_neg"] = _kleene_group_neg_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()
     out["cep_multi_shared"] = _multi_shared_oracle()

@@ -86,6 +86,12 @@ class NegSpec:
     #   n.ts - first.ts <= window.  Streaming seals such matches at
     #   first.ts + window instead of last.ts (stream.py).
     post_slots: frozenset = frozenset()
+    # gap neg INSIDE an unbounded composite-Kleene group (round 4): the
+    # gap (prev bound event, new event) is re-checked on EVERY bind of
+    # the post slot — once per repetition — instead of only the first
+    # (group slots bind repeatedly; strict interleaving makes the
+    # partial's last_pos exactly the same repetition's previous leaf).
+    per_repeat: bool = False
 
 
 @dataclass(frozen=True)
@@ -204,15 +210,24 @@ def _validate_group_inner(node: Kleene) -> None:
     inner = node.inner
     ok = (
         isinstance(inner, Seq)
-        and len(inner.parts) >= 2
-        and all(isinstance(p, Ev) for p in inner.parts)
+        and sum(isinstance(p, Ev) for p in inner.parts) >= 2
+        and all(isinstance(p, (Ev, Neg)) for p in inner.parts)
+        and isinstance(inner.parts[0], Ev)
+        and isinstance(inner.parts[-1], Ev)
+        # no two adjacent Negs (each Neg guards exactly one leaf gap)
+        and not any(
+            isinstance(a, Neg) and isinstance(b, Neg)
+            for a, b in zip(inner.parts, inner.parts[1:])
+        )
     )
     if not ok:
         raise ValueError(
             "unbounded Kleene over a composite sub-structure supports "
-            "Seq of plain event leaves only (nested Kleene/Neg/Or_/And_ "
-            "inside the repetition requires max_len — those expand to "
-            "fixed chains at compile time)"
+            "Seq of plain event leaves, optionally with a single Neg "
+            "BETWEEN two leaves (gap scoped per repetition); leading/"
+            "trailing Neg or nested Kleene/Or_/And_ inside the "
+            "repetition requires max_len — those expand to fixed "
+            "chains at compile time"
         )
 
 
@@ -310,15 +325,26 @@ def _collect(
             )
             sids: list = []
             here = prereq
-            for j, part in enumerate(node.inner.parts):
+            open_neg = None  # Neg between two leaves: gap per repetition
+            j = 0
+            for part in node.inner.parts:
+                if isinstance(part, Neg):
+                    open_neg = part  # validated: between two Ev leaves
+                    continue
                 sid = len(slots)
                 slots.append(
                     Slot(sid, part.name, part.where, kleene=True,
                          kleene_max=node.max_len, prereq=here,
                          group=gid, grp_idx=j)
                 )
+                if open_neg is not None:
+                    # per-repetition gap: re-checked on EVERY bind of
+                    # this sub-slot (see NegSpec.per_repeat)
+                    negs.append((open_neg, ("repeat", frozenset({sid}))))
+                    open_neg = None
                 sids.append(sid)
                 here = prereq | frozenset(sids)
+                j += 1
             return frozenset(sids)
         sid = len(slots)
         slots.append(
@@ -619,6 +645,9 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                         f"negation condition {c!r} may not reference a Kleene "
                         f"variable (per-element negation scope is undefined)"
                     )
+            per_repeat = False
+            if isinstance(post, tuple) and post[0] == "repeat":
+                per_repeat, post = True, post[1]
             if post is None:
                 kind = "span"
             elif isinstance(post, str):
@@ -627,7 +656,8 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                 kind = "gap"
             neg_specs.append(
                 NegSpec(ng.name, u, tuple(extra), kind,
-                        post if isinstance(post, frozenset) else frozenset())
+                        post if isinstance(post, frozenset) else frozenset(),
+                        per_repeat=per_repeat)
             )
             note_cols(u)
             for c in extra:
@@ -694,7 +724,10 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                     gi
                     for gi in gap_idx
                     if s.sid in neg_specs[gi].post_slots
-                    and not (neg_specs[gi].post_slots & st.bound)
+                    and (
+                        neg_specs[gi].per_repeat  # once per repetition
+                        or not (neg_specs[gi].post_slots & st.bound)
+                    )
                 )
                 # gap-neg conditions must be evaluable now
                 for gi in gnegs:

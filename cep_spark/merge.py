@@ -295,6 +295,7 @@ def merge_compiled(cps) -> CompiledPattern:
                 msigs = [_cond_sig(c, {**cmap, spec.var: "n"}) for c in spec.multi]
                 nsig = (
                     spec.kind,
+                    spec.per_repeat,
                     _cond_sig(spec.unary, {spec.var: "n"}),
                     tuple(sorted(msigs, key=str)),
                     tuple(sorted(m_slot[x].sid for x in spec.post_slots)),
@@ -314,6 +315,7 @@ def merge_compiled(cps) -> CompiledPattern:
                             ),
                             spec.kind,
                             frozenset(m_slot[x].sid for x in spec.post_slots),
+                            per_repeat=spec.per_repeat,
                         )
                     )
                     neg_of_sig[nsig] = mi

@@ -28,7 +28,9 @@ def _unbounded_group_names(node) -> list:
         return []
     if isinstance(node, Kleene):
         if not isinstance(node.inner, Ev) and node.max_len is None:
-            return [[p.name for p in node.inner.parts]]
+            # positive leaves only: a Neg between leaves is not part of
+            # the emitted binding (round 4: Neg inside unbounded groups)
+            return [[p.name for p in node.inner.parts if isinstance(p, Ev)]]
         return _unbounded_group_names(node.inner)
     if isinstance(node, Neg):
         return _unbounded_group_names(node.inner)
@@ -43,7 +45,10 @@ def _bound_groups(node, n: int):
     if isinstance(node, Kleene):
         inner = _bound_groups(node.inner, n)
         if not isinstance(inner, Ev) and node.max_len is None:
-            return Kleene(inner, max_len=max(1, n // len(inner.parts)))
+            # arity counts POSITIVE leaves only (a repetition consumes
+            # one event per Ev; Negs consume none)
+            arity = sum(isinstance(p, Ev) for p in inner.parts)
+            return Kleene(inner, max_len=max(1, n // max(arity, 1)))
         return Kleene(inner, max_len=node.max_len, adjacent=node.adjacent)
     if isinstance(node, Neg):
         return Neg(_bound_groups(node.inner, n))

@@ -86,6 +86,27 @@ PATTERNS = {
         where=attr("k", "value") > attr("u", "value"),
         window=timedelta(minutes=5),
     ),
+    # round 4: Neg BETWEEN leaves INSIDE the unbounded repetition — the
+    # gap (u_j, w_j) must be neg-free in EVERY repetition
+    "neg_in_group": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Neg(Ev("n", role="tool")),
+                       Ev("w", role="assistant"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    "neg_in_group_arity3": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"),
+                       Neg(Ev("n", role="user")), Ev("x", role="tool"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    "neg_in_group_cond": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Neg(Ev("n", role="tool")),
+                       Ev("w", role="assistant"))),
+            Ev("t", role="tool")),
+        where=attr("w", "value") > attr("u", "value"),
+        window=timedelta(minutes=5),
+    ),
 }
 
 
@@ -163,6 +184,39 @@ def test_bounded_group_equals_chain_expansion():
                 {"u": fu, "w": fw, "t": (b["t"],)}.items()
             ))))
         assert grp == sorted(set(folded)), f"trial {trial}\n{g}"
+
+
+def test_bounded_group_with_neg_equals_chain_expansion():
+    """Round 4: a Neg between leaves inside the repetition — the group
+    lowering (per-repetition gap re-check) must match the chain
+    expansion (per-chain-position gap negs) exactly."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Neg(Ev("n", role="tool")),
+                       Ev("w", role="assistant")), max_len=2),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+    rng = np.random.default_rng(43)
+    nonzero = multirep = 0
+    for trial in range(60):
+        g = _gen_group(trial * 17 + 5, int(rng.integers(3, 12)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        grp = _canon_nfa(match_group_nfa(cp_group, gs))
+        folded = []
+        for _, b in match_group_nfa(cp_chain, gs):
+            fu = tuple(p for j in (1, 2) for p in
+                       ([b[f"u__{j}"]] if f"u__{j}" in b else []))
+            fw = tuple(p for j in (1, 2) for p in
+                       ([b[f"w__{j}"]] if f"w__{j}" in b else []))
+            folded.append((0, tuple(sorted(
+                {"u": fu, "w": fw, "t": (b["t"],)}.items()
+            ))))
+            multirep += len(fu) > 1
+        assert grp == sorted(set(folded)), f"trial {trial}\n{g}"
+        nonzero += bool(grp)
+    assert nonzero > 0 and multirep > 0  # 2-repetition gaps exercised
 
 
 def test_group_interleaving_and_alignment():

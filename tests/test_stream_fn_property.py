@@ -92,6 +92,11 @@ PATTERNS = {
     "group_trailing": Pattern(Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
                                   Ev("t", role="user"), Neg(Ev("n", role="tool"))),
                               window=timedelta(seconds=180)),
+    # round 4: Neg between leaves inside the unbounded repetition,
+    # through the incremental executor's persisted partial tables
+    "group_neg": Pattern(Seq(Kleene(Seq(Ev("u", role="user"), Neg(Ev("n", role="tool")),
+                                        Ev("w", role="assistant"))),
+                             Ev("t", role="tool")), window=timedelta(seconds=180)),
 }
 
 
