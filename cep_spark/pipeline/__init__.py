@@ -15,5 +15,6 @@ decode — no binary test table exists).
 """
 
 from . import registry
+from ._mat import release as release_caches
 
-__all__ = ["registry"]
+__all__ = ["registry", "release_caches"]

@@ -118,10 +118,13 @@ def _words_df(spark, sf_dir):
     # projection into every downstream `w[i]` access and the regex work
     # goes quadratic in words-per-doc.
     n_part = max(spark.sparkContext.defaultParallelism, 8)
-    return (
-        d.repartition(n_part, "doc_id")
-        .select("doc_id", F.split(F.expr(_spark_norm_sql_spark()), " ").alias("w"))
-        .cache()
+    from ._mat import materialize
+
+    return materialize(
+        spark, sf_dir, "words",
+        lambda: d.repartition(n_part, "doc_id").select(
+            "doc_id", F.split(F.expr(_spark_norm_sql_spark()), " ").alias("w")
+        ),
     )
 
 
@@ -134,10 +137,13 @@ def _shingle_list_df(spark, sf_dir):
     shingle table you would materialize once for the whole dedup pass."""
     from pyspark.sql import functions as F
 
-    return (
-        _words_df(spark, sf_dir)
-        .select("doc_id", F.expr(_SPARK_SHINGLES_EXPR.format(w="w")).alias("sh"))
-        .cache()
+    from ._mat import materialize
+
+    return materialize(
+        spark, sf_dir, "shingles",
+        lambda: _words_df(spark, sf_dir).select(
+            "doc_id", F.expr(_SPARK_SHINGLES_EXPR.format(w="w")).alias("sh")
+        ),
     )
 
 
@@ -202,10 +208,15 @@ def q_ngram_jaccard(spark, sf_dir, max_df: int | None = None):
 
     from pyspark.sql import functions as F
 
+    from ._mat import materialize
+
     sh = _shingle_list_df(spark, sf_dir)
     # both join sides read the inverted index: materialize it once
-    # (cache is plan-keyed, so the capped and uncapped entries share it)
-    ex = sh.select("doc_id", F.explode("sh").alias("s")).cache()
+    # (registry-keyed, so the capped and uncapped entries share it)
+    ex = materialize(
+        spark, sf_dir, "inv_index",
+        lambda: sh.select("doc_id", F.explode("sh").alias("s")),
+    )
     if max_df is not None:
         # ONE shingle-df aggregate, materialized via localCheckpoint: the
         # keep-filter join, and the never-silent drop-count log all read

@@ -158,10 +158,18 @@ def q_ann_lsh_pairs(spark, sf_dir):
         band_structs.append(
             F.struct(F.lit(b).alias("band"), F.array_join(bits, "").alias("bkey"))
         )
-    banded = (
-        ep.select("vec_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-        .cache()  # 32 plane dot products per row; both join sides read it
+    from ._mat import materialize
+
+    # 64 plane dot products per row; both join sides read it — shared
+    # through the session registry with an explicit release() hook
+    banded = materialize(
+        spark, sf_dir, "lsh_banded",
+        lambda: ep.select(
+            "vec_id", F.explode(F.array(*band_structs)).alias("bk")
+        ).select(
+            "vec_id", F.col("bk.band").alias("band"),
+            F.col("bk.bkey").alias("bkey"),
+        ),
     )
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
