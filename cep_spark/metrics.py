@@ -28,8 +28,16 @@ class CepMetricsListener(StreamingQueryListener):
     bench harness can print them after the query finishes.
     """
 
-    def __init__(self):
+    def __init__(self, guard_drops=None):
+        """``guard_drops``: the accumulator a capped streaming query
+        attaches as ``.guard_drops`` (stream_matches / stream_matches_
+        multi with max_partials_per_state).  When given, every progress
+        event records the running dropped-partial count and summary()
+        exposes it — the alerting hook for a 100-TB operator running the
+        loss-only state guard (drops are deterministic but are LOSS;
+        they must be observable, not just warn-logged on executors)."""
         self.progress: list[dict] = []
+        self.guard_drops = guard_drops
 
     # -- listener callbacks -------------------------------------------------
 
@@ -50,6 +58,10 @@ class CepMetricsListener(StreamingQueryListener):
                 "state_bytes": state.get("stateMemory") or state.get("memoryUsedBytes"),
                 "watermark_unix": wm,
                 "wall_unix": _parse_iso(p.get("timestamp")),
+                "guard_dropped_partials": (
+                    self.guard_drops.value
+                    if self.guard_drops is not None else None
+                ),
             }
         )
 
@@ -84,6 +96,16 @@ class CepMetricsListener(StreamingQueryListener):
                 return x["wall_unix"] - x["watermark_unix"]
         return None
 
+    def guard_dropped_partials(self) -> int | None:
+        """Total partials dropped by the opt-in state guard (None when
+        no guard accumulator was attached)."""
+        if self.guard_drops is not None:
+            return self.guard_drops.value
+        for x in reversed(self.progress):
+            if x.get("guard_dropped_partials") is not None:
+                return x["guard_dropped_partials"]
+        return None
+
     def summary(self) -> dict:
         return {
             "batches": len(self.progress),
@@ -91,4 +113,5 @@ class CepMetricsListener(StreamingQueryListener):
             "mean_rows_per_sec": round(self.mean_rows_per_sec(), 1),
             "p95_batch_ms": self.p95_batch_ms(),
             "max_state_rows": self.max_state_rows(),
+            "guard_dropped_partials": self.guard_dropped_partials(),
         }

@@ -513,15 +513,23 @@ def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_
             T.StructField("fellback", T.IntegerType()),
         ]
     )
-    fn = _make_incremental_fn(cp, mode, emit_cols, w_ns, cap=cap)
+    from .batch import _guard_drops_acc
 
-    return df.groupBy(pat.key).applyInPandasWithState(
+    acc = _guard_drops_acc(df, cap)
+    fn = _make_incremental_fn(cp, mode, emit_cols, w_ns, cap=cap, acc=acc)
+
+    out = df.groupBy(pat.key).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    # dropped-partial count (None when the guard is off): read .value on
+    # the driver, or hand it to CepMetricsListener(guard_drops=...) for
+    # per-batch exposure + alerting
+    out.guard_drops = acc
+    return out
 
 
 def _binding_of(p: "_Partials", j: int) -> dict:
@@ -561,7 +569,8 @@ def _park_partials(alt, bindings, ts_ns) -> "_Partials":
     return p
 
 
-def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns, cap=None):
+def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns, cap=None,
+                         acc=None):
     """Build the per-key state function for the incremental executor.
     Exposed separately so tests can drive it directly against a fake
     GroupState (fast randomized semantics checks without a Spark
@@ -671,7 +680,7 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns, cap=None):
                         min_parked_seal is None or lts < min_parked_seal
                     ):
                         min_parked_seal = lts
-                _flush_guard_stats(fb_stats, None)
+                _flush_guard_stats(fb_stats, acc)
                 if res:
                     yield _emit(g, key[0], res)
                 if w_ns is not None and wm_ns > 0:
@@ -704,7 +713,7 @@ def _make_incremental_fn(cp: CompiledPattern, mode, emit_cols, w_ns, cap=None):
                     tables_in=tables or None, start=start,
                     cap=cap, stats=stats,
                 )
-                _flush_guard_stats(stats, None)
+                _flush_guard_stats(stats, acc)
                 # re-verify parked matches against ONLY the freshly-
                 # sealed trailing-negation candidates (earlier sealed
                 # candidates were checked at accept / prior batches;
@@ -990,21 +999,29 @@ def stream_matches_multi(df, cps, watermark: str,
             T.StructField("fmt", T.StringType()),
         ]
     )
+    from .batch import _guard_drops_acc
+
+    acc = _guard_drops_acc(df, max_partials_per_state)
     fn = _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                         force_rematch=force_rematch,
-                        cap=max_partials_per_state, merged=merged)
+                        cap=max_partials_per_state, merged=merged, acc=acc)
 
-    return df.groupBy(p0.key).applyInPandasWithState(
+    out = df.groupBy(p0.key).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    # dropped-partial count (None when the guard is off) — same contract
+    # as run_batch_multi; feed to CepMetricsListener(guard_drops=...)
+    out.guard_drops = acc
+    return out
 
 
 def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
-                   force_rematch: bool = False, cap=None, merged=None):
+                   force_rematch: bool = False, cap=None, merged=None,
+                   acc=None):
     """Per-key state function for multi-pattern streaming (exposed for
     the fake-GroupState property harness, like _make_incremental_fn).
 
@@ -1210,7 +1227,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                         res_sealed.append((a, b))
                     elif lts > wm_ns and (min_unsealed_ns is None or lts < min_unsealed_ns):
                         min_unsealed_ns = lts
-                _flush_guard_stats(fb_stats, None)
+                _flush_guard_stats(fb_stats, acc)
                 if res_sealed:
                     outs.append(
                         unit_rows(g_all, res_sealed, ci) if merged_mode
@@ -1233,7 +1250,7 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
                         tables_in=tables or None, start=start,
                         cap=cap, stats=stats,
                     )
-                    _flush_guard_stats(stats, None)
+                    _flush_guard_stats(stats, acc)
                     # re-verify parked matches against ONLY the freshly-
                     # sealed trailing-negation candidates (single-pattern
                     # executor parity — _make_incremental_fn)

@@ -345,3 +345,77 @@ def test_multi_rematch_strategy_rejects_guard(spark):
         stream_matches_multi(
             df, cps, "10 seconds", strategy="rematch", max_partials_per_state=8
         )
+
+
+class _FakeAcc:
+    def __init__(self):
+        self.value = 0
+
+    def add(self, n):
+        self.value += n
+
+
+def test_incremental_fn_reports_drops_to_accumulator():
+    """Round-4 VERDICT #8: the streaming state fn feeds the guard's
+    dropped-partial count into the provided accumulator (batch parity),
+    not just executor warn-logs."""
+    cp = compile_pattern(PAT)
+    g = _hot_frame(n_assist=12)
+    w_ns = int(cp.pattern.window.total_seconds() * 1e9)
+    acc = _FakeAcc()
+    fn = _make_incremental_fn(cp, "flat", (), w_ns, cap=16, acc=acc)
+    state = _FakeState()
+    wm = 0
+    bounds = np.linspace(0, len(g), 5).astype(int)
+    for bi in range(4):
+        b = g.iloc[bounds[bi]:bounds[bi + 1]]
+        state.hasTimedOut = False
+        state.wm_ms = wm
+        state.timer_ms = None
+        for _ in fn(("hot",), iter([b]), state):
+            pass
+        if len(b):
+            wm = max(wm, int(b["ts"].max().value // 1_000_000))
+    assert acc.value > 0
+
+
+def test_stream_guard_metrics_listener(spark, tmp_path):
+    """End-to-end: a capped streaming query attaches .guard_drops; the
+    metrics listener exposes the dropped-partial count per batch and in
+    summary() — the operator alerting hook."""
+    import time
+
+    from cep_spark.metrics import CepMetricsListener
+    from cep_spark.stream import stream_matches
+
+    g = _hot_frame(n_assist=12)
+    flush = g.iloc[[0]].copy()
+    flush["turn_idx"] = np.int32(999)
+    flush["ts"] = (g["ts"].max() + pd.Timedelta(hours=3)).as_unit("us")
+    src = tmp_path / "src"
+    src.mkdir()
+    g.to_parquet(src / "b0.parquet")
+    pd.concat([flush], ignore_index=True).astype(g.dtypes.to_dict()).to_parquet(
+        src / "b1.parquet"
+    )
+
+    cp = compile_pattern(PAT)
+    sdf = spark.readStream.schema(spark.createDataFrame(g).schema).parquet(
+        str(src)
+    )
+    out = stream_matches(sdf, cp, watermark="5 seconds", mode="flat",
+                         emit_cols=("turn_idx",), strategy="incremental",
+                         max_partials_per_state=16)
+    assert out.guard_drops is not None
+    listener = CepMetricsListener(guard_drops=out.guard_drops)
+    spark.streams.addListener(listener)
+    try:
+        q = (out.writeStream.format("memory").queryName("guard_metrics")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        time.sleep(1)  # listener events are delivered asynchronously
+    finally:
+        spark.streams.removeListener(listener)
+    assert out.guard_drops.value > 0
+    assert listener.guard_dropped_partials() == out.guard_drops.value
+    assert listener.summary()["guard_dropped_partials"] > 0
