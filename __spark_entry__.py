@@ -326,6 +326,82 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 4: LEADING Neg inside the unbounded repetition — the gap INTO
+# each repetition (anchor -> u_1, then w_{j-1} -> u_j) must be free of
+# qualifying 'error' events.  The CTE anchors at the preceding positive
+# (required by the compiler: the first repetition's gap needs a left
+# boundary) and repeats the NOT EXISTS guard against the previous
+# bound event in base + recursive step.
+
+_KLEENE_GROUP_LEAD_NEG_PAT = _p(
+    Seq(
+        Ev("s", event_type="signup"),
+        Kleene(Seq(Neg(Ev("n", event_type="error")),
+                   Ev("u", event_type="view"),
+                   Ev("w", event_type="click"))),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_group_lead_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_LEAD_NEG_PAT), mode="flat")
+
+
+def _kleene_group_lead_neg_oracle() -> str:
+    w = int(_KLEENE_GROUP_LEAD_NEG_PAT.window.total_seconds())
+
+    def gap_free(prev_ts: str, prev_id: str) -> str:
+        return f"""NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = u.user_id AND n.event_type = 'error'
+        AND ({prev_ts} < n.ts OR ({prev_ts} = n.ts AND {prev_id} < n.event_id))
+        AND (n.ts < u.ts OR (n.ts = u.ts AND n.event_id < u.event_id)))"""
+
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT s.user_id, s.event_id AS s_id, s.ts AS first_ts,
+         1 AS r,
+         u.event_id AS u_first, u.event_id AS u_last,
+         w.event_id AS w_first, w.event_id AS w_last,
+         w.event_id AS last_id, w.ts AS last_ts
+  FROM events s
+  JOIN events u ON u.user_id = s.user_id
+  JOIN events w ON w.user_id = s.user_id
+  WHERE s.event_type = 'signup' AND u.event_type = 'view'
+    AND w.event_type = 'click'
+    AND (s.ts < u.ts OR (s.ts = u.ts AND s.event_id < u.event_id))
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND EPOCH(w.ts) - EPOCH(s.ts) <= {w}
+    AND {gap_free("s.ts", "s.event_id")}
+  UNION ALL
+  SELECT c.user_id, c.s_id, c.first_ts, c.r + 1,
+         c.u_first, u.event_id, c.w_first, w.event_id,
+         w.event_id, w.ts
+  FROM chains c
+  JOIN events u ON u.user_id = c.user_id
+  JOIN events w ON w.user_id = c.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND (c.last_ts < u.ts OR (c.last_ts = u.ts AND c.last_id < u.event_id))
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND EPOCH(w.ts) - EPOCH(c.first_ts) <= {w}
+    AND {gap_free("c.last_ts", "c.last_id")}
+)
+SELECT c.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(c.s_id AS BIGINT) AS s_event_id,
+       CAST(c.r AS BIGINT) AS u_len,
+       CAST(c.u_first AS BIGINT) AS u_first,
+       CAST(c.u_last AS BIGINT) AS u_last,
+       CAST(c.r AS BIGINT) AS w_len,
+       CAST(c.w_first AS BIGINT) AS w_first,
+       CAST(c.w_last AS BIGINT) AS w_last
+FROM chains c
+"""
+
+
 # round 4: Neg BETWEEN the leaves INSIDE the unbounded repetition —
 # every repetition's (u_j, w_j) gap must be free of qualifying 'error'
 # events (NegSpec.per_repeat; compiler._collect group branch).  The
@@ -594,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_unbounded"] = _kleene_unbounded_query
     out["cep_kleene_composite_unbounded"] = _kleene_group_query
     out["cep_kleene_group_neg"] = _kleene_group_neg_query
+    out["cep_kleene_group_lead_neg"] = _kleene_group_lead_neg_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
     out["cep_multi_shared"] = _multi_shared_query
@@ -610,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_unbounded"] = _kleene_unbounded_oracle()
     out["cep_kleene_composite_unbounded"] = _kleene_group_oracle()
     out["cep_kleene_group_neg"] = _kleene_group_neg_oracle()
+    out["cep_kleene_group_lead_neg"] = _kleene_group_lead_neg_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()
     out["cep_multi_shared"] = _multi_shared_oracle()

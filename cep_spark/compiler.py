@@ -212,7 +212,8 @@ def _validate_group_inner(node: Kleene) -> None:
         isinstance(inner, Seq)
         and sum(isinstance(p, Ev) for p in inner.parts) >= 2
         and all(isinstance(p, (Ev, Neg)) for p in inner.parts)
-        and isinstance(inner.parts[0], Ev)
+        # trailing Neg would guard an open right boundary of the LAST
+        # repetition (window-bounded look-ahead) — chain-expansion-only
         and isinstance(inner.parts[-1], Ev)
         # no two adjacent Negs (each Neg guards exactly one leaf gap)
         and not any(
@@ -223,11 +224,12 @@ def _validate_group_inner(node: Kleene) -> None:
     if not ok:
         raise ValueError(
             "unbounded Kleene over a composite sub-structure supports "
-            "Seq of plain event leaves, optionally with a single Neg "
-            "BETWEEN two leaves (gap scoped per repetition); leading/"
-            "trailing Neg or nested Kleene/Or_/And_ inside the "
-            "repetition requires max_len — those expand to fixed "
-            "chains at compile time"
+            "Seq of plain event leaves, optionally with a Neg BETWEEN "
+            "two leaves or LEADING the repetition (gap scoped per "
+            "repetition; a leading Neg additionally requires a "
+            "positive part before the Kleene); trailing Neg or nested "
+            "Kleene/Or_/And_ inside the repetition requires max_len — "
+            "those expand to fixed chains at compile time"
         )
 
 
@@ -325,11 +327,22 @@ def _collect(
             )
             sids: list = []
             here = prereq
-            open_neg = None  # Neg between two leaves: gap per repetition
+            open_neg = None  # Neg before a leaf: gap per repetition
             j = 0
             for part in node.inner.parts:
                 if isinstance(part, Neg):
-                    open_neg = part  # validated: between two Ev leaves
+                    if j == 0 and not prereq:
+                        # a LEADING Neg's first-repetition gap has no
+                        # left boundary when the group starts the
+                        # pattern (initial transitions carry no partial
+                        # to anchor the interval) — same rule as the
+                        # root-Seq leading Neg
+                        raise ValueError(
+                            "leading Neg inside an unbounded composite "
+                            "Kleene requires a positive part before "
+                            "the Kleene (the gap needs a left boundary)"
+                        )
+                    open_neg = part
                     continue
                 sid = len(slots)
                 slots.append(

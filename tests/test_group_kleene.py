@@ -107,6 +107,14 @@ PATTERNS = {
         where=attr("w", "value") > attr("u", "value"),
         window=timedelta(minutes=5),
     ),
+    # LEADING Neg inside the repetition: guards the gap INTO each
+    # repetition (anchor->u_1, then w_{j-1}->u_j); needs the anchor
+    "lead_neg_in_group": Pattern(
+        Seq(Ev("a", role="tool"),
+            Kleene(Seq(Neg(Ev("n", role="tool")), Ev("u", role="user"),
+                       Ev("w", role="assistant")))),
+        window=timedelta(minutes=5),
+    ),
 }
 
 
@@ -292,3 +300,46 @@ def test_group_streaming_incremental_parity():
         res = match_group_nfa(cp, g)
         want = _canon_rows([matches_to_pdf_flat(cp, g, "c0", res=res)]) if res else []
         assert _canon_rows(out) == want, f"trial {trial}\n{g}"
+
+
+def test_leading_neg_in_group_chain_parity_and_initial_reject():
+    """Bounded chain expansion vs forced group lowering for a LEADING
+    Neg inside the repetition; and the pattern-initial case (no left
+    boundary for the first repetition's gap) is rejected."""
+    import pytest
+
+    pat = Pattern(
+        Seq(Ev("a", role="tool"),
+            Kleene(Seq(Neg(Ev("n", role="tool")), Ev("u", role="user"),
+                       Ev("w", role="assistant")), max_len=2)),
+        window=timedelta(minutes=5),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+    rng = np.random.default_rng(44)
+    nonzero = multirep = 0
+    for trial in range(60):
+        g = _gen_group(trial * 19 + 7, int(rng.integers(3, 12)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        grp = _canon_nfa(match_group_nfa(cp_group, gs))
+        folded = []
+        for _, b in match_group_nfa(cp_chain, gs):
+            fu = tuple(p for j in (1, 2) for p in
+                       ([b[f"u__{j}"]] if f"u__{j}" in b else []))
+            fw = tuple(p for j in (1, 2) for p in
+                       ([b[f"w__{j}"]] if f"w__{j}" in b else []))
+            folded.append((0, tuple(sorted(
+                {"u": fu, "w": fw, "a": (b["a"],)}.items()
+            ))))
+            multirep += len(fu) > 1
+        assert grp == sorted(set(folded)), f"trial {trial}\n{g}"
+        nonzero += bool(grp)
+    assert nonzero > 0 and multirep > 0
+
+    bad = Pattern(
+        Kleene(Seq(Neg(Ev("n", role="tool")), Ev("u", role="user"),
+                   Ev("w", role="assistant"))),
+        window=timedelta(minutes=5),
+    )
+    with pytest.raises(ValueError, match="left boundary"):
+        compile_pattern(bad)

@@ -97,6 +97,11 @@ PATTERNS = {
     "group_neg": Pattern(Seq(Kleene(Seq(Ev("u", role="user"), Neg(Ev("n", role="tool")),
                                         Ev("w", role="assistant"))),
                              Ev("t", role="tool")), window=timedelta(seconds=180)),
+    "group_lead_neg": Pattern(Seq(Ev("a", role="tool"),
+                                  Kleene(Seq(Neg(Ev("n", role="tool")),
+                                             Ev("u", role="user"),
+                                             Ev("w", role="assistant")))),
+                              window=timedelta(seconds=180)),
 }
 
 
