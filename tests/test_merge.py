@@ -267,7 +267,7 @@ def _family(draw):
     return pats
 
 
-@settings(max_examples=3000, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(pats=_family(), seed=st.integers(0, 2**31))
 def test_random_family_merge_parity(pats, seed):
     try:
@@ -404,7 +404,7 @@ def _mergeable_stream_family(mixed_windows=False):
     ]
 
 
-@settings(max_examples=2000, deadline=None,
+@settings(max_examples=120, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(seed=st.integers(0, 2**31), n=st.integers(2, 24),
        cuts=st.lists(st.integers(0, 24), max_size=4),

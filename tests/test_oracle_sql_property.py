@@ -69,7 +69,7 @@ def _replica_fixed(pat, g):
     return sorted(out, key=repr)
 
 
-@settings(max_examples=1200, deadline=None,
+@settings(max_examples=200, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=sql_scenario())
 def test_generated_sql_matches_replica(sc):

@@ -166,7 +166,7 @@ def _canon_nfa(res):
     )
 
 
-@settings(max_examples=4000, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(pat=pattern(), g=group())
 def test_random_pattern_vs_replica(pat, g):
     try:

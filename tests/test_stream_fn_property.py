@@ -202,7 +202,7 @@ def random_pattern_scenario(draw):
     return pat, g, cuts
 
 
-@settings(max_examples=10000, deadline=None,
+@settings(max_examples=150, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=random_pattern_scenario())
 def test_random_pattern_stream_fn_parity(sc):
@@ -376,7 +376,7 @@ def _canon_multi(pdfs):
     return sorted(rows)
 
 
-@settings(max_examples=600, deadline=None,
+@settings(max_examples=60, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=scenario())
 def test_multi_fn_exactly_once_parity(sc):
@@ -417,7 +417,7 @@ def test_multi_fn_exactly_once_parity(sc):
     assert state.removed or not state.exists
 
 
-@settings(max_examples=1000, deadline=None,
+@settings(max_examples=120, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=scenario())
 def test_incremental_fn_exactly_once_parity(sc):
