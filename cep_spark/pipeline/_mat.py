@@ -19,18 +19,27 @@ item 6)."""
 
 from __future__ import annotations
 
+import threading
+
 _TABLES: dict = {}
+# RLock, not Lock: materialize() calls nest (the shingle table's build
+# calls materialize() for the words table on the same thread)
+_LOCK = threading.RLock()
 
 
 def materialize(spark, sf_dir: str, tag: str, build):
     """Return the cached DataFrame for (app, sf_dir, tag), building and
-    ``.cache()``-ing it on first use."""
+    ``.cache()``-ing it on first use.  Guarded by a lock: an unguarded
+    check-then-set would let two concurrent first calls double-cache,
+    stranding the overwritten entry's storage beyond release()'s
+    reach (the exact accumulation this registry exists to prevent)."""
     key = (spark.sparkContext.applicationId, sf_dir, tag)
-    df = _TABLES.get(key)
-    if df is None:
-        df = build().cache()
-        _TABLES[key] = df
-    return df
+    with _LOCK:
+        df = _TABLES.get(key)
+        if df is None:
+            df = build().cache()
+            _TABLES[key] = df
+        return df
 
 
 def release() -> int:
@@ -38,12 +47,13 @@ def release() -> int:
 
     Safe to call at any time — subsequent queries re-materialize on
     demand."""
-    n = 0
-    for df in _TABLES.values():
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
-    _TABLES.clear()
-    return n
+    with _LOCK:
+        n = 0
+        for df in _TABLES.values():
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass
+        _TABLES.clear()
+        return n

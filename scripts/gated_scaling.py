@@ -50,19 +50,29 @@ def main() -> None:
             status(state="waiting", last_probe=h2, runs=runs)
             continue
         status(state="running", probes=[h1, h2], runs=runs)
-        p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench_scaling.py")],
-            capture_output=True, text=True, cwd=REPO, timeout=3600,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench_scaling.py")],
+                capture_output=True, text=True, cwd=REPO, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # contention stretching the run past an hour IS the
+            # contamination signal — record it and re-arm
+            runs += 1
+            status(state="contaminated", runs=runs, legs=[],
+                   rc="timeout", tail="")
+            continue
         runs += 1
-        # judge by the run's own per-leg health markers
+        # judge by the run's own per-leg health markers.  bench_scaling
+        # prints the per-leg dicts (which carry cpu_health_mips) to
+        # STDERR and only the nested summary to stdout — scan both.
         healths = []
-        for line in p.stdout.splitlines():
+        for line in (p.stderr + "\n" + p.stdout).splitlines():
             try:
                 d = json.loads(line)
             except ValueError:
                 continue
-            if "cpu_health_mips" in d:
+            if isinstance(d, dict) and "cpu_health_mips" in d:
                 healths.append(d["cpu_health_mips"])
         clean = bool(healths) and min(healths) >= JUDGE and p.returncode == 0
         status(

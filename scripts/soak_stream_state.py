@@ -41,32 +41,13 @@ from cep_spark.stream import (
     _trailing_alt_ids,
 )
 
+# the SAME fake GroupState the parity tests pin against real Spark —
+# one implementation, no drift (round-4 review finding)
+from test_stream_fn_property import FakeState  # noqa: E402
+
 N_BATCHES = int(os.environ.get("SOAK_BATCHES", "400"))
 EVENTS_PER_BATCH = int(os.environ.get("SOAK_EVENTS_PER_BATCH", "40"))
 ROLES = ["user", "assistant", "tool"]
-
-
-class _FakeState:
-    def __init__(self):
-        self._val, self.exists = None, False
-        self.hasTimedOut, self.removed = False, False
-        self.wm_ms, self.timer_ms = 0, None
-
-    def getCurrentWatermarkMs(self):
-        return self.wm_ms
-
-    @property
-    def get(self):
-        return self._val
-
-    def update(self, v):
-        self._val, self.exists, self.removed = tuple(v), True, False
-
-    def remove(self):
-        self._val, self.exists, self.removed = None, False, True
-
-    def setTimeoutTimestamp(self, ms):
-        self.timer_ms = ms
 
 
 def main() -> None:
@@ -98,7 +79,7 @@ def main() -> None:
                         merged=merge_components(cps))
 
     rng = np.random.default_rng(2026)
-    state = _FakeState()
+    state = FakeState()
     ts0 = pd.Timestamp("2026-01-01")
     t_cursor = 0  # seconds
     turn = 0
