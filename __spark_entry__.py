@@ -630,6 +630,36 @@ def _multi_shared_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multi_sliced_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew × sharing composition under the correctness gate: the SAME
+    mixed-window family as cep_multi_shared, executed via
+    run_batch_multi_sliced — window-sliced hot-key decomposition over
+    ONE prefix-shared (per-component) automaton per slice, slice width
+    = the family max window.  Output (and oracle) identical to
+    cep_multi_shared: slicing and sharing must be invisible."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from cep_spark.skew import run_batch_multi_sliced
+
+    cps = [
+        compile_pattern(dataclasses.replace(pat, pattern_id=pid))
+        for pid, pat in _shared_family()
+    ]
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = run_batch_multi_sliced(df, cps, emit_cols=("event_id",))
+    return out.select(
+        "user_id",
+        "pattern_id",
+        "alt_id",
+        F.expr(
+            "concat_ws(',', transform(array_sort(transform(matched, m -> m.event_id)), "
+            "x -> cast(x as string)))"
+        ).alias("match_key"),
+    )
+
+
 def _multi_shared_oracle() -> str:
     parts = []
     for pid, pat in _shared_family():
@@ -674,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
     out["cep_multi_shared"] = _multi_shared_query
+    out["cep_multi_sliced"] = _multi_sliced_query
     out.update(windows.QUERIES)
     out.update(_pipeline_registry.queries())
     return out
@@ -691,6 +722,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()
     out["cep_multi_shared"] = _multi_shared_oracle()
+    out["cep_multi_sliced"] = _multi_shared_oracle()  # same rows by design
     out.update(windows.ORACLES)
     out.update(_pipeline_registry.oracle_sql())
     return out

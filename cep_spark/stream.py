@@ -898,16 +898,20 @@ def stream_matches_multi(df, cps, watermark: str,
     (per-pattern rematch fallback, tracked as a state bitmask).  Output
     is the array schema with ``pattern_id``.
 
-    ``strategy``: ``"auto"`` — per-pattern incremental-with-fallback
-    (above); ``"rematch"`` — force EVERY pattern onto the rematch path
-    (e.g. restarting a checkpoint written before the incremental
-    executor existed); ``"incremental"`` — same as auto (kept for
-    symmetry with the single-pattern surface); ``"shared"`` — merge the
-    patterns into ONE prefix-shared automaton (merge.merge_compiled;
-    requires a common window): shared prefix states live ONCE in the
-    state store and advance once per sealed event, acceptance is per
-    tag, and trailing-neg parking / rematch fallback apply to the
-    merged automaton as a whole.  The persisted partial tables of
+    ``strategy``: ``"auto"`` — per-pattern incremental-with-fallback,
+    overridable via $CEP_SPARK_STREAM_STRATEGY (rematch / incremental /
+    shared — the single-pattern surface's operational escape hatch;
+    explicit arguments are never overridden); ``"rematch"`` — force
+    EVERY pattern onto the rematch path (e.g. restarting a checkpoint
+    written before the incremental executor existed);
+    ``"incremental"`` — same as auto's default (kept for symmetry with
+    the single-pattern surface); ``"shared"`` — merge the patterns into
+    prefix-shared automata, ONE per connected component
+    (merge.merge_components; windows may differ — max-window pruning
+    with exact per-tag span re-checks): shared prefix states live ONCE
+    in the state store and advance once per sealed event, acceptance is
+    per tag, and trailing-neg parking / rematch fallback apply per
+    COMPONENT.  The persisted partial tables of
     ``"shared"`` describe the merged automaton — switching an existing
     checkpoint between ``"shared"`` and the per-pattern strategies is
     detected via a format marker and fails loudly; start a fresh
@@ -954,6 +958,17 @@ def stream_matches_multi(df, cps, watermark: str,
 
     if strategy not in ("auto", "rematch", "incremental", "shared"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        # the same operational escape hatch as the single-pattern path:
+        # CEP_SPARK_STREAM_STRATEGY pins the executor for an existing
+        # checkpoint without code changes (e.g. rematch for pre-v2
+        # state, or shared to opt a fleet in); explicit strategy=
+        # arguments are never overridden
+        import os as _os
+
+        env = _os.environ.get("CEP_SPARK_STREAM_STRATEGY")
+        strategy = env if env in ("rematch", "incremental", "shared") \
+            else "incremental"
     force_rematch = strategy == "rematch"
     if force_rematch and max_partials_per_state is not None:
         raise ValueError(

@@ -768,3 +768,23 @@ def test_stream_shared_per_component_fallback():
                 ))
     assert _canon_multi(out2) == sorted(want)
     assert st2.removed or not st2.exists
+
+
+def test_stream_multi_env_strategy_override(spark, monkeypatch):
+    """CEP_SPARK_STREAM_STRATEGY steers strategy='auto' on the MULTI
+    surface too (round 4); explicit arguments are never overridden."""
+    from cep_spark.stream import stream_matches_multi
+
+    cps = [compile_pattern(p) for p in _mergeable_stream_family()]
+    df = spark.createDataFrame(_group(3, n=4))
+    monkeypatch.setenv("CEP_SPARK_STREAM_STRATEGY", "rematch")
+    # auto -> rematch via env; the guard knob is then rejected loudly
+    with pytest.raises(ValueError, match="incremental strategy"):
+        stream_matches_multi(df, cps, watermark="10 seconds",
+                             strategy="auto", max_partials_per_state=8)
+    # explicit incremental wins over the env pin: no raise at strategy
+    # resolution (the call fails later only if the plan is executed)
+    out = stream_matches_multi(df, cps, watermark="10 seconds",
+                               strategy="incremental",
+                               max_partials_per_state=8)
+    assert out is not None
