@@ -473,6 +473,156 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 4 (session B): TRAILING Neg inside the unbounded repetition —
+# the gap OUT of each repetition (w_j -> u_{j+1} at every loop-back,
+# then w_r -> p for the final repetition) must be free of qualifying
+# 'error' events (NegSpec.repeat_only loop-back gap + the ordinary gap
+# spec on the following part; compiler._collect group branch +
+# pending_gap bubbling).  The oracle places the NOT EXISTS guard in the
+# RECURSIVE step (between repetitions) and at the final join — NOT in
+# the base case: the first repetition has no predecessor, and the gap
+# INSIDE a repetition (u_j -> w_j) is deliberately unguarded.
+
+_KLEENE_GROUP_TRAIL_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Ev("w", event_type="click"),
+                   Neg(Ev("n", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_group_trail_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_TRAIL_NEG_PAT), mode="flat")
+
+
+def _kleene_group_trail_neg_oracle() -> str:
+    w = int(_KLEENE_GROUP_TRAIL_NEG_PAT.window.total_seconds())
+
+    def gap_free(prev_ts: str, prev_id: str, nxt_ts: str, nxt_id: str) -> str:
+        return f"""NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = u.user_id AND n.event_type = 'error'
+        AND ({prev_ts} < n.ts OR ({prev_ts} = n.ts AND {prev_id} < n.event_id))
+        AND (n.ts < {nxt_ts} OR (n.ts = {nxt_ts} AND n.event_id < {nxt_id})))"""
+
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT u.user_id,
+         u.event_id AS u_first, u.ts AS first_ts, 1 AS r,
+         u.event_id AS u_last,
+         w.event_id AS w_first, w.event_id AS w_last,
+         w.event_id AS last_id, w.ts AS last_ts
+  FROM events u JOIN events w ON w.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND EPOCH(w.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT s.user_id, s.u_first, s.first_ts, s.r + 1,
+         u.event_id, s.w_first, w.event_id, w.event_id, w.ts
+  FROM chains s
+  JOIN events u ON u.user_id = s.user_id
+  JOIN events w ON w.user_id = s.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND (s.last_ts < u.ts OR (s.last_ts = u.ts AND s.last_id < u.event_id))
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND EPOCH(w.ts) - EPOCH(s.first_ts) <= {w}
+    AND {gap_free("s.last_ts", "s.last_id", "u.ts", "u.event_id")}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CAST(s.r AS BIGINT) AS w_len,
+       CAST(s.w_first AS BIGINT) AS w_first,
+       CAST(s.w_last AS BIGINT) AS w_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+  AND NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = s.user_id AND n.event_type = 'error'
+        AND (s.last_ts < n.ts OR (s.last_ts = n.ts AND s.last_id < n.event_id))
+        AND (n.ts < p.ts OR (n.ts = p.ts AND n.event_id < p.event_id)))
+"""
+
+
+# round 4 (session B): Kleene over And_ — each repetition binds the
+# leaves in ANY arrival order (permutation assignments count
+# separately), repetitions interleave strictly (all of rep j before all
+# of rep j+1 in (ts, event_id) order).  compiler._collect grp_kind=
+# "and"; the automaton's mid tracks the SET of bound sub-indices.  The
+# oracle's recursive CTE joins each repetition's pair with NO order
+# constraint between them, tracking the repetition's (ts, id)-max as
+# the next repetition's strict lower bound.
+
+_KLEENE_AND_GROUP_PAT = _p(
+    Seq(
+        Kleene(And_(Ev("u", event_type="view"),
+                    Ev("w", event_type="click"))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_and_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_AND_GROUP_PAT), mode="flat")
+
+
+def _kleene_and_group_oracle() -> str:
+    w = int(_KLEENE_AND_GROUP_PAT.window.total_seconds())
+    u_lt_w = "(u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))"
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT u.user_id,
+         u.event_id AS u_first, u.event_id AS u_last,
+         w.event_id AS w_first, w.event_id AS w_last,
+         1 AS r,
+         LEAST(u.ts, w.ts) AS first_ts,
+         GREATEST(u.ts, w.ts) AS last_ts,
+         CASE WHEN {u_lt_w} THEN w.event_id ELSE u.event_id END AS last_id
+  FROM events u JOIN events w ON w.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND EPOCH(GREATEST(u.ts, w.ts)) - EPOCH(LEAST(u.ts, w.ts)) <= {w}
+  UNION ALL
+  SELECT c.user_id, c.u_first, u.event_id, c.w_first, w.event_id,
+         c.r + 1, c.first_ts,
+         GREATEST(u.ts, w.ts),
+         CASE WHEN {u_lt_w} THEN w.event_id ELSE u.event_id END
+  FROM chains c
+  JOIN events u ON u.user_id = c.user_id
+  JOIN events w ON w.user_id = c.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND (c.last_ts < u.ts OR (c.last_ts = u.ts AND c.last_id < u.event_id))
+    AND (c.last_ts < w.ts OR (c.last_ts = w.ts AND c.last_id < w.event_id))
+    AND EPOCH(GREATEST(u.ts, w.ts)) - EPOCH(c.first_ts) <= {w}
+)
+SELECT c.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(c.r AS BIGINT) AS u_len,
+       CAST(c.u_first AS BIGINT) AS u_first,
+       CAST(c.u_last AS BIGINT) AS u_last,
+       CAST(c.r AS BIGINT) AS w_len,
+       CAST(c.w_first AS BIGINT) AS w_first,
+       CAST(c.w_last AS BIGINT) AS w_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains c JOIN events p ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase'
+  AND (c.last_ts < p.ts OR (c.last_ts = p.ts AND c.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(c.first_ts) <= {w}
+"""
+
+
 # ---------------------------------------------------------------------------
 # udf_pred (the reference's arbitrary-lambda conditions, SURVEY.md §2.2):
 # a vectorized user predicate has NO SQL lowering by design, so this entry
@@ -701,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_composite_unbounded"] = _kleene_group_query
     out["cep_kleene_group_neg"] = _kleene_group_neg_query
     out["cep_kleene_group_lead_neg"] = _kleene_group_lead_neg_query
+    out["cep_kleene_group_trail_neg"] = _kleene_group_trail_neg_query
+    out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
     out["cep_multi_shared"] = _multi_shared_query
@@ -719,6 +871,8 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_composite_unbounded"] = _kleene_group_oracle()
     out["cep_kleene_group_neg"] = _kleene_group_neg_oracle()
     out["cep_kleene_group_lead_neg"] = _kleene_group_lead_neg_oracle()
+    out["cep_kleene_group_trail_neg"] = _kleene_group_trail_neg_oracle()
+    out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()
     out["cep_multi_shared"] = _multi_shared_oracle()

@@ -37,16 +37,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TRANSCRIPTS_PQ = "/tmp/bench_transcripts_dir"
-N_CONV = int(os.environ.get("BENCH_N_CONV", "240000"))
-STREAM_SRC = "/tmp/bench_stream_src"
-STREAM_N_CONV = int(os.environ.get("BENCH_STREAM_N_CONV", "20000"))
+# QUICK mode (BENCH_QUICK=1): the criterion pair (2, 8) only, smaller
+# inputs, 2 repeats — fits inside the short clean-CPU windows this host
+# offers (the full run outlasts them; every full attempt since round 1
+# degraded mid-run).  Same jobs, same plans — only input scale differs.
+QUICK = os.environ.get("BENCH_QUICK") == "1"
+N_CONV = int(os.environ.get("BENCH_N_CONV", "120000" if QUICK else "240000"))
+STREAM_N_CONV = int(
+    os.environ.get("BENCH_STREAM_N_CONV", "6000" if QUICK else "20000")
+)
+JOIN_REPS = int(os.environ.get("BENCH_JOIN_REPS", "16" if QUICK else "64"))
+BENCH_REPEAT = int(os.environ.get("BENCH_REPEAT", "2" if QUICK else "3"))
+# input dirs encode the size so QUICK and full runs never share stale data
+TRANSCRIPTS_PQ = f"/tmp/bench_transcripts_{N_CONV}"
+STREAM_SRC = f"/tmp/bench_stream_src_{STREAM_N_CONV}"
 # level pairs (N, 4N): the headline pair is (2, 8) where the host CPU
 # scales near-linearly; (8, 32) is reported too, next to the measured
 # hardware ceiling (this VM loses ~30% per-core throughput when all 32
 # cores are busy — see hw_ceiling in the output)
-PAIRS = [(2, 8), (8, 32)]
+PAIRS = [(2, 8)] if QUICK else [(2, 8), (8, 32)]
 LEVELS = sorted({c for p in PAIRS for c in p})
+LEGS_LOG = "/tmp/scaling_legs.jsonl"  # append-only per-leg evidence
 
 
 def cpu_health_mips(seconds: float = 1.0) -> float:
@@ -168,15 +179,17 @@ def job_nfa_batch(cpus: int) -> dict:
     health = cpu_health_mips()
     run_batch(df, cp, mode="flat").count()  # warm-up: spawn+prime workers
     dt, n = None, -1
-    for _ in range(int(os.environ.get("BENCH_REPEAT", "3"))):
+    for _ in range(BENCH_REPEAT):
         t0 = time.perf_counter()
         n = run_batch(df, cp, mode="flat").count()
         d = time.perf_counter() - t0
         dt = d if dt is None else min(dt, d)
+    h_post = cpu_health_mips()
     spark.stop()
     return {"job": "nfa_batch", "cpus": cpus, "sec": round(dt, 3),
             "input_rows": rows, "matches": n, "rows_per_sec": round(rows / dt, 1),
-            "cpu_health_mips": health}
+            "cpu_health_mips": min(health, h_post),
+            "health_pre": health, "health_post": h_post}
 
 
 def job_join_batch(cpus: int) -> dict:
@@ -191,7 +204,7 @@ def job_join_batch(cpus: int) -> dict:
     reps = [
         base.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
         .withColumn("event_id", F.col("event_id") + F.lit(i * 1_000_000_000))
-        for i in range(64)
+        for i in range(JOIN_REPS)
     ]
     df = reps[0]
     for r in reps[1:]:
@@ -202,15 +215,17 @@ def job_join_batch(cpus: int) -> dict:
     health = cpu_health_mips()
     plan_join(df, cp).count()  # warm-up
     dt, n = None, -1
-    for _ in range(int(os.environ.get("BENCH_REPEAT", "3"))):
+    for _ in range(BENCH_REPEAT):
         t0 = time.perf_counter()
         n = plan_join(df, cp).count()
         d = time.perf_counter() - t0
         dt = d if dt is None else min(dt, d)
+    h_post = cpu_health_mips()
     spark.stop()
     return {"job": "join_batch", "cpus": cpus, "sec": round(dt, 3),
             "input_rows": rows, "matches": n, "rows_per_sec": round(rows / dt, 1),
-            "cpu_health_mips": health}
+            "cpu_health_mips": min(health, h_post),
+            "health_pre": health, "health_post": h_post}
 
 
 def job_stream(cpus: int) -> dict:
@@ -247,13 +262,16 @@ def job_stream(cpus: int) -> dict:
     out = sink.read_committed(spark)
     matches = out.count() if out is not None else 0
     s = listener.summary()
+    h_post = cpu_health_mips()
     spark.stop()
     input_rows = s["total_rows"]
     return {"job": "stream", "cpus": cpus, "sec": round(dt, 3),
             "input_rows": input_rows, "matches": matches,
             "rows_per_sec": round(input_rows / dt, 1),
             "p95_batch_ms": s["p95_batch_ms"], "batches": s["batches"],
-            "max_state_rows": s["max_state_rows"], "cpu_health_mips": health}
+            "max_state_rows": s["max_state_rows"],
+            "cpu_health_mips": min(health, h_post),
+            "health_pre": health, "health_post": h_post}
 
 
 JOBS = {"nfa_batch": job_nfa_batch, "join_batch": job_join_batch, "stream": job_stream}
@@ -304,10 +322,15 @@ def main():
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             results[(job, cpus)] = json.loads(line)
             print(json.dumps(results[(job, cpus)]), file=sys.stderr)
+            # append-only evidence log: nothing is lost if a later leg
+            # (or the harness around us) dies or overwrites a status file
+            with open(LEGS_LOG, "a") as f:
+                f.write(json.dumps(dict(results[(job, cpus)], t=time.time(),
+                                        quick=QUICK)) + "\n")
 
     hw = _hw_ceiling()
     summary = {"metric": "scaling_efficiency", "levels": LEVELS,
-               "hw_ceiling": hw, "pairs": {}}
+               "quick": QUICK, "hw_ceiling": hw, "pairs": {}}
     for n, n4 in PAIRS:
         pair = {}
         for job in JOBS:
@@ -333,6 +356,19 @@ def _write_md(summary):
         "N vs 4N executors.  Efficiency = (throughput_4N / throughput_N) / 4;",
         "BASELINE criterion: >= 0.8.",
         "",
+    ]
+    if summary.get("quick"):
+        lines += [
+            "QUICK mode: the criterion pair (2,8) only, reduced input sizes",
+            f"(transcripts n_conv={N_CONV}, stream n_conv={STREAM_N_CONV}, join",
+            f"reps={JOIN_REPS}), {BENCH_REPEAT} repeats — sized to fit inside this",
+            "host's short clean-CPU windows.  Same jobs, same physical plans.",
+            "Leg health (busy-loop M iters/s, clean ~10-11) is measured before",
+            "AND after each leg; a run is authoritative only if every leg",
+            "stayed >= 9.0.",
+            "",
+        ]
+    lines += [
         "**Hardware ceiling**: pure-CPU busy-loop scaling of this VM — the",
         "maximum efficiency ANY job can reach at each pair: "
         + ", ".join(f"{k}: **{v}**" for k, v in summary["hw_ceiling"].items())
@@ -347,14 +383,20 @@ def _write_md(summary):
         lines += [
             f"## local[{n}] -> local[{n4}] (hw ceiling {ceil})",
             "",
-            f"| job | local[{n}] rows/s | local[{n4}] rows/s | speedup | efficiency | eff/ceiling |",
-            "| --- | --- | --- | --- | --- | --- |",
+            f"| job | local[{n}] rows/s | local[{n4}] rows/s | speedup | "
+            "efficiency | eff/ceiling | leg health (pre/post each) |",
+            "| --- | --- | --- | --- | --- | --- | --- |",
         ]
         for job, d in jobs.items():
             a, b = d[f"local[{n}]"], d[f"local[{n4}]"]
+            hcol = (
+                f"{a.get('health_pre', '?')}/{a.get('health_post', '?')} · "
+                f"{b.get('health_pre', '?')}/{b.get('health_post', '?')}"
+            )
             lines.append(
                 f"| {job} | {a['rows_per_sec']} | {b['rows_per_sec']} | "
-                f"{d['speedup']}x | **{d['efficiency']}** | {round(d['efficiency']/ceil, 2)} |"
+                f"{d['speedup']}x | **{d['efficiency']}** | "
+                f"{round(d['efficiency']/ceil, 2)} | {hcol} |"
             )
         lines.append("")
     last_pair = list(summary["pairs"])[-1]

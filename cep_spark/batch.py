@@ -634,7 +634,7 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                         var_group=var_group,
                         aligned=slot_aligned.get(tr.slot, ()),
                     )
-                    if tr.repeat and s.grp_idx == 0 and s.kleene_max is not None:
+                    if tr.rep_start and s.kleene_max is not None:
                         # bounded composite under group lowering: cap
                         # the repetition count at the loop-back bind
                         lens = np.fromiter(

@@ -63,8 +63,14 @@ class Slot:
     # GROUP of kleene-storage slots cycled by the NFA (sub-automaton
     # repetition) instead of compile-time chain expansion.  `group` is
     # the group id, `grp_idx` the position within one repetition.
+    # `grp_kind` is "seq" (sub-slots bind strictly in grp_idx order) or
+    # "and" (round 4, session B: Kleene over And_ — each repetition
+    # binds every sub-slot once in ANY arrival order; the automaton's
+    # mid entry tracks the SET of bound sub-indices instead of a
+    # next-index pointer).
     group: Optional[int] = None
     grp_idx: int = 0
+    grp_kind: str = "seq"
 
 
 @dataclass(frozen=True)
@@ -92,6 +98,14 @@ class NegSpec:
     # (group slots bind repeatedly; strict interleaving makes the
     # partial's last_pos exactly the same repetition's previous leaf).
     per_repeat: bool = False
+    # TRAILING Neg inside an unbounded group (round 4): the gap between
+    # repetition j's last leaf and repetition j+1's first leaf is checked
+    # only at LOOP-BACK binds of sub-slot 0 (repeat=True transitions) —
+    # the first repetition's entry bind has no preceding repetition to
+    # guard.  The final repetition's gap is carried by a separate spec
+    # (ordinary gap to the following part, or window-bounded "trailing"
+    # when the group ends the pattern).
+    repeat_only: bool = False
 
 
 @dataclass(frozen=True)
@@ -104,6 +118,10 @@ class Transition:
     # group-Kleene repetition bind: the slot's var is ALREADY bound —
     # append the event to its element tuple instead of creating it
     repeat: bool = False
+    # loop-back bind that STARTS a new repetition (ordered groups: the
+    # grp_idx-0 loop-back; unordered "and" groups: any-idx loop-back) —
+    # the executor applies the bounded-composite repetition cap here
+    rep_start: bool = False
 
 
 @dataclass
@@ -212,23 +230,31 @@ def _validate_group_inner(node: Kleene) -> None:
         isinstance(inner, Seq)
         and sum(isinstance(p, Ev) for p in inner.parts) >= 2
         and all(isinstance(p, (Ev, Neg)) for p in inner.parts)
-        # trailing Neg would guard an open right boundary of the LAST
-        # repetition (window-bounded look-ahead) — chain-expansion-only
-        and isinstance(inner.parts[-1], Ev)
         # no two adjacent Negs (each Neg guards exactly one leaf gap)
         and not any(
             isinstance(a, Neg) and isinstance(b, Neg)
             for a, b in zip(inner.parts, inner.parts[1:])
         )
+    ) or (
+        # Kleene over And_ (round 4, session B): every repetition binds
+        # the leaves in ANY arrival order; no Negs inside (a Neg in an
+        # unordered repetition has no defined gap)
+        isinstance(inner, And_)
+        and len(inner.parts) >= 2
+        and all(isinstance(p, Ev) for p in inner.parts)
     )
     if not ok:
         raise ValueError(
             "unbounded Kleene over a composite sub-structure supports "
-            "Seq of plain event leaves, optionally with a Neg BETWEEN "
-            "two leaves or LEADING the repetition (gap scoped per "
-            "repetition; a leading Neg additionally requires a "
-            "positive part before the Kleene); trailing Neg or nested "
-            "Kleene/Or_/And_ inside the repetition requires max_len — "
+            "Seq of plain event leaves — optionally with Negs BETWEEN "
+            "two leaves, LEADING, or TRAILING the repetition (gaps "
+            "scoped per repetition; a leading Neg additionally requires "
+            "a positive part before the Kleene; a trailing Neg's final-"
+            "repetition gap attaches to the following part, or is "
+            "window-bounded when the Kleene ends the pattern) — or "
+            "And_ of plain event leaves (each repetition binds them in "
+            "any arrival order, no Negs inside); nested Kleene/Or_ or "
+            "other shapes inside the repetition require max_len — "
             "those expand to fixed chains at compile time"
         )
 
@@ -325,6 +351,22 @@ def _collect(
             gid = 1 + max(
                 (s.group for s in slots if s.group is not None), default=-1
             )
+            if isinstance(node.inner, And_):
+                # Kleene over And_: each repetition binds every leaf
+                # once in ANY arrival order (permutation assignments
+                # count separately, like a plain And_); repetition j+1
+                # starts strictly after ALL of repetition j (automatic —
+                # a loop-back bind only fires from a completed group).
+                sids = []
+                for j, part in enumerate(node.inner.parts):
+                    sid = len(slots)
+                    slots.append(
+                        Slot(sid, part.name, part.where, kleene=True,
+                             kleene_max=node.max_len, prereq=prereq,
+                             group=gid, grp_idx=j, grp_kind="and")
+                    )
+                    sids.append(sid)
+                return frozenset(sids)
             sids: list = []
             here = prereq
             open_neg = None  # Neg before a leaf: gap per repetition
@@ -358,6 +400,16 @@ def _collect(
                 sids.append(sid)
                 here = prereq | frozenset(sids)
                 j += 1
+            if open_neg is not None:
+                # TRAILING Neg inside the repetition: between repetitions
+                # it guards (last leaf of rep j, first leaf of rep j+1) —
+                # checked only at loop-back binds of sub-slot 0 (the
+                # first repetition has no predecessor).  The FINAL
+                # repetition's gap bubbles up to the enclosing Seq (gap
+                # to the next part, or window-bounded trailing at the
+                # pattern end).
+                negs.append((open_neg, ("repeat_lb", frozenset({sids[0]}))))
+                pending_gap.append(open_neg)
             return frozenset(sids)
         sid = len(slots)
         slots.append(
@@ -373,6 +425,11 @@ def _collect(
             if isinstance(part, Neg):
                 open_negs.append(part)
                 continue
+            # trailing Negs bubbled out of the PREVIOUS part (a nested
+            # Seq or an unbounded group Kleene) guard the gap to THIS
+            # part — same post_slots attachment as an explicit Neg here
+            while pending_gap:
+                open_negs.append(pending_gap.pop(0))
             ids = _collect(part, here, slots, negs, pending_gap)
             if open_negs:
                 if here == prereq and not acc:
@@ -388,8 +445,11 @@ def _collect(
                 open_negs = []
             acc |= ids
             here = prereq | acc
-        if open_negs:
-            raise ValueError("trailing Neg without a following positive part is unsupported (v1)")
+        # trailing Negs at the end of this Seq bubble up to the caller:
+        # they guard the gap to whatever follows this Seq (an enclosing
+        # Seq's next part), or become window-bounded trailing edge negs
+        # at the pattern root (compile_pattern).
+        pending_gap.extend(open_negs)
         return acc
     if isinstance(node, And_):
         acc = frozenset()
@@ -398,6 +458,13 @@ def _collect(
                 negs.append((part, None))  # span-scoped
                 continue
             ids = _collect(part, prereq, slots, negs, pending_gap)
+            if pending_gap:
+                # a trailing Neg bubbling out of an And_ child has no
+                # ordered successor to end its gap (And_ is unordered)
+                raise ValueError(
+                    "trailing Neg inside an And_ part has no following "
+                    "positive part to bound its gap (And_ is unordered)"
+                )
             acc |= ids
         return acc
     raise TypeError(f"unexpected node {node!r}")
@@ -416,14 +483,17 @@ def _group_map(slots: list) -> dict:
 
 def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> list:
     """Every legal single-event bind out of automaton state (bound, mid):
-    list of (slot, new_bound, new_mid, repeat).
+    list of (slot, new_bound, new_mid, repeat, rep_start).
 
-    Group rules: a group's current repetition binds its sub-slots in
-    order (tracked by `mid`); from a COMPLETE group that is still open
-    (no bound successor outside it) sub-slot 0 may bind again
-    (repeat=True — the executor appends to the element tuple); a slot
-    whose prereq references a group may only bind while that group is
-    between repetitions (complete), never mid-repetition."""
+    Group rules: a "seq" group's current repetition binds its sub-slots
+    in order (tracked by `mid` as a next-index pointer); an "and" group
+    (Kleene over And_) binds them in ANY order (`mid` tracks the SET of
+    bound sub-indices).  From a COMPLETE group that is still open (no
+    bound successor outside it) a repetition-starting sub-slot may bind
+    again (repeat=True — the executor appends to the element tuple;
+    rep_start=True marks these loop-backs for the bounded-cap check); a
+    slot whose prereq references a group may only bind while that group
+    is between repetitions (complete), never mid-repetition."""
     mid_d = dict(mid)
 
     def prereq_groups_ok(s):
@@ -439,28 +509,46 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
         if s.group is None:
             if s.sid in bound or not s.prereq <= bound or not prereq_groups_ok(s):
                 continue
-            out.append((s, bound | {s.sid}, mid, False))
+            out.append((s, bound | {s.sid}, mid, False, False))
             continue
         gs = groups[s.group]
+        unordered = s.grp_kind == "and"
         if s.group in mid_d:
-            if mid_d[s.group] != s.grp_idx:
-                continue
+            cur = mid_d[s.group]
             nm = dict(mid_d)
-            if s.grp_idx == len(gs) - 1:
-                del nm[s.group]
+            if unordered:
+                if s.grp_idx in cur:
+                    continue  # already bound this repetition
+                nval = frozenset(cur | {s.grp_idx})
+                if len(nval) == len(gs):
+                    del nm[s.group]
+                else:
+                    nm[s.group] = nval
             else:
-                nm[s.group] = s.grp_idx + 1
-            out.append((s, bound | {s.sid}, frozenset(nm.items()), s.sid in bound))
+                if cur != s.grp_idx:
+                    continue
+                if s.grp_idx == len(gs) - 1:
+                    del nm[s.group]
+                else:
+                    nm[s.group] = s.grp_idx + 1
+            out.append(
+                (s, bound | {s.sid}, frozenset(nm.items()), s.sid in bound, False)
+            )
             continue
-        if s.grp_idx != 0:
-            continue  # a repetition always starts at sub-slot 0
+        if not unordered and s.grp_idx != 0:
+            continue  # a seq-group repetition always starts at sub-slot 0
         nm = dict(mid_d)
-        nm[s.group] = 1  # inner arity >= 2 (validated)
-        if gs[0].sid not in bound:
+        # inner arity >= 2 (validated), so the group goes mid
+        nm[s.group] = frozenset({s.grp_idx}) if unordered else 1
+        fresh = (
+            not ({x.sid for x in gs} & bound) if unordered
+            else gs[0].sid not in bound
+        )
+        if fresh:
             # first repetition
             if not s.prereq <= bound or not prereq_groups_ok(s):
                 continue
-            out.append((s, bound | {s.sid}, frozenset(nm.items()), False))
+            out.append((s, bound | {s.sid}, frozenset(nm.items()), False, False))
         else:
             # loop-back: group complete and still open
             g_sids = {x.sid for x in gs}
@@ -469,7 +557,7 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                 for o in slots
             ):
                 continue
-            out.append((s, bound, frozenset(nm.items()), True))
+            out.append((s, bound, frozenset(nm.items()), True, True))
     return out
 
 
@@ -485,7 +573,7 @@ def _reachable_states(slots: list) -> list:
     while frontier:
         nxt = []
         for st in frontier:
-            for s, nb, nm, repeat in _successors(st.bound, st.mid, slots, groups):
+            for s, nb, nm, repeat, _rs in _successors(st.bound, st.mid, slots, groups):
                 kk = (nb, nm)
                 if kk not in states:
                     ns = State(
@@ -583,7 +671,18 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                         "(it bounds the forbidden interval)"
                     )
                 struct = Seq(*parts)
-        _collect(struct, frozenset(), slots, raw_negs, [])
+        pending: list = []
+        _collect(struct, frozenset(), slots, raw_negs, pending)
+        for ng in pending:
+            # a trailing Neg bubbled all the way to the pattern end (a
+            # nested Seq's — or an unbounded group repetition's — last
+            # part): window-bounded look-ahead, same as a root trailing
+            if pat.window is None:
+                raise ValueError(
+                    "leading/trailing negation requires a pattern window "
+                    "(it bounds the forbidden interval)"
+                )
+            raw_negs.append((ng, "trailing"))
         raw_negs.extend(edge_negs)
         if not slots:
             raise ValueError("pattern has no positive event leaf")
@@ -608,7 +707,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             multi.extend(s_multi)
             slot_list.append(
                 Slot(s.sid, s.var, u, s.kleene, s.kleene_max, s.prereq,
-                     s.adjacent, s.group, s.grp_idx)
+                     s.adjacent, s.group, s.grp_idx, s.grp_kind)
             )
             if s.adjacent is not None:
                 # {var}__prev reads the same physical columns as {var}
@@ -623,7 +722,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             # silently dropping the conjunct.
             slot_list = [
                 Slot(s.sid, s.var, FALSE, s.kleene, s.kleene_max, s.prereq,
-                     s.adjacent, s.group, s.grp_idx)
+                     s.adjacent, s.group, s.grp_idx, s.grp_kind)
                 for s in slot_list
             ]
             multi = []
@@ -632,35 +731,42 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
         neg_names = {ng.name for ng, _ in raw_negs}
         multi = [c for c in multi if c.vars() <= alt_vars | neg_names]
 
-        # negation specs (extract neg-var conjuncts before kleene checks)
+        # negation specs (extract neg-var conjuncts before kleene checks).
+        # Pull global-where conjuncts mentioning each neg var ONCE per
+        # var (a trailing Neg inside an unbounded group produces TWO
+        # specs for the same Neg node — loop-back gap + final-repetition
+        # gap/trailing — and both must see the same conjuncts).
+        pulled: dict[str, list] = {}
+        for ng, _post in raw_negs:
+            if ng.name in pulled:
+                continue
+            lst = [c for c in multi if ng.name in c.vars()]
+            for c in lst:
+                multi.remove(c)
+            pulled[ng.name] = lst
         neg_specs: list[NegSpec] = []
         for ng, post in raw_negs:
             n_unary, n_multi, n_sat = split_conditions(ng.inner.where)
             if not n_sat:
                 # the negated event is unsatisfiable -> the Neg can
-                # never fire; drop the spec (and any global conjuncts
-                # that condition on its variable — they would only be
-                # evaluated against the never-existing event)
-                for c in list(multi):
-                    if ng.name in c.vars():
-                        multi.remove(c)
+                # never fire; drop the spec (its pulled global conjuncts
+                # would only be evaluated against the never-existing
+                # event — they stay dropped)
                 continue
             u = n_unary.get(ng.name, TRUE) & unary.get(ng.name, TRUE)
             extra = [c for c in n_multi]
-            # pull conjuncts of the global where that mention the neg var
-            for c in list(multi):
-                if ng.name in c.vars():
-                    extra.append(c)
-                    multi.remove(c)
+            extra.extend(pulled.get(ng.name, ()))
             for c in extra:
                 if c.vars() & kleene_vars:
                     raise ValueError(
                         f"negation condition {c!r} may not reference a Kleene "
                         f"variable (per-element negation scope is undefined)"
                     )
-            per_repeat = False
-            if isinstance(post, tuple) and post[0] == "repeat":
-                per_repeat, post = True, post[1]
+            per_repeat = repeat_only = False
+            if isinstance(post, tuple) and post[0] in ("repeat", "repeat_lb"):
+                per_repeat = True
+                repeat_only = post[0] == "repeat_lb"
+                post = post[1]
             if post is None:
                 kind = "span"
             elif isinstance(post, str):
@@ -670,7 +776,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             neg_specs.append(
                 NegSpec(ng.name, u, tuple(extra), kind,
                         post if isinstance(post, frozenset) else frozenset(),
-                        per_repeat=per_repeat)
+                        per_repeat=per_repeat, repeat_only=repeat_only)
             )
             note_cols(u)
             for c in extra:
@@ -708,13 +814,32 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
 
         for st in states:
             bound_vars = vars_of_set[st.bound]
-            for s, nb, nm, repeat in _successors(st.bound, st.mid, slots, groups):
+            for s, nb, nm, repeat, rep_start in _successors(
+                st.bound, st.mid, slots, groups
+            ):
                 if not repeat:
                     conds = tuple(
                         c
                         for c in multi
                         if c.vars() <= bound_vars | {s.var}
                         and not c.vars() <= bound_vars
+                    )
+                elif s.grp_kind == "and":
+                    # unordered ("and") group repetition bind: which
+                    # sub-slot binds last varies per partial, so group-
+                    # referencing conjuncts re-attach at the bind that
+                    # COMPLETES the repetition (every mate's tuple then
+                    # ends with this repetition's element — the aligned
+                    # evaluation pairs them correctly); non-completing
+                    # binds carry none.
+                    completes = s.group not in dict(nm)
+                    gvars = frozenset(x.var for x in groups[s.group])
+                    conds = tuple(
+                        c
+                        for c in multi
+                        if completes
+                        and (c.vars() & gvars)
+                        and c.vars() <= bound_vars
                     )
                 else:
                     # repetition bind: re-check every conjunct the new
@@ -737,6 +862,9 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                     gi
                     for gi in gap_idx
                     if s.sid in neg_specs[gi].post_slots
+                    # loop-back-only gaps (trailing Neg in a group): the
+                    # first repetition's entry bind has no predecessor
+                    and (repeat or not neg_specs[gi].repeat_only)
                     and (
                         neg_specs[gi].per_repeat  # once per repetition
                         or not (neg_specs[gi].post_slots & st.bound)
@@ -755,7 +883,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                 st.transitions.append(
                     Transition(
                         s.sid, state_of[(nb, nm)], conds, gnegs,
-                        nb == all_ids and not nm, repeat,
+                        nb == all_ids and not nm, repeat, rep_start,
                     )
                 )
             # kleene self-loops: per-event conds = conjuncts mentioning the

@@ -233,6 +233,7 @@ def merge_compiled(cps) -> CompiledPattern:
                     None if s.adjacent is None else _cond_sig(s.adjacent, cmap0),
                     s.group,
                     s.grp_idx,
+                    s.grp_kind,
                     tuple(sorted(s.prereq)),
                 )
 
@@ -279,6 +280,7 @@ def merge_compiled(cps) -> CompiledPattern:
                         ),
                         None if s.group is None else m_gid[s.group],
                         s.grp_idx,
+                        s.grp_kind,
                     )
                     m_slots.append(ms)
                     slot_of_sig[sig] = ms
@@ -296,6 +298,7 @@ def merge_compiled(cps) -> CompiledPattern:
                 nsig = (
                     spec.kind,
                     spec.per_repeat,
+                    spec.repeat_only,
                     _cond_sig(spec.unary, {spec.var: "n"}),
                     tuple(sorted(msigs, key=str)),
                     tuple(sorted(m_slot[x].sid for x in spec.post_slots)),
@@ -316,6 +319,7 @@ def merge_compiled(cps) -> CompiledPattern:
                             spec.kind,
                             frozenset(m_slot[x].sid for x in spec.post_slots),
                             per_repeat=spec.per_repeat,
+                            repeat_only=spec.repeat_only,
                         )
                     )
                     neg_of_sig[nsig] = mi
@@ -355,7 +359,10 @@ def merge_compiled(cps) -> CompiledPattern:
             for st in alt.states:
                 ssig = (
                     frozenset(slot_sig[x] for x in st.bound),
-                    tuple(sorted((m_gid[g], i) for g, i in st.mid)),
+                    # mid values are ints (seq groups) or frozensets
+                    # ("and" groups) — normalize for cross-type sorting
+                    tuple(sorted(((m_gid[g], i) for g, i in st.mid),
+                                 key=lambda x: (x[0], str(x[1])))),
                     _conds_within(st.bound),
                     tuple(
                         sorted(
@@ -409,6 +416,7 @@ def merge_compiled(cps) -> CompiledPattern:
                         tuple(sorted((_cond_sig(c, cmap) for c in tr.conds), key=str)),
                         tuple(sorted(m_neg_idx[g] for g in tr.gap_negs)),
                         tr.repeat,
+                        tr.rep_start,
                     )
                     if tsig not in tr_seen[mst.sid]:
                         tr_seen[mst.sid][tsig] = True
@@ -420,6 +428,7 @@ def merge_compiled(cps) -> CompiledPattern:
                                 tuple(sorted(m_neg_idx[g] for g in tr.gap_negs)),
                                 False,  # accepting resolved from tags below
                                 tr.repeat,
+                                tr.rep_start,
                             )
                         )
                 for ksid, kconds in st.kleene_loops:
@@ -439,7 +448,7 @@ def merge_compiled(cps) -> CompiledPattern:
         st.accepting = st.sid in tag_map
         st.transitions = [
             Transition(t.slot, t.target, t.conds, t.gap_negs,
-                       t.target in tag_map, t.repeat)
+                       t.target in tag_map, t.repeat, t.rep_start)
             for t in st.transitions
         ]
 

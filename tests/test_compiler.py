@@ -133,8 +133,12 @@ def test_unbounded_composite_kleene_group_lowering():
             if tr.accepting:
                 assert not alt.states[tr.target].mid
     # group lowering supports Seq-of-leaves inners only
-    with pytest.raises(ValueError, match="Seq of plain event leaves"):
-        compile_pattern(Pattern(Kleene(And_(Ev("u"), Ev("v")))))
+    # Kleene over And_ is supported since round 4 session B: unordered
+    # repetition binds (grp_kind="and")
+    cp_and = compile_pattern(Pattern(Kleene(And_(Ev("u"), Ev("v")))))
+    (alt_and,) = cp_and.alternatives
+    assert all(s.grp_kind == "and" for s in alt_and.slots)
+    assert any(tr.rep_start for st in alt_and.states for tr in st.transitions)
     with pytest.raises(ValueError, match="Seq of plain event leaves"):
         compile_pattern(Pattern(Kleene(Seq(Ev("u")))))
     # join lowering has no fixed-arity expansion for groups

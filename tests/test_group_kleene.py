@@ -115,6 +115,58 @@ PATTERNS = {
                        Ev("w", role="assistant")))),
         window=timedelta(minutes=5),
     ),
+    # TRAILING Neg inside the repetition (round 4, session B): guards
+    # the gap OUT of each repetition (w_j -> u_{j+1} at loop-back, then
+    # w_r -> t for the final repetition)
+    "trail_neg_in_group": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"),
+                       Neg(Ev("n", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    # ... and at the pattern END: the final repetition's gap is the
+    # window-bounded trailing look-ahead
+    "trail_neg_in_group_end": Pattern(
+        Seq(Ev("a", role="tool"),
+            Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"),
+                       Neg(Ev("n", role="tool"))))),
+        window=timedelta(minutes=5),
+    ),
+    # leading AND trailing around the same repetition (different vars;
+    # for reps >= 2 both guard the same physical gap w_{j-1} -> u_j)
+    "lead_trail_neg_in_group": Pattern(
+        Seq(Ev("a", role="tool"),
+            Kleene(Seq(Neg(Ev("n", role="tool")), Ev("u", role="user"),
+                       Ev("w", role="assistant"), Neg(Ev("m", role="user")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    # Kleene over And_ (round 4, session B): each repetition binds the
+    # leaves in ANY arrival order; repetitions interleave strictly
+    "and_group": Pattern(
+        Seq(Kleene(And_(Ev("u", role="user"), Ev("w", role="assistant"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    "and_group_cond": Pattern(
+        Seq(Kleene(And_(Ev("u", role="user"), Ev("w", role="assistant"))),
+            Ev("t", role="tool")),
+        where=attr("w", "value") > attr("u", "value"),
+        window=timedelta(minutes=5),
+    ),
+    # overlapping unary conditions: permutation assignments per
+    # repetition count separately (pinned And_ semantics)
+    "and_group_permute": Pattern(
+        Seq(Ev("s", role="tool"),
+            Kleene(And_(Ev("a", role="user"), Ev("b", role="user")))),
+        window=timedelta(minutes=5),
+    ),
+    "and_group_arity3": Pattern(
+        Seq(Kleene(And_(Ev("u", role="user"), Ev("w", role="assistant"),
+                        Ev("x", role="tool"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
 }
 
 
@@ -343,3 +395,148 @@ def test_leading_neg_in_group_chain_parity_and_initial_reject():
     )
     with pytest.raises(ValueError, match="left boundary"):
         compile_pattern(bad)
+
+
+def test_trailing_neg_in_group_chain_parity():
+    """Bounded chain expansion vs forced group lowering for a TRAILING
+    Neg inside the repetition — both with a following part (final gap
+    ends at it) and at the pattern end (window-bounded trailing)."""
+    for tail in (True, False):
+        parts = [Ev("s", role="tool"),
+                 Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"),
+                            Neg(Ev("n", role="tool"))), max_len=2)]
+        if tail:
+            parts.append(Ev("t", role="user"))
+        pat = Pattern(Seq(*parts), window=timedelta(minutes=5))
+        cp_group = compile_pattern(pat, composite="group")
+        cp_chain = compile_pattern(pat)
+        rng = np.random.default_rng(45 + tail)
+        nonzero = multirep = 0
+        for trial in range(60):
+            g = _gen_group(trial * 23 + 9, int(rng.integers(3, 12)))
+            gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+            grp = _canon_nfa(match_group_nfa(cp_group, gs))
+            folded = []
+            for _, b in match_group_nfa(cp_chain, gs):
+                fu = tuple(p for j in (1, 2) for p in
+                           ([b[f"u__{j}"]] if f"u__{j}" in b else []))
+                fw = tuple(p for j in (1, 2) for p in
+                           ([b[f"w__{j}"]] if f"w__{j}" in b else []))
+                base = {"u": fu, "w": fw, "s": (b["s"],)}
+                if tail:
+                    base["t"] = (b["t"],)
+                folded.append((0, tuple(sorted(base.items()))))
+                multirep += len(fu) > 1
+            assert grp == sorted(set(folded)), f"tail={tail} trial {trial}\n{g}"
+            nonzero += bool(grp)
+        assert nonzero > 0 and multirep > 0
+
+
+def test_nested_seq_trailing_neg_bubbles():
+    """A trailing Neg at the end of a NESTED Seq guards the gap to the
+    enclosing Seq's next part — equivalent to writing the Neg between
+    the two parts at the outer level."""
+    nested = Pattern(
+        Seq(Ev("s", role="tool"),
+            Seq(Ev("u", role="user"), Ev("w", role="assistant"),
+                Neg(Ev("n", role="tool"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    )
+    flat = Pattern(
+        Seq(Ev("s", role="tool"), Ev("u", role="user"),
+            Ev("w", role="assistant"), Neg(Ev("n", role="tool")),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    )
+    cp_n, cp_f = compile_pattern(nested), compile_pattern(flat)
+    rng = np.random.default_rng(46)
+    nonzero = 0
+    for trial in range(60):
+        g = _gen_group(trial * 29 + 11, int(rng.integers(3, 12)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        a = _canon_nfa(match_group_nfa(cp_n, gs))
+        b = _canon_nfa(match_group_nfa(cp_f, gs))
+        assert a == b, f"trial {trial}\n{g}"
+        nonzero += bool(a)
+    assert nonzero > 0
+
+
+def test_trailing_neg_in_and_part_rejected():
+    """A trailing Neg inside an And_ child has no ordered successor."""
+    import pytest
+
+    bad = Pattern(
+        And_(Seq(Ev("u", role="user"), Neg(Ev("n", role="tool"))),
+             Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    )
+    with pytest.raises(ValueError, match="And_ is unordered"):
+        compile_pattern(bad)
+
+
+def test_and_group_chain_parity():
+    """Bounded Kleene(And_) — forced group lowering (unordered
+    repetition binds) must match the chain expansion exactly, including
+    the permutation assignments within each repetition."""
+    for cond in (False, True):
+        pat = Pattern(
+            Seq(Kleene(And_(Ev("u", role="user"), Ev("w", role="assistant")),
+                       max_len=2),
+                Ev("t", role="tool")),
+            where=(attr("w", "value") > attr("u", "value")) if cond else None,
+            window=timedelta(minutes=5),
+        ) if cond else Pattern(
+            Seq(Kleene(And_(Ev("u", role="user"), Ev("w", role="assistant")),
+                       max_len=2),
+                Ev("t", role="tool")),
+            window=timedelta(minutes=5),
+        )
+        cp_group = compile_pattern(pat, composite="group")
+        cp_chain = compile_pattern(pat)
+        rng = np.random.default_rng(47 + cond)
+        nonzero = multirep = 0
+        for trial in range(60):
+            g = _gen_group(trial * 37 + 13, int(rng.integers(3, 11)))
+            gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+            grp = _canon_nfa(match_group_nfa(cp_group, gs))
+            folded = []
+            for _, b in match_group_nfa(cp_chain, gs):
+                fu = tuple(p for j in (1, 2) for p in
+                           ([b[f"u__{j}"]] if f"u__{j}" in b else []))
+                fw = tuple(p for j in (1, 2) for p in
+                           ([b[f"w__{j}"]] if f"w__{j}" in b else []))
+                folded.append((0, tuple(sorted(
+                    {"u": fu, "w": fw, "t": (b["t"],)}.items()
+                ))))
+                multirep += len(fu) > 1
+            assert grp == sorted(set(folded)), f"cond={cond} trial {trial}\n{g}"
+            nonzero += bool(grp)
+        assert nonzero > 0 and multirep > 0
+
+
+def test_and_group_permutations_and_rejects():
+    """Hand fixture: one repetition over two same-role events emits both
+    variable assignments; Neg inside an unbounded And_ repetition is
+    rejected (no defined gap)."""
+    import pytest
+
+    pat = PATTERNS["and_group_permute"]
+    cp = compile_pattern(pat)
+    ts0 = pd.Timestamp("2026-01-01")
+    g = pd.DataFrame({
+        "conv_id": "c0", "turn_idx": np.arange(3, dtype=np.int32),
+        "role": ["tool", "user", "user"], "tool": "x",
+        "ts": ts0 + pd.to_timedelta(np.arange(3) * 10, unit="s"),
+        "value": [1.0, 2.0, 3.0],
+    })
+    res = sorted((b["a"], b["b"]) for _, b in match_group_nfa(cp, g))
+    assert res == [((1,), (2,)), ((2,), (1,))]
+
+    with pytest.raises(ValueError, match="And_ of plain event leaves"):
+        compile_pattern(Pattern(
+            Seq(Kleene(And_(Ev("u", role="user"), Neg(Ev("n", role="tool")),
+                            Ev("w", role="assistant"))),
+                Ev("t", role="tool")),
+            window=timedelta(minutes=5),
+        ))

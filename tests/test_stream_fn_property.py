@@ -21,7 +21,7 @@ from hypothesis import strategies as st
 from cep_spark.batch import match_group_nfa, matches_to_pdf_flat
 from cep_spark.compiler import compile_pattern
 from cep_spark.conditions import attr
-from cep_spark.pattern import Ev, Kleene, Neg, Pattern, Seq
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Pattern, Seq
 from cep_spark.stream import _make_incremental_fn
 
 ROLES = ["user", "assistant", "tool"]
@@ -102,6 +102,24 @@ PATTERNS = {
                                              Ev("u", role="user"),
                                              Ev("w", role="assistant")))),
                               window=timedelta(seconds=180)),
+    # trailing Neg inside the repetition (round 4, session B): loop-back
+    # gap + final gap to the following part / window-bounded trailing
+    "group_trail_neg": Pattern(Seq(Kleene(Seq(Ev("u", role="user"),
+                                              Ev("w", role="assistant"),
+                                              Neg(Ev("n", role="tool")))),
+                                   Ev("t", role="tool")),
+                               window=timedelta(seconds=180)),
+    "group_trail_neg_end": Pattern(Seq(Ev("a", role="tool"),
+                                       Kleene(Seq(Ev("u", role="user"),
+                                                  Ev("w", role="assistant"),
+                                                  Neg(Ev("n", role="tool"))))),
+                                   window=timedelta(seconds=180)),
+    # Kleene over And_ (round 4, session B): unordered repetition binds
+    # through the incremental executor's persisted partial tables
+    "and_group": Pattern(Seq(Kleene(And_(Ev("u", role="user"),
+                                         Ev("w", role="assistant"))),
+                             Ev("t", role="tool")),
+                         window=timedelta(seconds=180)),
 }
 
 
