@@ -172,35 +172,71 @@ def run_batch_multi_sliced(df, cps, emit_cols=("turn_idx", "role", "tool", "ts")
     sliced = base.withColumn("__slice", F.explode(F.array(*replicas)))
 
     schema = match_schema_array(pat, emit_cols, key_type)
-    ts_col, tb_col = pat.ts_col, pat.tiebreak_col
+    ts_col, tb_col, key_col = pat.ts_col, pat.tiebreak_col, pat.key
     out_cols = schema.fieldNames()
 
-    def fn(key, pdf):
+    # partition-amortized execution (mirrors batch._run_batch_multi_
+    # partition): repartition on (key, slice), sort within partitions,
+    # then ONE mapInPandas pass per partition — unary masks evaluate
+    # once over the whole partition and every (key, slice) group is a
+    # numpy slice of it.  groupBy().applyInPandas here would pay the
+    # per-group pandas/mask setup ~span/W times PER KEY, which dominates
+    # when slicing runs over non-hot keys (tiny groups); the pinned
+    # repartition also keeps AQE from collapsing the CPU-bound matcher
+    # stage (batch.cpu_parallelism).
+    sliced = sliced.repartition(
+        cpu_parallelism(df), key_col, "__slice"
+    ).sortWithinPartitions(key_col, "__slice", ts_col, tb_col)
+
+    def gen(batches):
         import pandas as pd
 
-        key_val, k = key[0], key[1]
-        g = pdf.sort_values([ts_col, tb_col]).reset_index(drop=True)
-        cols = {c: g[c].to_numpy() for c in g.columns}
-        ts_ns = cols[ts_col].astype("datetime64[ns]").astype(np.int64)
-        store = _ColStore.from_cols(cols)
-        masks = unary_masks(merged, cols, len(g))
-        lo, hi = k * w_ns, (k + 1) * w_ns
-        by_cp: dict = {}
-        for (pi, alt_id), binding in match_core(merged, store, ts_ns, masks):
-            first = min(
-                pos
-                for p in binding.values()
-                for pos in (p if isinstance(p, tuple) else (p,))
-            )
-            if lo <= ts_ns[first] < hi:  # this slice owns the match
-                by_cp.setdefault(pi, []).append((alt_id, binding))
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        n = len(pdf)
+        if n == 0:
+            return
+        cols_all = {c: pdf[c].to_numpy() for c in pdf.columns}
+        keys = cols_all[key_col]
+        slices = cols_all["__slice"]
+        change = (
+            np.nonzero((keys[1:] != keys[:-1]) | (slices[1:] != slices[:-1]))[0]
+            + 1
+        )
+        bounds = np.concatenate([[0], change, [n]])
+        ts_all = cols_all[ts_col].astype("datetime64[ns]").astype(np.int64)
+        masks_all = unary_masks(merged, cols_all, n)
         rows = []
-        for pi, lst in by_cp.items():
-            rows.extend(array_match_rows(cps[pi], key_val, emit_cols, lst, cols))
-        return pd.DataFrame(rows, columns=out_cols)
+        for gi in range(len(bounds) - 1):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            sub_cols = {c: a[s:e] for c, a in cols_all.items()}
+            store = _ColStore.from_cols(sub_cols)
+            masks = {
+                aid: ({sid: m[s:e] for sid, m in sm.items()}, [m[s:e] for m in nm])
+                for aid, (sm, nm) in masks_all.items()
+            }
+            k = int(slices[s])
+            lo, hi = k * w_ns, (k + 1) * w_ns
+            ts_g = ts_all[s:e]
+            by_cp: dict = {}
+            for (pi, alt_id), binding in match_core(merged, store, ts_g, masks):
+                first = min(
+                    pos
+                    for p in binding.values()
+                    for pos in (p if isinstance(p, tuple) else (p,))
+                )
+                if lo <= ts_g[first] < hi:  # this slice owns the match
+                    by_cp.setdefault(pi, []).append((alt_id, binding))
+            for pi, lst in by_cp.items():
+                rows.extend(
+                    array_match_rows(cps[pi], keys[s], emit_cols, lst, sub_cols)
+                )
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    sliced = sliced.repartition(cpu_parallelism(df), pat.key, "__slice")
-    return sliced.groupBy(pat.key, "__slice").applyInPandas(fn, schema=schema)
+    return sliced.mapInPandas(gen, schema=schema)
 
 
 def hot_keys(df, cp: CompiledPattern, threshold: int):
