@@ -273,25 +273,55 @@ def _eval_kleene_cond(c, kref, store, partials, cur_var, cur_row, var_group=None
 
 def _gap_ok(spec_positions, spec, store, partials, cur_var, cur_row, i):
     """For each partial: True if NO qualifying negative event lies strictly
-    between partial.last_pos and i.  Vectorized via searchsorted (+ pair
-    expansion only when the neg condition references bound variables)."""
+    inside the gap ending at i.  The gap's left boundary is the latest
+    bound position among the spec's STRUCTURAL predecessors (pre_vars)
+    — NOT the partial's last_pos, which overshoots when another
+    variable (an And_ sibling) binds inside the gap.  Events bound to
+    other variables of the partial are not negation candidates (pinned
+    semantics, same as _span_ok and the replica).  Vectorized via
+    searchsorted (+ pair expansion only when the neg condition
+    references bound variables)."""
     np_pos = spec_positions
+    n = len(partials)
     if len(np_pos) == 0:
-        return np.ones(len(partials), dtype=bool)
-    lo = np.searchsorted(np_pos, partials.last_pos, side="right")
+        return np.ones(n, dtype=bool)
+    if spec.pre_vars:
+        left = np.full(n, -1, dtype=np.int64)
+        for v in spec.pre_vars:
+            if v in partials.scalar:
+                np.maximum(left, partials.scalar[v], out=left)
+            elif v in partials.kleene:
+                lastel = np.fromiter(
+                    (t[-1] if len(t) else -1 for t in partials.kleene[v]),
+                    dtype=np.int64, count=n,
+                )
+                np.maximum(left, lastel, out=left)
+    else:
+        left = partials.last_pos
+    lo = np.searchsorted(np_pos, left, side="right")
     hi = int(np.searchsorted(np_pos, i, side="left"))
     counts = hi - lo
-    if not spec.multi:
-        return counts <= 0
-    ok = np.ones(len(partials), dtype=bool)
     hot = np.nonzero(counts > 0)[0]
     if len(hot) == 0:
-        return ok
-    # expand (partial, neg event) pairs and evaluate conditions vectorized
+        return np.ones(n, dtype=bool)
+    # expand (partial, neg event) pairs; exclude events bound to the
+    # partial's own positive variables, then evaluate any multi-var
+    # conditions vectorized
     reps = counts[hot]
     pair_partial = np.repeat(hot, reps)
     pair_neg = np.concatenate([np_pos[lo[h] : hi] for h in hot])
     sub = partials.select(pair_partial)
+    keep = np.ones(len(pair_partial), dtype=bool)
+    for v, arr in sub.scalar.items():
+        keep &= pair_neg != arr
+    for v, karr in sub.kleene.items():
+        keep &= np.fromiter(
+            (int(pn) not in t for pn, t in zip(pair_neg, karr)),
+            dtype=bool, count=len(pair_partial),
+        )
+    if not spec.multi:
+        bad = np.bincount(pair_partial[keep], minlength=n) > 0
+        return ~bad
     neg_view = store.gather(pair_neg)
 
     class _Env:
@@ -303,11 +333,11 @@ def _gap_ok(spec_positions, spec, store, partials, cur_var, cur_row, i):
             return store.gather(sub.scalar[var])
 
     env = _Env()
-    m = np.ones(len(pair_partial), dtype=bool)
+    m = keep
     for c in spec.multi:
         r = c.pd(env)
         m &= np.asarray(r, dtype=bool) if not isinstance(r, (bool, np.bool_)) else r
-    bad = np.bincount(pair_partial[m], minlength=len(partials)) > 0
+    bad = np.bincount(pair_partial[m], minlength=n) > 0
     return ~bad
 
 

@@ -106,6 +106,14 @@ class NegSpec:
     # (ordinary gap to the following part, or window-bounded "trailing"
     # when the group ends the pattern).
     repeat_only: bool = False
+    # gap kind only: variable names whose latest bound position is the
+    # gap's STRUCTURAL left boundary (prereqs of the post slots, plus
+    # the group members for per-repetition specs).  The partial's
+    # last_pos is wrong here when an And_ sibling binds inside the gap
+    # — pinned semantics (pattern.py #5, the replica, _span_ok): the
+    # gap runs between the Neg's structural neighbours and events bound
+    # to OTHER variables of the match are not negation candidates.
+    pre_vars: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -773,10 +781,32 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                 kind = post  # "leading" | "trailing"
             else:
                 kind = "gap"
+            # structural left boundary of a gap: the variables whose
+            # latest bound event precedes the gap.  The partial's
+            # last_pos is NOT that boundary when another variable (an
+            # And_ sibling) binds INSIDE the gap — the executor takes
+            # the max over pre_vars' positions instead (kleene vars:
+            # their tuple's last element).  For group-scoped specs the
+            # group members join the set: at a repetition bind the max
+            # over their last elements is exactly the same repetition's
+            # previous leaf (or the previous repetition's last leaf).
+            pre_vars: tuple = ()
+            if kind == "gap":
+                by_id = {s.sid: s for s in slots}
+                pre_sids: set = set()
+                for sid in post:
+                    pre_sids |= set(by_id[sid].prereq)
+                    if per_repeat and by_id[sid].group is not None:
+                        pre_sids |= {
+                            x.sid for x in slots if x.group == by_id[sid].group
+                        }
+                pre_sids -= set(post)
+                pre_vars = tuple(sorted(by_id[sid].var for sid in pre_sids))
             neg_specs.append(
                 NegSpec(ng.name, u, tuple(extra), kind,
                         post if isinstance(post, frozenset) else frozenset(),
-                        per_repeat=per_repeat, repeat_only=repeat_only)
+                        per_repeat=per_repeat, repeat_only=repeat_only,
+                        pre_vars=pre_vars)
             )
             note_cols(u)
             for c in extra:

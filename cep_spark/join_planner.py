@@ -174,7 +174,11 @@ def _expand_one(cp, alt, arities) -> FixedAlt:
             # FIRST event, it doesn't start inside the part)
             pre_slots -= set(spec.post_slots)
             pre_last = [expansion[sid][-1] for sid in pre_slots]
-            negs.append((spec.unary, list(spec.multi), spec.var, pre_last, post_first, None, "gap"))
+            # span carries ALL positive vars: events bound to other
+            # variables of the match (And_ siblings can bind inside the
+            # gap) are not negation candidates — pinned semantics,
+            # matching the NFA's _gap_ok exclusion and the replica
+            negs.append((spec.unary, list(spec.multi), spec.var, pre_last, post_first, names, "gap"))
         else:
             # span / leading / trailing all quantify over every positive var
             negs.append((spec.unary, list(spec.multi), spec.var, None, None, names, spec.kind))
@@ -302,6 +306,14 @@ def plan_join(df, cp: CompiledPattern, kleene_arities: int | None = None):
                     on = on & _lex_lt_col(p, nalias, ts, tb)
                 for p in post:
                     on = on & _lex_lt_col(nalias, p, ts, tb)
+                # events bound to other match variables are not
+                # negation candidates (an And_ sibling can bind inside
+                # the gap) — same exclusion as the span kind
+                for p in span:
+                    on = on & (
+                        (F.col(f"{nalias}.{ts}") != F.col(f"{p}.{ts}"))
+                        | (F.col(f"{nalias}.{tb}") != F.col(f"{p}.{tb}"))
+                    )
             elif nkind in ("leading", "trailing"):
                 # n strictly before (after) EVERY positive ≡ before the
                 # earliest (after the latest); window bounds the reach:
@@ -414,6 +426,10 @@ def oracle_sql_for(cp: CompiledPattern, table: str, kleene_arities: int | None =
                     inner.append(_lex_lt_sql(p, "n", ts, tb))
                 for p in post:
                     inner.append(_lex_lt_sql("n", p, ts, tb))
+                # exclude events bound to other match variables (an
+                # And_ sibling can bind inside the gap)
+                for p in span:
+                    inner.append(f"(n.{ts} <> {p}.{ts} OR n.{tb} <> {p}.{tb})")
             elif nkind in ("leading", "trailing"):
                 for p in span:
                     if nkind == "leading":

@@ -302,6 +302,7 @@ def merge_compiled(cps) -> CompiledPattern:
                     _cond_sig(spec.unary, {spec.var: "n"}),
                     tuple(sorted(msigs, key=str)),
                     tuple(sorted(m_slot[x].sid for x in spec.post_slots)),
+                    tuple(sorted(cmap[v] for v in spec.pre_vars)),
                 )
                 neg_sig[ni] = nsig
                 mi = neg_of_sig.get(nsig)
@@ -320,6 +321,7 @@ def merge_compiled(cps) -> CompiledPattern:
                             frozenset(m_slot[x].sid for x in spec.post_slots),
                             per_repeat=spec.per_repeat,
                             repeat_only=spec.repeat_only,
+                            pre_vars=tuple(sorted(cmap[v] for v in spec.pre_vars)),
                         )
                     )
                     neg_of_sig[nsig] = mi

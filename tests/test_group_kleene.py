@@ -515,6 +515,41 @@ def test_and_group_chain_parity():
         assert nonzero > 0 and multirep > 0
 
 
+def test_gap_neg_under_and_interleaving():
+    """Round-4 session B bug (found by the extended random-AST
+    generator): a gap negation's left boundary is the Neg's STRUCTURAL
+    predecessor, and events bound to other match variables are not
+    negation candidates — an And_ sibling binding INSIDE the gap broke
+    both assumptions of the old last_pos-based check.  Pinned fixture:
+    And_(Kleene(Seq(v1, Neg(v2), v3)), v4) emitted a 9th match the
+    replica rejects (qualifying v2 between v1 and the interleaved-past
+    v3).  Random sweep over the group and plain-Seq variants."""
+    shapes = [
+        And_(Kleene(Seq(Ev("v1", role="user"), Neg(Ev("v2", role="tool")),
+                        Ev("v3", role="user"))),
+             Ev("v4", role="user")),
+        And_(Seq(Ev("a", role="user"), Neg(Ev("x", role="tool")),
+                 Ev("b", role="user")),
+             Ev("c", role="tool")),
+        And_(Seq(Ev("a", role="user"), Neg(Ev("x", role="user")),
+                 Ev("b", role="user")),
+             Ev("c", role="user")),
+    ]
+    nonzero = 0
+    for si, struct in enumerate(shapes):
+        pat = Pattern(struct, window=timedelta(minutes=10))
+        cp = compile_pattern(pat)
+        rng = np.random.default_rng(99 + si)
+        for trial in range(80):
+            g = _gen_group(trial * 41 + si, int(rng.integers(3, 11)))
+            gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+            m = _canon_nfa(match_group_nfa(cp, gs))
+            o = _canon_rep(match_group(pat, g.copy()))
+            assert m == o, f"shape {si} trial {trial}\nnfa={m}\nrep={o}\n{g}"
+            nonzero += bool(m)
+    assert nonzero > 0
+
+
 def test_and_group_permutations_and_rejects():
     """Hand fixture: one repetition over two same-role events emits both
     variable assignments; Neg inside an unbounded And_ repetition is

@@ -204,6 +204,46 @@ def test_group_kleene_merge_parity():
     _assert_parity(pats, _group(6, n=24))
 
 
+def test_group_neg_and_andgroup_merge_parity():
+    """Round-4 session B shapes through the merged automaton: a shared
+    prefix ending in a group Kleene with a trailing Neg (repeat_only +
+    pre_vars in the neg signature), and an And_ group (grp_kind in the
+    slot signature).  Parity vs per-pattern execution; the And_ group
+    must NOT merge with a Seq group of the same leaves."""
+    trail = Kleene(Seq(Ev("p", role="assistant"), Ev("q", role="tool"),
+                       Neg(Ev("n", role="user"))), max_len=None)
+    pats = [
+        _pat(Seq(Ev("s", role="user"), trail, Ev("z", role="user")), pid=0),
+        _pat(Seq(Ev("s", role="user"), trail, Ev("z", role="assistant")),
+             pid=1),
+    ]
+    _assert_parity(pats, _group(7, n=24))
+
+    and_g = Kleene(And_(Ev("p", role="assistant"), Ev("q", role="tool")),
+                   max_len=None)
+    pats2 = [
+        _pat(Seq(Ev("s", role="user"), and_g, Ev("z", role="user")), pid=0),
+        _pat(Seq(Ev("s", role="user"), and_g, Ev("z", role="assistant")),
+             pid=1),
+    ]
+    _assert_parity(pats2, _group(8, n=24))
+
+    # seq-group vs and-group over the same leaves: states must NOT unify
+    from cep_spark.merge import merge_compiled
+
+    seq_g = Kleene(Seq(Ev("p", role="assistant"), Ev("q", role="tool")),
+                   max_len=None)
+    mixed = [
+        _pat(Seq(Ev("s", role="user"), seq_g, Ev("z", role="user")), pid=0),
+        _pat(Seq(Ev("s", role="user"), and_g, Ev("z", role="user")), pid=1),
+    ]
+    merged = merge_compiled([compile_pattern(p) for p in mixed])
+    (alt,) = merged.alternatives
+    kinds = {s.grp_kind for s in alt.slots if s.group is not None}
+    assert kinds == {"seq", "and"}  # two distinct merged groups
+    _assert_parity(mixed, _group(9, n=24))
+
+
 # ---------------------------------------------------------------------------
 # hypothesis sweep — prefix-sharing families + unrelated mixtures
 

@@ -61,12 +61,34 @@ def seq_node(draw, depth):
 def kleene_node(draw):
     """Leaf Kleene (sometimes with an adjacent-pair condition), a
     bounded composite Kleene (chain expansion), or an UNBOUNDED
-    composite Kleene (group lowering: NFA sub-automaton repetition)."""
+    composite Kleene (group lowering: NFA sub-automaton repetition) —
+    including Negs between/leading/trailing the repetition and Kleene
+    over And_ (round 4).  Placements the compiler rejects (leading Neg
+    with no left boundary, trailing Neg at the root without a window,
+    Negs bubbling into And_) exercise the test's except path."""
     shape = draw(st.sampled_from(
-        ["leaf", "leaf", "adjacent", "composite", "group"]
+        ["leaf", "leaf", "adjacent", "composite", "group",
+         "group_neg", "group_lead_neg", "group_trail_neg", "and_group"]
     ))
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
+    if shape == "group_neg":
+        return Kleene(
+            Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf())), max_len=None
+        )
+    if shape == "group_lead_neg":
+        return Kleene(
+            Seq(Neg(draw(leaf())), draw(leaf()), draw(leaf())), max_len=None
+        )
+    if shape == "group_trail_neg":
+        return Kleene(
+            Seq(draw(leaf()), draw(leaf()), Neg(draw(leaf()))), max_len=None
+        )
+    if shape == "and_group":
+        return Kleene(
+            And_(draw(leaf()), draw(leaf())),
+            max_len=draw(st.sampled_from([None, 2])),
+        )
     if shape == "composite":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=2)
     l = draw(leaf())
