@@ -106,10 +106,18 @@ def kleene_node(draw):
 @st.composite
 def and_node(draw, depth):
     n = draw(st.integers(2, 3))
-    parts = [
-        draw(kleene_node()) if draw(st.integers(0, 3)) == 0 else draw(leaf())
-        for _ in range(n)
-    ]
+    parts = []
+    for _ in range(n):
+        pick = draw(st.integers(0, 5))
+        if pick == 0:
+            parts.append(draw(kleene_node()))
+        elif pick == 1 and depth > 0:
+            # a Seq (possibly with an interior gap Neg) under And_: the
+            # sibling can bind INSIDE the gap — the round-4 session-B
+            # boundary/exclusion fix territory
+            parts.append(draw(seq_node(depth - 1)))
+        else:
+            parts.append(draw(leaf()))
     if draw(st.booleans()):
         parts.append(Neg(draw(leaf())))
     return And_(*parts)
