@@ -306,8 +306,15 @@ def main():
         print(json.dumps(JOBS[worker](int(os.environ["BENCH_CPUS"]))))
         return
 
+    # BENCH_JOBS: comma-list subset — lets the health-gated runner
+    # measure ONE job's (N, 4N) pair per clean-CPU window (efficiency
+    # only needs within-pair consistency; this host's windows are too
+    # short for all jobs back-to-back)
+    sel = os.environ.get("BENCH_JOBS")
+    jobs = [j for j in JOBS if not sel or j in sel.split(",")]
+
     results = {}
-    for job in JOBS:
+    for job in jobs:
         for cpus in LEVELS:
             env = dict(os.environ, BENCH_WORKER=job, BENCH_CPUS=str(cpus))
             # taskset-pin the whole worker (JVM + python workers) to
@@ -328,12 +335,14 @@ def main():
                 f.write(json.dumps(dict(results[(job, cpus)], t=time.time(),
                                         quick=QUICK)) + "\n")
 
-    hw = _hw_ceiling()
+    # the busy-loop ceiling burns ~20 s of full load — per-job gated
+    # runs skip it (the gated runner measures it once itself)
+    hw = {} if os.environ.get("BENCH_SKIP_CEILING") == "1" else _hw_ceiling()
     summary = {"metric": "scaling_efficiency", "levels": LEVELS,
                "quick": QUICK, "hw_ceiling": hw, "pairs": {}}
     for n, n4 in PAIRS:
         pair = {}
-        for job in JOBS:
+        for job in jobs:
             a, b = results[(job, n)], results[(job, n4)]
             eff = (b["rows_per_sec"] / a["rows_per_sec"]) / (n4 / n)
             pair[job] = {
@@ -343,7 +352,8 @@ def main():
             }
         summary["pairs"][f"{n}->{n4}"] = pair
     print(json.dumps(summary))
-    _write_md(summary)
+    if set(jobs) == set(JOBS):
+        _write_md(summary)  # partial (BENCH_JOBS) runs never clobber the MD
 
 
 def _write_md(summary):

@@ -1,22 +1,21 @@
 #!/usr/bin/env python
-"""Health-gated bench_scaling rerun (round-4 VERDICT item 7).
+"""Health-gated scaling evidence, one job pair per clean window.
 
-Polls the calibrated spin probe; when the host shows a clean window
-(two consecutive probes >= GATE, PROBE_GAP_S apart), runs
-bench_scaling.py in QUICK mode (criterion pair (2,8) only, reduced
-inputs — the full run outlasts this host's clean windows; every full
-attempt since round 1 degraded mid-run).  Afterwards judges the run by
-its own recorded per-leg cpu_health (min of pre/post probes per leg):
-if any leg dipped below JUDGE, the run is marked contaminated, its
-SCALING_AUTO.md overwrite is reverted to the pre-run content, and the
-gate re-arms (up to MAX_RUNS attempts).
+Every full (and even QUICK) bench_scaling run this round outlasted the
+host's clean-CPU windows and was self-judged contaminated.  Scaling
+efficiency only needs WITHIN-PAIR consistency, so this runner hunts a
+clean window per JOB: when two probes pass the gate (and the window is
+not already collapsing), it runs just that job's local[2]/local[8] pair
+(BENCH_JOBS=<job>, QUICK inputs, ceiling burn skipped) and judges the
+pair by its own per-leg pre/post health.  Clean pairs accumulate; once
+all three jobs have a clean pair, it measures the busy-loop hardware
+ceiling and writes BENCH/SCALING_AUTO.md via bench_scaling._write_md.
 
-Evidence is never lost: every attempt appends a full record (probes,
-per-leg healths, rc, summary tail) to ATTEMPTS; the one-line STATUS
-file carries the latest state including the last attempt's legs.
-
-Cooperative lock: while LOCK exists (an interactive session running its
-own Spark work), the gate waits instead of firing mid-contention.
+Evidence is never lost: every attempt appends to ATTEMPTS; accumulated
+clean pairs live in RESULTS; STATUS carries the latest state.  While
+LOCK exists (an interactive session running its own Spark work) the
+gate waits.  Inputs are pre-generated before hunting so dataset
+generation never burns window time.
 """
 
 from __future__ import annotations
@@ -29,18 +28,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench_scaling import cpu_health_mips  # noqa: E402
+# set BEFORE any bench_scaling import so this process's module-level
+# sizes (used by _write_md's QUICK header) match the workers'
+os.environ.setdefault("BENCH_QUICK", "1")
+os.environ.setdefault("BENCH_STREAM_N_CONV", "4000")
 
 GATE = float(os.environ.get("GATE_MIPS", "9.5"))
+COLLAPSE = float(os.environ.get("GATE_COLLAPSE", "1.5"))  # h2 >= h1 - this
 JUDGE = float(os.environ.get("JUDGE_MIPS", "9.0"))
-MAX_RUNS = int(os.environ.get("GATE_MAX_RUNS", "6"))
-PROBE_GAP_S = float(os.environ.get("GATE_PROBE_GAP_S", "30"))
+MAX_ATTEMPTS_PER_JOB = int(os.environ.get("GATE_MAX_RUNS", "10"))
+PROBE_GAP_S = float(os.environ.get("GATE_PROBE_GAP_S", "20"))
 DEADLINE = time.time() + float(os.environ.get("GATE_DEADLINE_S", "14400"))
 STATUS = "/tmp/gated_scaling_status.json"
 ATTEMPTS = "/tmp/gated_scaling_attempts.jsonl"
+RESULTS = "/tmp/gated_scaling_results.json"
 LOCK = "/tmp/spark_work.lock"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-AUTO_MD = os.path.join(REPO, "BENCH", "SCALING_AUTO.md")
+
+ENV = dict(os.environ, BENCH_SKIP_CEILING="1")
+JOB_NAMES = ["nfa_batch", "join_batch", "stream"]
 
 
 def status(**kw):
@@ -53,74 +59,126 @@ def record_attempt(**kw):
         f.write(json.dumps(dict(kw, t=time.time())) + "\n")
 
 
-def main() -> None:
-    runs = 0
-    last = {}
-    status(state="armed", gate=GATE)
-    while runs < MAX_RUNS and time.time() < DEADLINE:
+def probe():
+    from bench_scaling import cpu_health_mips
+
+    return cpu_health_mips()
+
+
+def wait_for_window(job, done):
+    while time.time() < DEADLINE:
         if os.path.exists(LOCK):
-            status(state="locked", runs=runs, **last)
+            status(state="locked", hunting=job, clean=done)
             time.sleep(60)
             continue
-        h1 = cpu_health_mips()
+        h1 = probe()
         if h1 < GATE:
-            status(state="waiting", last_probe=h1, runs=runs, **last)
-            time.sleep(120)
+            status(state="waiting", hunting=job, last_probe=h1, clean=done)
+            time.sleep(90)
             continue
         time.sleep(PROBE_GAP_S)
-        h2 = cpu_health_mips()
-        if h2 < GATE:
-            status(state="waiting", last_probe=h2, runs=runs, **last)
+        h2 = probe()
+        # a collapsing window (h2 well below h1) will not survive the run
+        if h2 < GATE or h2 < h1 - COLLAPSE:
+            status(state="waiting", hunting=job, last_probe=h2, clean=done)
             continue
         if os.path.exists(LOCK):
             continue
-        status(state="running", probes=[h1, h2], runs=runs)
-        pre_md = open(AUTO_MD).read() if os.path.exists(AUTO_MD) else None
-        env = dict(os.environ, BENCH_QUICK="1")
+        return [h1, h2]
+    return None
+
+
+def run_pair(job):
+    """Run one job's (2, 8) pair; return (legs_by_cpus, healths, rc)."""
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench_scaling.py")],
+        capture_output=True, text=True, cwd=REPO, timeout=1800,
+        env=dict(ENV, BENCH_JOBS=job),
+    )
+    legs, healths = {}, []
+    for line in (p.stderr + "\n" + p.stdout).splitlines():
         try:
-            p = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench_scaling.py")],
-                capture_output=True, text=True, cwd=REPO, timeout=2400,
-                env=env,
-            )
-        except subprocess.TimeoutExpired:
-            # contention stretching the run past the cap IS the
-            # contamination signal — record it and re-arm
-            runs += 1
-            last = {"legs": [], "rc": "timeout"}
-            record_attempt(verdict="contaminated", probes=[h1, h2], **last)
-            status(state="contaminated", runs=runs, **last)
-            if pre_md is not None:
-                with open(AUTO_MD, "w") as f:
-                    f.write(pre_md)
+            d = json.loads(line)
+        except ValueError:
             continue
-        runs += 1
-        # judge by the run's own per-leg health markers.  bench_scaling
-        # prints the per-leg dicts (which carry cpu_health_mips = min of
-        # the pre/post probes) to STDERR and the nested summary to
-        # stdout — scan both.
-        healths = []
-        for line in (p.stderr + "\n" + p.stdout).splitlines():
+        if isinstance(d, dict) and d.get("job") == job and "cpus" in d:
+            legs[d["cpus"]] = d
+            healths.append(d.get("cpu_health_mips", 0.0))
+    return legs, healths, p.returncode
+
+
+def main() -> None:
+    # pre-generate inputs OUTSIDE any clean window
+    status(state="prewarm")
+    subprocess.run(
+        [sys.executable, "-c",
+         "import bench_scaling as b; b._ensure_transcripts(); b._ensure_stream_src()"],
+        cwd=REPO, env=ENV, timeout=1800, capture_output=True,
+    )
+    clean: dict = {}
+    if os.path.exists(RESULTS):
+        try:
+            clean = json.load(open(RESULTS)).get("jobs", {})
+        except ValueError:
+            clean = {}
+    for job in JOB_NAMES:
+        if job in clean:
+            continue
+        attempts = 0
+        while attempts < MAX_ATTEMPTS_PER_JOB and time.time() < DEADLINE:
+            probes = wait_for_window(job, sorted(clean))
+            if probes is None:
+                break
+            status(state="running", hunting=job, probes=probes,
+                   clean=sorted(clean))
             try:
-                d = json.loads(line)
-            except ValueError:
+                legs, healths, rc = run_pair(job)
+            except subprocess.TimeoutExpired:
+                attempts += 1
+                record_attempt(job=job, verdict="timeout", probes=probes)
                 continue
-            if isinstance(d, dict) and "cpu_health_mips" in d:
-                healths.append(d["cpu_health_mips"])
-        clean = bool(healths) and min(healths) >= JUDGE and p.returncode == 0
-        verdict = "clean" if clean else "contaminated"
-        last = {"legs": healths, "rc": p.returncode}
-        record_attempt(verdict=verdict, probes=[h1, h2],
-                       tail=p.stdout[-2000:], stderr_tail=p.stderr[-2000:],
-                       **last)
-        status(state=verdict, runs=runs, **last)
-        if clean:
-            return
-        if pre_md is not None:
-            # a contaminated run must not clobber the recorded evidence
-            with open(AUTO_MD, "w") as f:
-                f.write(pre_md)
-    status(state="gave_up", runs=runs, **last)
+            attempts += 1
+            ok = (
+                rc == 0 and len(legs) == 2
+                and bool(healths) and min(healths) >= JUDGE
+            )
+            record_attempt(job=job, verdict="clean" if ok else "contaminated",
+                           probes=probes, healths=healths, rc=rc,
+                           legs={str(k): v for k, v in legs.items()})
+            if ok:
+                clean[job] = {str(k): v for k, v in legs.items()}
+                with open(RESULTS, "w") as f:
+                    json.dump({"jobs": clean}, f)
+                break
+            status(state="contaminated", hunting=job, healths=healths,
+                   clean=sorted(clean))
+    if set(clean) != set(JOB_NAMES):
+        status(state="gave_up", clean=sorted(clean))
+        return
+    # all three pairs clean: ceiling + combined markdown
+    import bench_scaling as b
+
+    hw = b._hw_ceiling()
+    summary = {"metric": "scaling_efficiency", "levels": b.LEVELS,
+               "quick": True, "per_job_windows": True, "hw_ceiling": hw,
+               "pairs": {}}
+    n, n4 = b.PAIRS[0]
+    pair = {}
+    for job in JOB_NAMES:
+        a, c = clean[job][str(n)], clean[job][str(n4)]
+        eff = (c["rows_per_sec"] / a["rows_per_sec"]) / (n4 / n)
+        pair[job] = {
+            f"local[{n}]": a, f"local[{n4}]": c,
+            "speedup": round(c["rows_per_sec"] / a["rows_per_sec"], 3),
+            "efficiency": round(eff, 3),
+        }
+    summary["pairs"][f"{n}->{n4}"] = pair
+    os.chdir(REPO)
+    b._write_md(summary)
+    with open(RESULTS, "w") as f:
+        json.dump({"jobs": clean, "summary": summary}, f)
+    status(state="clean", clean=sorted(clean),
+           eff={j: pair[j]["efficiency"] for j in pair})
 
 
 if __name__ == "__main__":
