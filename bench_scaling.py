@@ -392,11 +392,17 @@ def main():
             expected = calib[cpus]
             if samples:
                 margin = max(0.8, 0.1 * expected)
+                srt = sorted(samples)
+                # tolerate ONE transient dip on longer legs: the timed
+                # region is min-of-BENCH_REPEAT, so a single ~3 s
+                # transient cannot have set the reported throughput
+                judge_val = srt[1] if len(srt) > 6 else srt[0]
                 leg["host_mips_during"] = {
-                    "min": min(samples), "median": sorted(samples)[len(samples) // 2],
-                    "n": len(samples), "expected": expected,
+                    "min": srt[0], "judge": judge_val,
+                    "median": srt[len(srt) // 2],
+                    "n": len(srt), "expected": expected,
                 }
-                leg["host_clean"] = min(samples) >= expected - margin
+                leg["host_clean"] = judge_val >= expected - margin
             results[(job, cpus)] = leg
             print(json.dumps(leg), file=sys.stderr)
             # append-only evidence log: nothing is lost if a later leg
