@@ -93,17 +93,21 @@ def _calibrate_underload(levels, core: int) -> dict:
     ceiling), so a leg's concurrent free-core sample must be compared
     against the SAME-load-shape calibration, not the idle baseline.
     Full-burn calibration is a floor: real legs are at most this busy,
-    so clean legs sample AT OR ABOVE it."""
+    so clean legs sample AT OR ABOVE it.  MEDIAN of three bursts per
+    level: a single-shot calibration taken during a boost spike sets an
+    unreachable expectation and flags clean legs (observed: leg sample
+    medians above a spiked expectation with minima below it)."""
     out = {}
     burn = ("import time\nt=time.perf_counter()\n"
-            "while time.perf_counter()-t<3.0: pass")
+            "while time.perf_counter()-t<3.2: pass")
     for n in levels:
         procs = [
             subprocess.Popen(["taskset", "-c", str(i), sys.executable, "-c", burn])
             for i in range(n)
         ]
-        time.sleep(0.4)
-        out[n] = _pin_health(core)
+        time.sleep(0.3)
+        reads = sorted(_pin_health(core) for _ in range(3))
+        out[n] = reads[1]
         for p in procs:
             p.wait()
     return out
