@@ -967,8 +967,15 @@ def stream_matches_multi(df, cps, watermark: str,
         import os as _os
 
         env = _os.environ.get("CEP_SPARK_STREAM_STRATEGY")
-        strategy = env if env in ("rematch", "incremental", "shared") \
-            else "incremental"
+        if env and env not in ("rematch", "incremental", "shared"):
+            # a typo in the restart-pin env var must fail loudly, not
+            # silently run the wrong executor (matches the single-pattern
+            # path, which routes the env value through the same check)
+            raise ValueError(
+                f"unknown CEP_SPARK_STREAM_STRATEGY {env!r} (expected "
+                "rematch / incremental / shared)"
+            )
+        strategy = env or "incremental"
     force_rematch = strategy == "rematch"
     if force_rematch and max_partials_per_state is not None:
         raise ValueError(
@@ -1032,6 +1039,68 @@ def stream_matches_multi(df, cps, watermark: str,
     # as run_batch_multi; feed to CepMetricsListener(guard_drops=...)
     out.guard_drops = acc
     return out
+
+
+def _cond_fp(cond):
+    """Canonical token for one condition in the family fingerprint.
+
+    Uses the same ``cond.sql()`` faithfulness contract that backs the
+    unary-mask cache and merge signatures; conditions with no SQL
+    lowering (UserPred) fall back to a structural token — name + arg
+    refs — which is deterministic across processes (never ``repr(fn)``,
+    whose address changes per run)."""
+    try:
+        return cond.sql({v: v for v in cond.vars()})
+    except NotImplementedError:
+        return (
+            "nosql",
+            type(cond).__name__,
+            getattr(cond, "name", ""),
+            tuple(sorted(cond.vars())),
+            tuple(sorted(cond.cols())),
+        )
+
+
+def _pattern_fp(cp, w_ns):
+    """Structural fingerprint of one compiled pattern: slots (with
+    group/kleene shape), negation specs, variable order, window.
+    Transitions/states derive deterministically from these at compile
+    time, so slot structure suffices for identity."""
+    pat = cp.pattern
+    alts = []
+    for alt in cp.alternatives:
+        slots = tuple(
+            (s.sid, s.var, _cond_fp(s.unary), s.kleene, s.kleene_max,
+             tuple(sorted(s.prereq)),
+             None if s.adjacent is None else _cond_fp(s.adjacent),
+             s.group, s.grp_idx, s.grp_kind)
+            for s in alt.slots
+        )
+        negs = tuple(
+            (sp.var, _cond_fp(sp.unary),
+             tuple(_cond_fp(c) for c in sp.multi), sp.kind,
+             tuple(sorted(sp.post_slots)), sp.per_repeat, sp.repeat_only,
+             tuple(sp.pre_vars))
+            for sp in alt.negs
+        )
+        alts.append((alt.alt_id, slots, negs, tuple(alt.var_order)))
+    return (pat.key, pat.ts_col, pat.tiebreak_col, w_ns, tuple(alts))
+
+
+def _family_fp(cps, w_ns_of, unit_pats) -> str:
+    """12-hex fingerprint of the whole pattern family INCLUDING the
+    per-component partition and pattern order — persisted state keys
+    partial tables by component index and merged-state sids, so an
+    edited or reordered pattern list must refuse a stale checkpoint
+    loudly (ADVICE r4) instead of restoring tables against a different
+    automaton."""
+    import hashlib
+
+    fam = tuple(
+        tuple(_pattern_fp(cps[gi], w_ns_of[gi]) for gi in idxs)
+        for idxs in unit_pats
+    )
+    return hashlib.md5(repr(fam).encode()).hexdigest()[:12]
 
 
 def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
@@ -1128,6 +1197,15 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
         unit_trail_specs = trail_specs_of
     static_rematch = (1 << len(run_cps)) - 1 if force_rematch else 0
 
+    # fmt = <strategy layout>:<family fingerprint> — both validated on
+    # every restore.  The fingerprint covers pattern structure, windows,
+    # order, AND the component partition, so restarting a checkpoint
+    # with an edited/reordered pattern list (which reshuffles
+    # merge_components' partition and the component-index state keys)
+    # refuses loudly instead of restoring partial tables against a
+    # different automaton.
+    my_fmt = f"{my_fmt}:{_family_fp(cps, w_ns_of, unit_pats)}"
+
     if merged_mode:
         # per-tag window: merged alt ids are (LOCAL pattern idx, alt_id)
         def tag_w(ci, alt_id):
@@ -1149,6 +1227,19 @@ def _make_multi_fn(cps, emit_cols, w_ns_of, trailing_of, w_ns,
             # persists fellback=1 with no tables — reinterpreting that
             # bitmask per-pattern would silently drop matches.
             if fmt != my_fmt:
+                same_layout = (
+                    isinstance(fmt, str)
+                    and fmt.split(":", 1)[0] == my_fmt.split(":", 1)[0]
+                )
+                if same_layout:
+                    raise RuntimeError(
+                        f"state store fingerprint {fmt!r} does not match "
+                        f"this query's pattern family {my_fmt!r}: the "
+                        "pattern list was edited or reordered since the "
+                        "checkpoint was written (persisted partial tables "
+                        "are keyed by component index and merged-state "
+                        "sids); restart from a fresh checkpoint"
+                    )
                 raise RuntimeError(
                     f"state store was written by strategy layout "
                     f"{fmt!r} but this query runs {my_fmt!r} "

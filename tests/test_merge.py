@@ -568,7 +568,8 @@ def test_stream_shared_fellback_state_guard():
     assert state.exists
     parts_raw, parked_raw = state._val[2], state._val[3]
     assert parts_raw is None and parked_raw is None  # no tables persisted
-    assert state._val[7] == "shared-v2"  # ...but the layout IS recorded
+    # ...but the layout + family fingerprint ARE recorded
+    assert state._val[7].startswith("shared-v2:")
 
     fn_perpat = _make_multi_fn(
         cps, ("turn_idx",), w_ns_of, trailing_of, w_ns, merged=None,
@@ -576,6 +577,50 @@ def test_stream_shared_fellback_state_guard():
     with pytest.raises(RuntimeError, match="fresh checkpoint"):
         for _ in fn_perpat(("c0",), iter([g.iloc[8:]]), state):
             pass
+
+
+def test_stream_family_fingerprint_guard():
+    """Round-4 ADVICE (low): persisted parts/fellback/parked are keyed
+    by component index and merged-state sids, so restarting the SAME
+    strategy layout with an edited or reordered pattern list must
+    refuse loudly (the fmt value carries a family fingerprint) instead
+    of restoring partial tables against a different automaton."""
+    from test_stream_fn_property import FakeState
+
+    from cep_spark.stream import (
+        _make_multi_fn,
+        _retention_w_ns,
+        _trailing_alt_ids,
+    )
+
+    cps = [compile_pattern(p) for p in _mergeable_stream_family()]
+    g = _group(7, n=16)
+    w_ns_of = [int(cp.pattern.window.total_seconds() * 1e9) for cp in cps]
+    trailing_of = [_trailing_alt_ids(cp) for cp in cps]
+    w_ns = max(_retention_w_ns(cp, wn) for cp, wn in zip(cps, w_ns_of))
+
+    fn = _make_multi_fn(cps, ("turn_idx",), w_ns_of, trailing_of, w_ns,
+                        merged=None)
+    state = FakeState()
+    state.wm_ms = 0
+    for _ in fn(("c0",), iter([g.iloc[:8]]), state):
+        pass
+    assert state.exists
+
+    # same layout (perpat), REORDERED family — component-index keys no
+    # longer line up; must refuse with the fingerprint message
+    fn_rev = _make_multi_fn(cps[::-1], ("turn_idx",), w_ns_of[::-1],
+                            trailing_of[::-1], w_ns, merged=None)
+    with pytest.raises(RuntimeError, match="pattern family"):
+        for _ in fn_rev(("c0",), iter([g.iloc[8:]]), state):
+            pass
+
+    # unchanged family restores cleanly (fingerprint is deterministic
+    # across separately-constructed closures)
+    fn_same = _make_multi_fn(cps, ("turn_idx",), w_ns_of, trailing_of,
+                             w_ns, merged=None)
+    for _ in fn_same(("c0",), iter([g.iloc[8:]]), state):
+        pass
 
 
 def test_stream_shared_spark_parity(spark, tmp_path):
@@ -828,3 +873,9 @@ def test_stream_multi_env_strategy_override(spark, monkeypatch):
                                strategy="incremental",
                                max_partials_per_state=8)
     assert out is not None
+    # a typo in the env pin fails loudly (round-5: matches the
+    # single-pattern path instead of silently running incremental)
+    monkeypatch.setenv("CEP_SPARK_STREAM_STRATEGY", "remach")
+    with pytest.raises(ValueError, match="CEP_SPARK_STREAM_STRATEGY"):
+        stream_matches_multi(df, cps, watermark="10 seconds",
+                             strategy="auto")
