@@ -62,10 +62,15 @@ def _obj_array(items) -> np.ndarray:
 
 
 class _ColStore:
-    """Column arrays for one sorted group; gathers build pandas Series."""
+    """Column arrays for one sorted group; gathers return raw NumPy views.
 
-    def __init__(self, gdf: pd.DataFrame):
-        self._cols = {c: gdf[c].to_numpy() for c in gdf.columns}
+    ``need`` restricts the pandas→NumPy conversion to the columns the
+    matcher can actually reference (condition columns + ts) — per-group
+    ``to_numpy`` of never-read columns was ~18% of matcher time."""
+
+    def __init__(self, gdf: pd.DataFrame, need=None):
+        cs = gdf.columns if need is None else [c for c in gdf.columns if c in need]
+        self._cols = {c: gdf[c].to_numpy() for c in cs}
 
     @classmethod
     def from_cols(cls, cols: dict) -> "_ColStore":
@@ -81,12 +86,18 @@ class _ColStore:
 
 
 class _VarView:
+    """Lazy per-variable attribute view: ``view[col]`` gathers the raw
+    NumPy array (no pandas Series wrapper — Series construction was ~20%
+    of matcher time; every condition ``pd()`` implementation is
+    NumPy-compatible, and UserPred re-wraps for its user-facing
+    contract)."""
+
     def __init__(self, cols, positions):
         self._cols = cols
         self._pos = positions
 
     def __getitem__(self, col):
-        return pd.Series(self._cols[col][self._pos])
+        return self._cols[col][self._pos]
 
 
 class _Partials:
@@ -105,7 +116,7 @@ class _Partials:
         return len(self.first_pos)
 
     def select(self, mask_or_idx):
-        out = _Partials(self.scalar, self.kleene)
+        out = _Partials.__new__(_Partials)
         out.scalar = {v: a[mask_or_idx] for v, a in self.scalar.items()}
         out.kleene = {v: a[mask_or_idx] for v, a in self.kleene.items()}
         out.first_pos = self.first_pos[mask_or_idx]
@@ -497,8 +508,11 @@ def match_group_nfa(cp: CompiledPattern, gdf: pd.DataFrame, cap=None, stats=None
     n = len(gdf)
     if n == 0:
         return []
-    store = _ColStore(gdf)
-    ts_ns = gdf[cp.pattern.ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    need = {cp.pattern.ts_col}
+    for cs_ in cp.needed_cols.values():
+        need.update(cs_)
+    store = _ColStore(gdf, need=need)
+    ts_ns = store._cols[cp.pattern.ts_col].astype("datetime64[ns]").astype(np.int64)
     masks = unary_masks(cp, store._cols, n)
     return match_core(cp, store, ts_ns, masks, cap=cap, stats=stats)
 
@@ -561,6 +575,44 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
             tables = {st.sid: _Partials(svars[st.sid], kvars[st.sid]) for st in alt.states}
         tables_out[alt.alt_id] = tables
 
+        # Fast path (round 5): an event on which NO slot's unary mask is
+        # true cannot start, extend, loop, or complete anything — partial
+        # tables are only read at firing events, and window expiry at the
+        # NEXT firing event (with its later cur_ts) prunes at least as
+        # much as it would have at the skipped event, so iterating the
+        # precomputed firing positions only is EXACT (including the
+        # cap-guard drop accounting, which is a no-op when nothing is
+        # staged).  On selective patterns this skips the per-event Python
+        # loop for the large majority of rows.  Masks may be shared via
+        # the unary-mask memo — union into a fresh array, never in place.
+        any_fire = np.zeros(n, dtype=bool)
+        for m in slot_mask.values():
+            np.logical_or(any_fire, m, out=any_fire)
+        fire_pos = np.nonzero(any_fire)[0]
+        if start:
+            fire_pos = fire_pos[fire_pos >= start]
+
+        # The current event's attribute dict is only consulted by
+        # multi-variable transition conjuncts, adjacent-pair Kleene
+        # conditions, and gap-negation conjuncts — collect the columns
+        # those can reference and materialize just them per firing event
+        # (unary-only patterns pay nothing).
+        row_cols: set = set()
+        for st in alt.states:
+            for tr in st.transitions:
+                for c in tr.conds:
+                    row_cols.update(col for _, col in c.cols())
+            for _ksid, kconds in st.kleene_loops:
+                for c in kconds:
+                    row_cols.update(col for _, col in c.cols())
+        for s in alt.slots:
+            if s.adjacent is not None:
+                row_cols.update(col for _, col in s.adjacent.cols())
+        for sp in alt.negs:
+            for c in sp.multi:
+                row_cols.update(col for _, col in c.cols())
+        row_arrays = [(c, store._cols[c]) for c in sorted(row_cols)]
+
         def _accept_negs(sub, neg_indices, edge_w=None):
             # accept-time negation checks: span + leading/trailing edges
             if edge_w is None:
@@ -613,9 +665,10 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                     b[v] = tuple(sel.kleene[v][j])
                 out.append((alt.alt_id, b))
 
-        for i in range(start, n):
+        for i in fire_pos:
+            i = int(i)
             cur_ts = ts_ns[i]
-            cur_row = store.row(i)
+            cur_row = {c: a[i] for c, a in row_arrays}
             staged = []  # (target_state_id, _Partials)
 
             for st in alt.states:

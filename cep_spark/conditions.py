@@ -306,9 +306,13 @@ class InSet(Cond):
         return self.expr.cols()
 
     def pd(self, env):
+        import numpy as np
+
         v = self.expr.pd(env)
         if hasattr(v, "isin"):
             return v.isin(self.values)
+        if isinstance(v, np.ndarray):
+            return np.isin(v, list(self.values))
         return v in self.values
 
     def sql(self, aliases):
@@ -457,7 +461,16 @@ class UserPred(Cond):
         return out
 
     def pd(self, env):
-        return self.fn(*[a.pd(env) for a in self.args])
+        import numpy as np
+        import pandas as pd
+
+        # documented contract: fn sees pandas Series (the engine's
+        # internal views are raw NumPy for speed — re-wrap here only)
+        return self.fn(*[
+            pd.Series(v) if isinstance(v, np.ndarray) else v
+            for a in self.args
+            for v in (a.pd(env),)
+        ])
 
     def sql(self, aliases):
         raise NotImplementedError(
