@@ -554,6 +554,90 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5: Or_ of plain leaves INSIDE the unbounded repetition — every
+# repetition binds a 'view' then EITHER a 'click' (w) or a 'signup'
+# (x): alternative branch sub-slots at one group position
+# (compiler._collect / _successors; batch.advance_core).  The oracle's
+# recursive CTE extends each chain with b IN ('click','signup') and
+# carries per-branch count/first/last — a branch never chosen emits
+# NULL len/first/last, matching the flat executor's absent-variable
+# columns.
+
+_KLEENE_GROUP_OR_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(Ev("w", event_type="click"),
+                       Ev("x", event_type="signup")))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_group_or_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_OR_PAT), mode="flat")
+
+
+def _kleene_group_or_oracle() -> str:
+    w = int(_KLEENE_GROUP_OR_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT u.user_id,
+         u.event_id AS u_first, u.event_id AS u_last,
+         u.ts AS first_ts, 1 AS r,
+         CASE WHEN b.event_type = 'click' THEN 1 ELSE 0 END AS w_cnt,
+         CASE WHEN b.event_type = 'click' THEN b.event_id END AS w_first,
+         CASE WHEN b.event_type = 'click' THEN b.event_id END AS w_last,
+         CASE WHEN b.event_type = 'signup' THEN 1 ELSE 0 END AS x_cnt,
+         CASE WHEN b.event_type = 'signup' THEN b.event_id END AS x_first,
+         CASE WHEN b.event_type = 'signup' THEN b.event_id END AS x_last,
+         b.event_id AS last_id, b.ts AS last_ts
+  FROM events u JOIN events b ON b.user_id = u.user_id
+  WHERE u.event_type = 'view' AND b.event_type IN ('click', 'signup')
+    AND (u.ts < b.ts OR (u.ts = b.ts AND u.event_id < b.event_id))
+    AND EPOCH(b.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT s.user_id, s.u_first, u.event_id, s.first_ts, s.r + 1,
+         s.w_cnt + CASE WHEN b.event_type = 'click' THEN 1 ELSE 0 END,
+         COALESCE(s.w_first,
+                  CASE WHEN b.event_type = 'click' THEN b.event_id END),
+         COALESCE(CASE WHEN b.event_type = 'click' THEN b.event_id END,
+                  s.w_last),
+         s.x_cnt + CASE WHEN b.event_type = 'signup' THEN 1 ELSE 0 END,
+         COALESCE(s.x_first,
+                  CASE WHEN b.event_type = 'signup' THEN b.event_id END),
+         COALESCE(CASE WHEN b.event_type = 'signup' THEN b.event_id END,
+                  s.x_last),
+         b.event_id, b.ts
+  FROM chains s
+  JOIN events u ON u.user_id = s.user_id
+  JOIN events b ON b.user_id = s.user_id
+  WHERE u.event_type = 'view' AND b.event_type IN ('click', 'signup')
+    AND (s.last_ts < u.ts OR (s.last_ts = u.ts AND s.last_id < u.event_id))
+    AND (u.ts < b.ts OR (u.ts = b.ts AND u.event_id < b.event_id))
+    AND EPOCH(b.ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CASE WHEN s.w_cnt > 0 THEN CAST(s.w_cnt AS BIGINT) END AS w_len,
+       CAST(s.w_first AS BIGINT) AS w_first,
+       CAST(s.w_last AS BIGINT) AS w_last,
+       CASE WHEN s.x_cnt > 0 THEN CAST(s.x_cnt AS BIGINT) END AS x_len,
+       CAST(s.x_first AS BIGINT) AS x_first,
+       CAST(s.x_last AS BIGINT) AS x_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
 # round 4 (session B): Kleene over And_ — each repetition binds the
 # leaves in ANY arrival order (permutation assignments count
 # separately), repetitions interleave strictly (all of rep j before all
@@ -780,13 +864,39 @@ def _multi_shared_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sliced_family() -> list:
+    """Round 5: the sliced entry gets its OWN family (previously it ran
+    cep_multi_shared's family against the same oracle — a slicing bug
+    that reproduced the shared executor's output would have been
+    invisible to the harness).  SHORT mixed windows (1h/2h/3h) against
+    the 30-day per-user event span force MANY (key, slice) cells at
+    sf0.01, so the slice-boundary overlap logic is genuinely load-
+    bearing for this entry's correctness row."""
+    mk = lambda struct, where=None, win=timedelta(hours=3): Pattern(
+        struct, where=where if where is not None else TRUE, window=win,
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+    )
+    v = Ev("v", event_type="view")
+    return [
+        ("sl_click", mk(Seq(v, Ev("c", event_type="click")),
+                        win=timedelta(hours=1))),
+        ("sl_buy", mk(Seq(v, Ev("c", event_type="purchase")),
+                      win=timedelta(hours=2))),
+        ("sl_click_up", mk(Seq(v, Ev("c", event_type="click")),
+                           where=attr("c", "value") > attr("v", "value"),
+                           win=timedelta(hours=3))),
+        ("sl_noerr_click", mk(Seq(v, Neg(Ev("n", event_type="error")),
+                                  Ev("c", event_type="click")),
+                              win=timedelta(hours=2))),
+    ]
+
+
 def _multi_sliced_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew × sharing composition under the correctness gate: the SAME
-    mixed-window family as cep_multi_shared, executed via
-    run_batch_multi_sliced — window-sliced hot-key decomposition over
-    ONE prefix-shared (per-component) automaton per slice, slice width
-    = the family max window.  Output (and oracle) identical to
-    cep_multi_shared: slicing and sharing must be invisible."""
+    """Skew × sharing composition under the correctness gate: a short-
+    window mixed family executed via run_batch_multi_sliced —
+    window-sliced hot-key decomposition over ONE prefix-shared
+    (per-component) automaton per slice, slice width = the family max
+    window.  Its oracle is generated per-pattern from ITS family."""
     import dataclasses
 
     from pyspark.sql import functions as F
@@ -795,7 +905,7 @@ def _multi_sliced_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cps = [
         compile_pattern(dataclasses.replace(pat, pattern_id=pid))
-        for pid, pat in _shared_family()
+        for pid, pat in _sliced_family()
     ]
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = run_batch_multi_sliced(df, cps, emit_cols=("event_id",))
@@ -810,9 +920,9 @@ def _multi_sliced_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _multi_shared_oracle() -> str:
+def _family_union_oracle(family) -> str:
     parts = []
-    for pid, pat in _shared_family():
+    for pid, pat in family:
         cp = compile_pattern(pat)
         vars_ = cp.alternatives[0].var_order
         ids = ", ".join(f"{v}_event_id" for v in vars_)
@@ -822,6 +932,16 @@ def _multi_shared_oracle() -> str:
             f"FROM ({oracle_sql_for(cp, 'events')})"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def _multi_shared_oracle() -> str:
+    return _family_union_oracle(_shared_family())
+
+
+def _multi_sliced_oracle() -> str:
+    # generated from the sliced entry's OWN family (round 5): a slicing
+    # bug now fails THIS row even when the shared executor is correct
+    return _family_union_oracle(_sliced_family())
 
 
 # ---------------------------------------------------------------------------
@@ -852,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_neg"] = _kleene_group_neg_query
     out["cep_kleene_group_lead_neg"] = _kleene_group_lead_neg_query
     out["cep_kleene_group_trail_neg"] = _kleene_group_trail_neg_query
+    out["cep_kleene_group_or"] = _kleene_group_or_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
@@ -872,11 +993,12 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_neg"] = _kleene_group_neg_oracle()
     out["cep_kleene_group_lead_neg"] = _kleene_group_lead_neg_oracle()
     out["cep_kleene_group_trail_neg"] = _kleene_group_trail_neg_oracle()
+    out["cep_kleene_group_or"] = _kleene_group_or_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()
     out["cep_multi_shared"] = _multi_shared_oracle()
-    out["cep_multi_sliced"] = _multi_shared_oracle()  # same rows by design
+    out["cep_multi_sliced"] = _multi_sliced_oracle()
     out.update(windows.ORACLES)
     out.update(_pipeline_registry.oracle_sql())
     return out

@@ -613,6 +613,15 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                 row_cols.update(col for _, col in c.cols())
         row_arrays = [(c, store._cols[c]) for c in sorted(row_cols)]
 
+        # seq-group position-0 variables per group: the repetition count
+        # of a partial is the TOTAL number of binds at the group's first
+        # position — with Or_ branches that is a SUM across branch vars
+        # (each repetition binds exactly one of them)
+        grp_pos0_vars: dict = {}
+        for s in alt.slots:
+            if s.group is not None and s.grp_kind != "and" and s.grp_idx == 0:
+                grp_pos0_vars.setdefault(s.group, []).append(s.var)
+
         def _accept_negs(sub, neg_indices, edge_w=None):
             # accept-time negation checks: span + leading/trailing edges
             if edge_w is None:
@@ -720,10 +729,20 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                     if tr.rep_start and s.kleene_max is not None:
                         # bounded composite under group lowering: cap
                         # the repetition count at the loop-back bind
-                        lens = np.fromiter(
-                            (len(t) for t in tbl.kleene[s.var]),
-                            dtype=np.int64, count=len(tbl),
+                        # (seq groups: SUM of position-0 branch tuple
+                        # lengths — one bind per repetition; a branch
+                        # never bound contributes 0)
+                        vs = (
+                            grp_pos0_vars[s.group]
+                            if s.grp_kind != "and" else [s.var]
                         )
+                        lens = np.zeros(len(tbl), dtype=np.int64)
+                        for v in vs:
+                            if v in tbl.kleene:
+                                lens += np.fromiter(
+                                    (len(t) for t in tbl.kleene[v]),
+                                    dtype=np.int64, count=len(tbl),
+                                )
                         mask &= lens < s.kleene_max
                     for gi in tr.gap_negs:
                         mask &= _gap_ok(

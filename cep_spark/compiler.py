@@ -234,10 +234,21 @@ def _validate_group_inner(node: Kleene) -> None:
     (a1 < b1 < a2 < b2 ...) and each leaf stores its per-repetition
     element tuple."""
     inner = node.inner
+
+    def _seq_part_ok(p):
+        # a position is a plain leaf, a Neg guarding a gap, or (round 5)
+        # an Or_ of plain leaves — the repetition binds ONE branch per
+        # iteration (alternative sub-slots at the same position)
+        return isinstance(p, (Ev, Neg)) or (
+            isinstance(p, Or_)
+            and len(p.parts) >= 2
+            and all(isinstance(b, Ev) for b in p.parts)
+        )
+
     ok = (
         isinstance(inner, Seq)
-        and sum(isinstance(p, Ev) for p in inner.parts) >= 2
-        and all(isinstance(p, (Ev, Neg)) for p in inner.parts)
+        and sum(isinstance(p, (Ev, Or_)) for p in inner.parts) >= 2
+        and all(_seq_part_ok(p) for p in inner.parts)
         # no two adjacent Negs (each Neg guards exactly one leaf gap)
         and not any(
             isinstance(a, Neg) and isinstance(b, Neg)
@@ -376,6 +387,7 @@ def _collect(
                     sids.append(sid)
                 return frozenset(sids)
             sids: list = []
+            pos0_sids: list = []
             here = prereq
             open_neg = None  # Neg before a leaf: gap per repetition
             j = 0
@@ -394,18 +406,28 @@ def _collect(
                         )
                     open_neg = part
                     continue
-                sid = len(slots)
-                slots.append(
-                    Slot(sid, part.name, part.where, kleene=True,
-                         kleene_max=node.max_len, prereq=here,
-                         group=gid, grp_idx=j)
-                )
+                # an Or_ part (round 5) contributes ONE slot per branch
+                # at the SAME grp_idx: each repetition binds exactly one
+                # of them (alternative sub-slots of the position)
+                branches = part.parts if isinstance(part, Or_) else (part,)
+                new_sids = []
+                for br in branches:
+                    sid = len(slots)
+                    slots.append(
+                        Slot(sid, br.name, br.where, kleene=True,
+                             kleene_max=node.max_len, prereq=here,
+                             group=gid, grp_idx=j)
+                    )
+                    new_sids.append(sid)
                 if open_neg is not None:
                     # per-repetition gap: re-checked on EVERY bind of
-                    # this sub-slot (see NegSpec.per_repeat)
-                    negs.append((open_neg, ("repeat", frozenset({sid}))))
+                    # this sub-slot (see NegSpec.per_repeat) — for an
+                    # Or_ position, on every bind of EITHER branch
+                    negs.append((open_neg, ("repeat", frozenset(new_sids))))
                     open_neg = None
-                sids.append(sid)
+                if j == 0:
+                    pos0_sids = new_sids
+                sids.extend(new_sids)
                 here = prereq | frozenset(sids)
                 j += 1
             if open_neg is not None:
@@ -416,7 +438,7 @@ def _collect(
                 # repetition's gap bubbles up to the enclosing Seq (gap
                 # to the next part, or window-bounded trailing at the
                 # pattern end).
-                negs.append((open_neg, ("repeat_lb", frozenset({sids[0]}))))
+                negs.append((open_neg, ("repeat_lb", frozenset(pos0_sids))))
                 pending_gap.append(open_neg)
             return frozenset(sids)
         sid = len(slots)
@@ -501,8 +523,39 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
     again (repeat=True — the executor appends to the element tuple;
     rep_start=True marks these loop-backs for the bounded-cap check); a
     slot whose prereq references a group may only bind while that group
-    is between repetitions (complete), never mid-repetition."""
+    is between repetitions (complete), never mid-repetition.
+
+    Or_ branches (round 5): alternative sub-slots share one grp_idx —
+    position count (not slot count) drives the mid pointer / completion
+    set, a prerequisite position is satisfied by ANY bound branch, and a
+    loop-back may enter through a branch not yet in `bound` (the bound
+    set then grows; repeat is per-SLOT — a branch's first bind creates
+    its tuple, later binds append)."""
     mid_d = dict(mid)
+    by_sid = {s.sid: s for s in slots}
+    pos_sids: dict = {}  # (gid, grp_idx) -> [sids]
+    for x in slots:
+        if x.group is not None:
+            pos_sids.setdefault((x.group, x.grp_idx), []).append(x.sid)
+
+    def prereq_ok(s):
+        # group-owned prereq sids are satisfied POSITION-wise: any bound
+        # branch of the position counts (non-branch groups reduce to the
+        # plain subset test)
+        seen_pos = set()
+        for p in s.prereq:
+            sp = by_sid[p]
+            if sp.group is None:
+                if p not in bound:
+                    return False
+            else:
+                key = (sp.group, sp.grp_idx)
+                if key in seen_pos:
+                    continue
+                seen_pos.add(key)
+                if not any(x in bound for x in pos_sids[key]):
+                    return False
+        return True
 
     def prereq_groups_ok(s):
         for gg, gs in groups.items():
@@ -515,11 +568,12 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
     out = []
     for s in slots:
         if s.group is None:
-            if s.sid in bound or not s.prereq <= bound or not prereq_groups_ok(s):
+            if s.sid in bound or not prereq_ok(s) or not prereq_groups_ok(s):
                 continue
             out.append((s, bound | {s.sid}, mid, False, False))
             continue
         gs = groups[s.group]
+        npos = gs[-1].grp_idx + 1  # positions, not slots (Or_ branches)
         unordered = s.grp_kind == "and"
         if s.group in mid_d:
             cur = mid_d[s.group]
@@ -528,14 +582,14 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                 if s.grp_idx in cur:
                     continue  # already bound this repetition
                 nval = frozenset(cur | {s.grp_idx})
-                if len(nval) == len(gs):
+                if len(nval) == npos:
                     del nm[s.group]
                 else:
                     nm[s.group] = nval
             else:
                 if cur != s.grp_idx:
                     continue
-                if s.grp_idx == len(gs) - 1:
+                if s.grp_idx == npos - 1:
                     del nm[s.group]
                 else:
                     nm[s.group] = s.grp_idx + 1
@@ -544,35 +598,52 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
             )
             continue
         if not unordered and s.grp_idx != 0:
-            continue  # a seq-group repetition always starts at sub-slot 0
+            continue  # a seq-group repetition always starts at position 0
         nm = dict(mid_d)
         # inner arity >= 2 (validated), so the group goes mid
         nm[s.group] = frozenset({s.grp_idx}) if unordered else 1
-        fresh = (
-            not ({x.sid for x in gs} & bound) if unordered
-            else gs[0].sid not in bound
-        )
+        fresh = not ({x.sid for x in gs} & bound)
         if fresh:
             # first repetition
-            if not s.prereq <= bound or not prereq_groups_ok(s):
+            if not prereq_ok(s) or not prereq_groups_ok(s):
                 continue
             out.append((s, bound | {s.sid}, frozenset(nm.items()), False, False))
         else:
-            # loop-back: group complete and still open
+            # loop-back: group complete and still open.  A branch slot
+            # first chosen at a LATER repetition enters here with
+            # s.sid not yet in bound — bound grows and repeat=False
+            # creates its tuple (non-branch loop-backs keep the old
+            # bound-unchanged, repeat=True behavior).
             g_sids = {x.sid for x in gs}
             if any(
                 o.sid in bound and o.group != s.group and (g_sids & o.prereq)
                 for o in slots
             ):
                 continue
-            out.append((s, bound, frozenset(nm.items()), True, True))
+            out.append(
+                (s, bound | {s.sid}, frozenset(nm.items()), s.sid in bound, True)
+            )
     return out
+
+
+def _complete_bound(bound: frozenset, slots: list, groups: dict) -> bool:
+    """A bound set is match-complete when every non-group slot is bound
+    and every group POSITION has at least one bound branch (Or_ branch
+    slots share a position; a match need not ever bind every branch).
+    For branch-free patterns this equals ``bound == all slot ids``."""
+    for s in slots:
+        if s.group is None and s.sid not in bound:
+            return False
+    for gs in groups.values():
+        seen = {x.grp_idx for x in gs if x.sid in bound}
+        if len(seen) != gs[-1].grp_idx + 1:
+            return False
+    return True
 
 
 def _reachable_states(slots: list) -> list:
     """BFS over reachable (down-closed bound set, mid-repetition) pairs."""
     groups = _group_map(slots)
-    all_ids = frozenset(s.sid for s in slots)
     states: dict[tuple, State] = {}
     s0 = State(0, frozenset())
     states[(frozenset(), frozenset())] = s0
@@ -586,7 +657,9 @@ def _reachable_states(slots: list) -> list:
                 if kk not in states:
                     ns = State(
                         len(order), nb,
-                        accepting=(nb == all_ids and not nm), mid=nm,
+                        accepting=(
+                            not nm and _complete_bound(nb, slots, groups)
+                        ), mid=nm,
                     )
                     states[kk] = ns
                     order.append(ns)
@@ -827,10 +900,47 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
         for c in multi:
             note_cols(c)
 
+        # Or_ branch variables (alternative sub-slots at one group
+        # position): a multi-var conjunct may reference one — evaluated
+        # per element, i.e. over exactly the repetitions that chose the
+        # branch, matching the chain expansion where instances for
+        # unchosen repetitions drop out — but NOT together with another
+        # variable of the same group: the branch's tuple has no element
+        # for repetitions that chose a sibling, so the per-repetition
+        # zip alignment is undefined.  Reject loudly instead of
+        # mis-aligning (the bounded chain expansion silently drops such
+        # conjuncts — worse).
+        pos_count: dict = {}
+        for s in slots:
+            if s.group is not None:
+                pos_count[(s.group, s.grp_idx)] = (
+                    pos_count.get((s.group, s.grp_idx), 0) + 1
+                )
+        branch_vars = {
+            s.var: s.group for s in slots
+            if s.group is not None and pos_count[(s.group, s.grp_idx)] > 1
+        }
+        if branch_vars:
+            gvars = {}
+            for s in slots:
+                if s.group is not None:
+                    gvars.setdefault(s.group, set()).add(s.var)
+            for c in multi:
+                for bv in set(c.vars()) & set(branch_vars):
+                    mates = (gvars[branch_vars[bv]] - {bv}) & set(c.vars())
+                    if mates:
+                        raise ValueError(
+                            f"condition {c!r} references Or_-branch "
+                            f"variable {bv!r} together with same-group "
+                            f"variable(s) {sorted(mates)}: a branch binds "
+                            "only in the repetitions that chose it, so "
+                            "per-repetition alignment with its group "
+                            "mates is undefined"
+                        )
+
         # build states
         states = _reachable_states(slots)
         groups = _group_map(slots)
-        all_ids = frozenset(s.sid for s in slots)
         state_of = {(st.bound, st.mid): st.sid for st in states}
         slot_by_id = {s.sid: s for s in slots}
         vars_of_set = {st.bound: frozenset(var_of[i] for i in st.bound) for st in states}
@@ -913,7 +1023,8 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                 st.transitions.append(
                     Transition(
                         s.sid, state_of[(nb, nm)], conds, gnegs,
-                        nb == all_ids and not nm, repeat, rep_start,
+                        not nm and _complete_bound(nb, slots, groups),
+                        repeat, rep_start,
                     )
                 )
             # kleene self-loops: per-event conds = conjuncts mentioning the
@@ -930,7 +1041,14 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
 
         # span-neg conditions must be evaluable with all vars bound (they are)
         var_order = [s.var for s in slots]
-        var_group = {s.var: s.group for s in slots if s.group is not None}
+        # branch vars are EXCLUDED from the alignment map: conjuncts
+        # referencing them evaluate per-element over the repetitions
+        # that chose the branch (independent-dimension semantics);
+        # mixed branch+mate conjuncts were rejected above
+        var_group = {
+            s.var: s.group for s in slots
+            if s.group is not None and s.var not in branch_vars
+        }
         alternatives.append(
             CompiledAlternative(
                 alt_id, slots, states, neg_specs, span_idx, var_order,

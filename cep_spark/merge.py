@@ -113,7 +113,15 @@ def merge_components(cps) -> list:
     for i in range(len(cps)):
         comps.setdefault(find(i), []).append(i)
     if len(comps) == 1:
+        # the common case pays ONE merge: the full automaton IS the
+        # component's automaton
         return [(full, list(range(len(cps))))]
+    # Multi-component: re-merge per component rather than filtering the
+    # full automaton down.  Filtering would need a full sid/state/neg
+    # renumbering pass (AcceptTag neg indices, transition targets, group
+    # ids) — as much code as the merge itself for a one-time cost at
+    # stream START (never per batch), and the per-component merges are
+    # strictly smaller inputs.  Deliberate trade-off (round-4 ADVICE).
     return [
         (merge_compiled([cps[i] for i in idxs]), idxs)
         for _, idxs in sorted(comps.items())

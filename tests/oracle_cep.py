@@ -29,8 +29,15 @@ def _unbounded_group_names(node) -> list:
     if isinstance(node, Kleene):
         if not isinstance(node.inner, Ev) and node.max_len is None:
             # positive leaves only: a Neg between leaves is not part of
-            # the emitted binding (round 4: Neg inside unbounded groups)
-            return [[p.name for p in node.inner.parts if isinstance(p, Ev)]]
+            # the emitted binding (round 4: Neg inside unbounded groups);
+            # an Or_ position contributes every branch name (round 5)
+            names = []
+            for p in node.inner.parts:
+                if isinstance(p, Ev):
+                    names.append(p.name)
+                elif isinstance(p, Or_):
+                    names.extend(b.name for b in p.parts)
+            return [names]
         return _unbounded_group_names(node.inner)
     if isinstance(node, Neg):
         return _unbounded_group_names(node.inner)
@@ -45,9 +52,9 @@ def _bound_groups(node, n: int):
     if isinstance(node, Kleene):
         inner = _bound_groups(node.inner, n)
         if not isinstance(inner, Ev) and node.max_len is None:
-            # arity counts POSITIVE leaves only (a repetition consumes
-            # one event per Ev; Negs consume none)
-            arity = sum(isinstance(p, Ev) for p in inner.parts)
+            # arity counts positive POSITIONS only (a repetition consumes
+            # one event per Ev / per Or_ position; Negs consume none)
+            arity = sum(isinstance(p, (Ev, Or_)) for p in inner.parts)
             return Kleene(inner, max_len=max(1, n // max(arity, 1)))
         return Kleene(inner, max_len=node.max_len, adjacent=node.adjacent)
     if isinstance(node, Neg):
@@ -56,22 +63,28 @@ def _bound_groups(node, n: int):
 
 
 def _fold_group_binding(b: dict, groups: list) -> dict:
-    rep_names = {
-        f"{base}__{j}"
-        for names in groups
-        for base in names
-        for j in range(1, 1 + max(len(b), 1))
-    }
-    out = {v: p for v, p in b.items() if v not in rep_names and v != "_alt"}
-    for names in groups:
-        for base in names:
-            reps = []
-            j = 1
-            while f"{base}__{j}" in b:
-                reps.append(b[f"{base}__{j}"])
-                j += 1
-            if reps:
-                out[base] = tuple(reps)
+    """Fold chain-expansion names v__j back into element tuples keyed by
+    the original names.  Collected by scanning ALL repetition indices —
+    an Or_ branch binds only in the repetitions that chose it, so its
+    indices may be sparse (v__1 absent while v__3 present)."""
+    import re
+
+    base_names = {base for names in groups for base in names}
+    out: dict = {}
+    per_base: dict = {base: [] for base in base_names}
+    for v, p in b.items():
+        if v == "_alt":
+            continue
+        m = re.fullmatch(r"(.+)__(\d+)", v)
+        if m and m.group(1) in base_names:
+            per_base[m.group(1)].append((int(m.group(2)), p))
+        else:
+            out[v] = p
+    for base, items in per_base.items():
+        if items:
+            # repetition index order == position order (repetition j's
+            # events all precede repetition j+1's in a chain)
+            out[base] = tuple(p for _, p in sorted(items))
     out["_alt"] = 0  # arity alternatives collapse into the one group alt
     return out
 
@@ -127,9 +140,12 @@ def match_group(pat: Pattern, df) -> list[dict]:
     n = len(df)
     groups = _unbounded_group_names(pat.structure)
     if groups:
-        if any(isinstance(p, Or_) for p in [pat.structure]) or _has_or(pat.structure):
+        if _has_or_outside_groups(pat.structure):
+            # Or_ INSIDE an unbounded group folds cleanly (branch names
+            # are group names); an Or_ elsewhere multiplies alternatives
+            # whose ids the fold cannot map back — unsupported
             raise NotImplementedError(
-                "replica fold does not support Or_ + unbounded groups"
+                "replica fold does not support Or_ outside unbounded groups"
             )
         pat = _dc_replace(pat, structure=_bound_groups(pat.structure, n))
     cp = compile_pattern(pat)
@@ -305,6 +321,29 @@ def _has_or(node) -> bool:
     if isinstance(node, (Kleene, Neg)):
         return _has_or(node.inner)
     return any(_has_or(p) for p in node.parts)
+
+
+def _has_or_outside_groups(node) -> bool:
+    """True if an Or_ occurs anywhere EXCEPT as a direct position of an
+    unbounded composite Kleene's Seq body (those fold per branch)."""
+    if isinstance(node, Or_):
+        return True
+    if isinstance(node, Ev):
+        return False
+    if isinstance(node, Neg):
+        return _has_or_outside_groups(node.inner)
+    if isinstance(node, Kleene):
+        inner = node.inner
+        if not isinstance(inner, Ev) and node.max_len is None and isinstance(inner, Seq):
+            for p in inner.parts:
+                if isinstance(p, Or_):
+                    if any(_has_or(b) for b in p.parts):
+                        return True  # nested Or_ in a branch (invalid anyway)
+                elif _has_or_outside_groups(p):
+                    return True
+            return False
+        return _has_or_outside_groups(inner) if not isinstance(inner, Ev) else False
+    return any(_has_or_outside_groups(p) for p in node.parts)
 
 
 def match_frame(pat: Pattern, df) -> list[tuple]:

@@ -26,7 +26,7 @@ import pandas as pd
 from cep_spark.batch import match_group_nfa
 from cep_spark.compiler import compile_pattern
 from cep_spark.conditions import attr
-from cep_spark.pattern import And_, Ev, Kleene, Neg, Pattern, Seq
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Or_, Pattern, Seq
 from oracle_cep import match_group
 
 ROLES = ["user", "assistant", "tool"]
@@ -166,6 +166,47 @@ PATTERNS = {
                         Ev("x", role="tool"))),
             Ev("t", role="user")),
         window=timedelta(minutes=8),
+    ),
+    # Or_ of plain leaves INSIDE the unbounded repetition (round 5):
+    # each repetition binds ONE branch — alternative sub-slots at the
+    # same group position
+    "or_in_group": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Ev("w", role="assistant"), Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    "or_in_group_first_pos": Pattern(
+        Seq(Kleene(Seq(Or_(Ev("a", role="user"), Ev("b", role="tool")),
+                       Ev("w", role="assistant"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    # per-repetition gap Neg guarding an Or_ position: re-checked on
+    # binds of EITHER branch
+    "or_in_group_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Neg(Ev("n", role="user")),
+                       Or_(Ev("w", role="assistant"), Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    # outer conjunct on a branch var: applies per element, i.e. over
+    # exactly the repetitions that chose the branch (chain semantics)
+    "or_in_group_outer_cond": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Ev("w", role="assistant"), Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        where=attr("x", "value") < attr("t", "value"),
+        window=timedelta(minutes=5),
+    ),
+    # trailing Neg after an Or_ final position: loop-back gap re-checked
+    # per repetition + bubbled final gap to the following part
+    "or_in_group_trail_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Ev("w", role="assistant"), Ev("x", role="tool")),
+                       Neg(Ev("n", role="user")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
     ),
 }
 
@@ -575,3 +616,105 @@ def test_and_group_permutations_and_rejects():
                 Ev("t", role="tool")),
             window=timedelta(minutes=5),
         ))
+
+
+def test_bounded_group_or_equals_chain_expansion():
+    """Round 5: Or_ of plain leaves inside the repetition — the group
+    lowering (alternative branch sub-slots at one position) must match
+    the chain expansion (per-repetition Or_ products) exactly.  Branch
+    vars fold sparsely: a repetition that chose the sibling contributes
+    nothing to the branch's tuple."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Ev("w", role="assistant"), Ev("x", role="tool"))),
+                   max_len=2),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)  # default: chain expansion
+    rng = np.random.default_rng(44)
+    nonzero = mixed = 0
+    for trial in range(80):
+        g = _gen_group(trial * 19 + 7, int(rng.integers(2, 11)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        grp = _canon_nfa(match_group_nfa(cp_group, gs))
+        folded = []
+        for _, b in match_group_nfa(cp_chain, gs):
+            fb = {"t": (b["t"],)}
+            for base in ("u", "w", "x"):
+                el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                           if f"{base}__{j}" in b)
+                if el:
+                    fb[base] = el
+            folded.append((0, tuple(sorted(fb.items()))))
+            mixed += ("w" in fb) and ("x" in fb)
+        assert grp == sorted(set(folded)), f"trial {trial}\n{g}"
+        nonzero += bool(grp)
+    assert nonzero > 0 and mixed > 0  # mixed-branch repetitions exercised
+
+
+def test_or_in_group_rejects():
+    """Or_-in-group guard rails: a multi-var conjunct pairing a branch
+    var with a same-group mate has undefined per-repetition alignment
+    and must be rejected loudly; non-leaf Or_ branches stay rejected."""
+    import pytest
+
+    with pytest.raises(ValueError, match="same-group"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Or_(Ev("w", role="assistant"),
+                               Ev("x", role="tool")))),
+                Ev("t", role="user")),
+            where=attr("w", "value") > attr("u", "value"),
+            window=timedelta(minutes=5),
+        ))
+    with pytest.raises(ValueError, match="Seq of plain event leaves"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Or_(Seq(Ev("w", role="assistant"),
+                                   Ev("y", role="user")),
+                               Ev("x", role="tool")))),
+                Ev("t", role="user")),
+            window=timedelta(minutes=5),
+        ))
+
+
+def test_or_in_group_bounded_cap_counts_repetitions():
+    """Under the forced group lowering the bounded cap counts
+    REPETITIONS (sum of position-0 binds), not any one branch's tuple
+    length — 3 repetitions must be rejected at max_len=2 even when the
+    branches split 2/1."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Or_(Ev("a", role="user"), Ev("b", role="tool")),
+                       Ev("w", role="assistant")), max_len=2),
+            Ev("t", role="user")),
+        window=timedelta(minutes=10),
+    )
+    cp = compile_pattern(pat, composite="group")
+    ts0 = pd.Timestamp("2026-01-01")
+    roles = ["user", "assistant", "tool", "assistant", "user",
+             "assistant", "user"]
+    g = pd.DataFrame({
+        "conv_id": "c0", "turn_idx": np.arange(7, dtype=np.int32),
+        "role": roles, "tool": "x",
+        "ts": ts0 + pd.to_timedelta(np.arange(7) * 5, unit="s"),
+        "value": np.arange(7.0),
+    })
+    res = match_group_nfa(cp, g)
+    max_reps = max(
+        len(b.get("a", ())) + len(b.get("b", ())) for _, b in res
+    )
+    assert max_reps == 2  # the 3-repetition extension was capped
+    # and the chain expansion agrees on the full match set
+    cp_chain = compile_pattern(pat)
+    folded = []
+    for _, b in match_group_nfa(cp_chain, g):
+        fb = {"t": (b["t"],)}
+        for base in ("a", "b", "w"):
+            el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                       if f"{base}__{j}" in b)
+            if el:
+                fb[base] = el
+        folded.append((0, tuple(sorted(fb.items()))))
+    assert _canon_nfa(res) == sorted(set(folded))
