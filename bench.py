@@ -51,6 +51,72 @@ def build_spark(cpus: int):
     )
 
 
+def _bench_stream(spark) -> dict:
+    """One availableNow streaming pass of the flagship transcript
+    pattern over a deterministic ~34k-turn source (8 micro-batch files),
+    exactly-once parquet sink; returns rows/sec + p95 micro-batch
+    latency from the metrics listener."""
+    import shutil
+
+    import pandas as pd
+
+    from bench_scaling import _flagship_transcripts_pattern
+    from cep_spark.compiler import compile_pattern
+    from cep_spark.metrics import CepMetricsListener
+    from cep_spark.sink import ExactlyOnceParquetSink
+    from cep_spark.stream import run_stream
+    from cep_spark.transcripts import gen_transcripts
+
+    src = "/tmp/bench_stream_src_bench1000"
+    n_files = 8
+    if not (os.path.isdir(src) and len(os.listdir(src)) == n_files):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        pdf = gen_transcripts(n_conv=1000, seed=42, geom_p=0.03)
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        flush = pdf.iloc[[0]].copy()
+        flush["conv_id"] = "zzzz_flush"
+        flush["turn_idx"] = 0
+        flush["role"] = "user"
+        flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=30)
+        allv = pd.concat([pdf, flush], ignore_index=True)
+        allv["ts"] = allv["ts"].astype("datetime64[us]")
+        n = len(allv)
+        for i in range(n_files):
+            allv.iloc[i * n // n_files : (i + 1) * n // n_files].to_parquet(
+                f"{src}/p{i:03d}.parquet", index=False
+            )
+
+    listener = CepMetricsListener()
+    spark.streams.addListener(listener)
+    out_dir, ckpt = "/tmp/bench_stream_out_bench", "/tmp/bench_stream_ckpt_bench"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    sink = ExactlyOnceParquetSink(out_dir)
+    cp = compile_pattern(_flagship_transcripts_pattern())
+    t0 = time.perf_counter()
+    q = (
+        run_stream(spark, src, cp, watermark="0 seconds", max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    dt = time.perf_counter() - t0
+    out = sink.read_committed(spark)
+    matches = out.count() if out is not None else 0
+    s = listener.summary()
+    spark.streams.removeListener(listener)
+    return {
+        "stream_rows_per_sec": round(s["total_rows"] / dt, 1),
+        "stream_p95_ms": s["p95_batch_ms"],
+        "stream_batches": s["batches"],
+        "stream_matches": matches,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -88,6 +154,18 @@ def main() -> None:
 
     spark.range(1000).select(F.sum(_warm(F.col("id")))).collect()
 
+    stream_stats = None
+    if os.environ.get("BENCH_STREAM", "1") != "0" and only_set is None:
+        # BASELINE names p95 match-emission latency as a binding metric;
+        # keep it in the per-round artifact so regressions are visible
+        # round-over-round (round-4 verdict #7).  Small fixed-size
+        # transcript stream (own session knobs reused), exactly-once
+        # sink, availableNow.
+        try:
+            stream_stats = _bench_stream(spark)
+        except Exception as e:  # never let the stream leg kill the bench
+            print(f"stream leg failed: {e!r}", file=sys.stderr)
+
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     t0 = time.perf_counter()
@@ -116,6 +194,8 @@ def main() -> None:
         "wall_sec": wall,
         "cpu_health_mips": health,
     }
+    if stream_stats:
+        summary.update(stream_stats)
     # full payload (incl. row counts) goes to a sidecar + stderr; the
     # driver's tail capture is size-bounded, and the r3 line outgrew it
     # ("parsed": null in BENCH_r03.json) — the machine-readable stdout

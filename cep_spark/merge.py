@@ -71,7 +71,13 @@ from .compiler import (
     Transition,
 )
 
-__all__ = ["merge_compiled", "merge_components", "AcceptTag", "mergeable"]
+__all__ = [
+    "merge_compiled",
+    "merge_components",
+    "merge_components_bucketed",
+    "AcceptTag",
+    "mergeable",
+]
 
 
 def merge_components(cps) -> list:
@@ -126,6 +132,52 @@ def merge_components(cps) -> list:
         (merge_compiled([cps[i] for i in idxs]), idxs)
         for _, idxs in sorted(comps.items())
     ]
+
+
+def merge_components_bucketed(cps, w_ns_of, max_spread: float = 16.0) -> list:
+    """merge_components with a WINDOW-DECADE guard (round 5): patterns
+    are first bucketed so that within a bucket max(window)/min(window)
+    <= ``max_spread``, then components are computed per bucket.
+
+    Why: mixed-window sharing is exact (per-tag span re-checks) but the
+    merged automaton retains shared-prefix partials to the bucket's MAX
+    window — a 1h rule merged with a 7-day rule keeps the 1h rule's
+    partials alive 168x longer than a per-pattern run would.  Bucketing
+    caps that state inflation at ``max_spread`` while keeping the
+    sharing win inside each bucket (scripts/bench_merge.py measured the
+    throughput win surviving a 16x spread on a prefix-dominated family;
+    scripts/soak_stream_state.py --ab measures the state cost).
+
+    ``w_ns_of[i]`` is pattern i's RETENTION window in ns (None =
+    unbounded: those patterns bucket together).  Greedy over the
+    window-sorted order; the returned components are re-sorted by
+    smallest global index, so the partition is deterministic for a
+    fixed pattern list (streaming checkpoints key state on the
+    component index; the fmt fingerprint refuses a reshuffle loudly).
+
+    ``max_spread=None`` disables the guard (single bucket)."""
+    n = len(cps)
+    if max_spread is None:
+        return merge_components(cps)
+    bounded = [i for i in range(n) if w_ns_of[i] is not None]
+    unbounded = [i for i in range(n) if w_ns_of[i] is None]
+    buckets: list = []
+    for i in sorted(bounded, key=lambda i: w_ns_of[i]):
+        if buckets and w_ns_of[i] <= max_spread * w_ns_of[buckets[-1][0]]:
+            buckets[-1].append(i)
+        else:
+            buckets.append([i])
+    if unbounded:
+        buckets.append(sorted(unbounded))
+    out = []
+    for b in buckets:
+        b = sorted(b)  # bucket membership by window; LOCAL order by
+        # global index, so a unit's pattern order (and therefore its
+        # persisted tag/parts indices) is independent of window ties
+        for m, idxs in merge_components([cps[i] for i in b]):
+            out.append((m, [b[j] for j in idxs]))
+    out.sort(key=lambda t: t[1][0])
+    return out
 
 
 # (mixed-window sharing cost model, for the curious: under W_max the

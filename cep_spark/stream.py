@@ -886,7 +886,8 @@ def run_stream(
 
 def stream_matches_multi(df, cps, watermark: str,
                          emit_cols=("turn_idx", "role", "tool", "ts"),
-                         strategy: str = "auto", max_partials_per_state=None):
+                         strategy: str = "auto", max_partials_per_state=None,
+                         window_bucket_spread: float | None = 16.0):
     """Streaming multi-pattern execution (reference `CEP(patterns=[...])`,
     SURVEY.md §2.3 E7): ONE keyed state stream runs every compiled
     pattern — one watermark, one shuffle, one event buffer per key
@@ -927,6 +928,16 @@ def stream_matches_multi(df, cps, watermark: str,
     Under strategy='shared' the bound applies per MERGED state — a
     shared prefix state's table serves every tagged pattern, so the cap
     bounds their combined partials once rather than N times.
+
+    ``window_bucket_spread`` (shared strategy only, default 16.0):
+    before merging, patterns are bucketed so a bucket's retention
+    windows span at most this factor — mixed-window sharing is exact
+    but retains shared-prefix partials to the bucket MAX window, so an
+    extreme spread (1h rule merged with a 7-day rule) would inflate the
+    short rule's state up to W_max/W_tag.  The default caps that at
+    16x; pass None to merge regardless of spread (pre-round-5
+    behavior).  Changing the value re-partitions components — the state
+    fingerprint refuses stale checkpoints loudly.
     """
     import pandas as pd
 
@@ -983,7 +994,7 @@ def stream_matches_multi(df, cps, watermark: str,
         )
     merged = None
     if strategy == "shared":
-        from .merge import merge_components, mergeable
+        from .merge import merge_components_bucketed, mergeable
 
         if not mergeable(cps):
             raise ValueError(
@@ -993,8 +1004,13 @@ def stream_matches_multi(df, cps, watermark: str,
             )
         # one merged automaton per CONNECTED COMPONENT: an exploding
         # rule's rematch fallback then only drags rules it actually
-        # shares state with (per-unit fellback bits below)
-        merged = merge_components(cps)
+        # shares state with (per-unit fellback bits below).  Components
+        # are additionally split by window decade (window_bucket_spread)
+        # so sharing never inflates a short rule's retained state past
+        # that factor.
+        merged = merge_components_bucketed(
+            cps, rets, max_spread=window_bucket_spread
+        )
 
     if isinstance(df.schema[p0.ts_col].dataType, T.TimestampNTZType):
         df = df.withColumn(p0.ts_col, df[p0.ts_col].cast(T.TimestampType()))

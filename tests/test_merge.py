@@ -879,3 +879,102 @@ def test_stream_multi_env_strategy_override(spark, monkeypatch):
     with pytest.raises(ValueError, match="CEP_SPARK_STREAM_STRATEGY"):
         stream_matches_multi(df, cps, watermark="10 seconds",
                              strategy="auto")
+
+
+def test_merge_components_bucketed():
+    """Round 5: window-decade bucketing before merging — an extreme
+    window spread splits into buckets (capping shared-state retention
+    inflation at max_spread), moderate spreads stay merged, and the
+    partition is deterministic / ordered by smallest global index."""
+    from cep_spark.merge import merge_components, merge_components_bucketed
+
+    a = Ev("a", role="user")
+    b = Ev("b", role="assistant")
+    mk = lambda pid, hours: Pattern(
+        Seq(a, b, Ev(pid[-1], role="tool")), window=timedelta(hours=hours),
+        pattern_id=pid,
+    )
+    pats = [mk("p_c", 1), mk("p_d", 168), mk("p_e", 2), mk("p_f", 100)]
+    cps = [compile_pattern(p) for p in pats]
+    w_ns_of = [int(p.window.total_seconds() * 1e9) for p in pats]
+
+    comps = merge_components_bucketed(cps, w_ns_of, max_spread=16.0)
+    parts = [idxs for _, idxs in comps]
+    # 1h+2h bucket, 100h+168h bucket; ordered by smallest global index
+    assert parts == [[0, 2], [1, 3]]
+
+    # moderate spread (<= max_spread): single bucket == plain components
+    comps2 = merge_components_bucketed(cps[:1] + cps[2:3],
+                                       [w_ns_of[0], w_ns_of[2]],
+                                       max_spread=16.0)
+    assert [idxs for _, idxs in comps2] == [[0, 1]]
+
+    # None disables the guard entirely
+    comps3 = merge_components_bucketed(cps, w_ns_of, max_spread=None)
+    assert [idxs for _, idxs in comps3] == [
+        idxs for _, idxs in merge_components(cps)
+    ]
+
+    # unbounded windows bucket together, after the bounded buckets
+    cps4 = [compile_pattern(Pattern(Seq(a, b, Ev("g", role="tool")),
+                                    window=None, pattern_id="p_nw")),
+            cps[0]]
+    comps4 = merge_components_bucketed(cps4, [None, w_ns_of[0]],
+                                       max_spread=16.0)
+    assert [idxs for _, idxs in comps4] == [[0], [1]]
+
+
+def test_stream_shared_bucketed_parity(spark, tmp_path):
+    """strategy='shared' with an extreme window spread (bucketed into
+    two components) still equals the union of per-pattern batch runs."""
+    import pandas as pd
+
+    from cep_spark.batch import run_batch
+    from cep_spark.stream import stream_matches_multi
+
+    a = Ev("a", role="user")
+    b = Ev("b", role="assistant")
+    pats = [
+        Pattern(Seq(a, b, Ev("c", role="tool")),
+                window=timedelta(seconds=45), pattern_id="p_short"),
+        Pattern(Seq(a, b, Ev("d", role="user")),
+                window=timedelta(seconds=3600), pattern_id="p_long"),
+    ]
+    cps = [compile_pattern(p) for p in pats]
+    pdf = pd.concat(
+        [_group(seed, n=24).assign(conv_id=f"c{seed}") for seed in (1, 2, 3)],
+        ignore_index=True,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf2 = pdf.copy()
+    pdf2["ts"] = pdf2["ts"].astype("datetime64[us]")
+    pdf2.to_parquet(src / "p0.parquet", index=False)
+
+    sdf = spark.readStream.schema(spark.createDataFrame(pdf2).schema).parquet(
+        str(src)
+    )
+    out = stream_matches_multi(sdf, cps, watermark="0 seconds",
+                               emit_cols=("turn_idx",), strategy="shared")
+    q = (
+        out.writeStream.format("memory").queryName("bucketed_par")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from bucketed_par").collect()
+    got_set = sorted(
+        (r["conv_id"], r["pattern_id"],
+         tuple(sorted(m["turn_idx"] for m in r["matched"])))
+        for r in got
+    )
+    want = []
+    df = spark.createDataFrame(pdf2)
+    for cp in cps:
+        for r in run_batch(df, cp, mode="array",
+                           emit_cols=("turn_idx",)).collect():
+            want.append((r["conv_id"], r["pattern_id"],
+                         tuple(sorted(m["turn_idx"] for m in r["matched"]))))
+    assert got_set == sorted(want)

@@ -17,7 +17,7 @@ from hypothesis import strategies as st
 from cep_spark.batch import match_group_nfa
 from cep_spark.compiler import compile_pattern
 from cep_spark.conditions import TRUE, attr, lit
-from cep_spark.pattern import And_, Ev, Kleene, Neg, Pattern, Seq
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Or_, Pattern, Seq
 from oracle_cep import match_group
 
 ROLES = ["user", "assistant", "tool"]
@@ -68,10 +68,25 @@ def kleene_node(draw):
     Negs bubbling into And_) exercise the test's except path."""
     shape = draw(st.sampled_from(
         ["leaf", "leaf", "adjacent", "composite", "group",
-         "group_neg", "group_lead_neg", "group_trail_neg", "and_group"]
+         "group_neg", "group_lead_neg", "group_trail_neg", "and_group",
+         "group_or", "group_or_neg"]
     ))
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
+    if shape == "group_or":
+        # round 5: Or_ of plain leaves at a repetition position — each
+        # repetition binds one branch (branch sub-slots); a random WHERE
+        # pairing a branch var with a same-group mate is compile-rejected
+        # (the test's except path)
+        return Kleene(
+            Seq(draw(leaf()), Or_(draw(leaf()), draw(leaf()))), max_len=None
+        )
+    if shape == "group_or_neg":
+        return Kleene(
+            Seq(draw(leaf()), Neg(draw(leaf())),
+                Or_(draw(leaf()), draw(leaf()))),
+            max_len=None,
+        )
     if shape == "group_neg":
         return Kleene(
             Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf())), max_len=None
