@@ -638,6 +638,81 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5: Kleene over a BARE Or_ — one-or-more events, EACH either a
+# 'click' (w) or a 'view' (x): a single-position branch group (the
+# repetition completes at its entry bind; compiler._collect normalizes
+# the Or_ inner to one position).  The oracle CTE extends one event at
+# a time with b IN ('click','view'), per-branch aggregates as in
+# cep_kleene_group_or.
+
+_KLEENE_BARE_OR_PAT = _p(
+    Seq(
+        Ev("s", event_type="signup"),
+        Kleene(Or_(Ev("w", event_type="click"),
+                   Ev("x", event_type="view"))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_bare_or_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_BARE_OR_PAT), mode="flat")
+
+
+def _kleene_bare_or_oracle() -> str:
+    w = int(_KLEENE_BARE_OR_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT s.user_id, s.event_id AS s_id, s.ts AS first_ts, 1 AS r,
+         CASE WHEN b.event_type = 'click' THEN 1 ELSE 0 END AS w_cnt,
+         CASE WHEN b.event_type = 'click' THEN b.event_id END AS w_first,
+         CASE WHEN b.event_type = 'click' THEN b.event_id END AS w_last,
+         CASE WHEN b.event_type = 'view' THEN 1 ELSE 0 END AS x_cnt,
+         CASE WHEN b.event_type = 'view' THEN b.event_id END AS x_first,
+         CASE WHEN b.event_type = 'view' THEN b.event_id END AS x_last,
+         b.event_id AS last_id, b.ts AS last_ts
+  FROM events s JOIN events b ON b.user_id = s.user_id
+  WHERE s.event_type = 'signup' AND b.event_type IN ('click', 'view')
+    AND (s.ts < b.ts OR (s.ts = b.ts AND s.event_id < b.event_id))
+    AND EPOCH(b.ts) - EPOCH(s.ts) <= {w}
+  UNION ALL
+  SELECT c.user_id, c.s_id, c.first_ts, c.r + 1,
+         c.w_cnt + CASE WHEN b.event_type = 'click' THEN 1 ELSE 0 END,
+         COALESCE(c.w_first,
+                  CASE WHEN b.event_type = 'click' THEN b.event_id END),
+         COALESCE(CASE WHEN b.event_type = 'click' THEN b.event_id END,
+                  c.w_last),
+         c.x_cnt + CASE WHEN b.event_type = 'view' THEN 1 ELSE 0 END,
+         COALESCE(c.x_first,
+                  CASE WHEN b.event_type = 'view' THEN b.event_id END),
+         COALESCE(CASE WHEN b.event_type = 'view' THEN b.event_id END,
+                  c.x_last),
+         b.event_id, b.ts
+  FROM chains c JOIN events b ON b.user_id = c.user_id
+  WHERE b.event_type IN ('click', 'view')
+    AND (c.last_ts < b.ts OR (c.last_ts = b.ts AND c.last_id < b.event_id))
+    AND EPOCH(b.ts) - EPOCH(c.first_ts) <= {w}
+)
+SELECT c.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(c.s_id AS BIGINT) AS s_event_id,
+       CASE WHEN c.w_cnt > 0 THEN CAST(c.w_cnt AS BIGINT) END AS w_len,
+       CAST(c.w_first AS BIGINT) AS w_first,
+       CAST(c.w_last AS BIGINT) AS w_last,
+       CASE WHEN c.x_cnt > 0 THEN CAST(c.x_cnt AS BIGINT) END AS x_len,
+       CAST(c.x_first AS BIGINT) AS x_first,
+       CAST(c.x_last AS BIGINT) AS x_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains c JOIN events p ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase'
+  AND (c.last_ts < p.ts OR (c.last_ts = p.ts AND c.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(c.first_ts) <= {w}
+"""
+
+
 # round 4 (session B): Kleene over And_ — each repetition binds the
 # leaves in ANY arrival order (permutation assignments count
 # separately), repetitions interleave strictly (all of rep j before all
@@ -973,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_lead_neg"] = _kleene_group_lead_neg_query
     out["cep_kleene_group_trail_neg"] = _kleene_group_trail_neg_query
     out["cep_kleene_group_or"] = _kleene_group_or_query
+    out["cep_kleene_bare_or"] = _kleene_bare_or_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
@@ -994,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_lead_neg"] = _kleene_group_lead_neg_oracle()
     out["cep_kleene_group_trail_neg"] = _kleene_group_trail_neg_oracle()
     out["cep_kleene_group_or"] = _kleene_group_or_oracle()
+    out["cep_kleene_bare_or"] = _kleene_bare_or_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()

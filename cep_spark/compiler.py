@@ -261,6 +261,13 @@ def _validate_group_inner(node: Kleene) -> None:
         isinstance(inner, And_)
         and len(inner.parts) >= 2
         and all(isinstance(p, Ev) for p in inner.parts)
+    ) or (
+        # Kleene over Or_ of plain leaves (round 5): each repetition is
+        # ONE event matching either branch — a single-position group of
+        # branch sub-slots (the repetition completes at its entry bind)
+        isinstance(inner, Or_)
+        and len(inner.parts) >= 2
+        and all(isinstance(p, Ev) for p in inner.parts)
     )
     if not ok:
         raise ValueError(
@@ -391,7 +398,14 @@ def _collect(
             here = prereq
             open_neg = None  # Neg before a leaf: gap per repetition
             j = 0
-            for part in node.inner.parts:
+            # Kleene over a bare Or_ (round 5): ONE position whose
+            # branches are the Or_'s leaves — normalize to a
+            # single-part body
+            inner_parts = (
+                [node.inner] if isinstance(node.inner, Or_)
+                else node.inner.parts
+            )
+            for part in inner_parts:
                 if isinstance(part, Neg):
                     if j == 0 and not prereq:
                         # a LEADING Neg's first-repetition gap has no
@@ -600,8 +614,10 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
         if not unordered and s.grp_idx != 0:
             continue  # a seq-group repetition always starts at position 0
         nm = dict(mid_d)
-        # inner arity >= 2 (validated), so the group goes mid
-        nm[s.group] = frozenset({s.grp_idx}) if unordered else 1
+        if npos > 1:
+            nm[s.group] = frozenset({s.grp_idx}) if unordered else 1
+        # else: a single-position group (Kleene over a bare Or_) completes
+        # its repetition at the entry bind — it never goes mid
         fresh = not ({x.sid for x in gs} & bound)
         if fresh:
             # first repetition

@@ -53,8 +53,11 @@ def _bound_groups(node, n: int):
         inner = _bound_groups(node.inner, n)
         if not isinstance(inner, Ev) and node.max_len is None:
             # arity counts positive POSITIONS only (a repetition consumes
-            # one event per Ev / per Or_ position; Negs consume none)
-            arity = sum(isinstance(p, (Ev, Or_)) for p in inner.parts)
+            # one event per Ev / per Or_ position; Negs consume none);
+            # a bare Or_ inner is ONE position
+            arity = 1 if isinstance(inner, Or_) else sum(
+                isinstance(p, (Ev, Or_)) for p in inner.parts
+            )
             return Kleene(inner, max_len=max(1, n // max(arity, 1)))
         return Kleene(inner, max_len=node.max_len, adjacent=node.adjacent)
     if isinstance(node, Neg):
@@ -342,6 +345,9 @@ def _has_or_outside_groups(node) -> bool:
                 elif _has_or_outside_groups(p):
                     return True
             return False
+        if not isinstance(inner, Ev) and node.max_len is None and isinstance(inner, Or_):
+            # bare Or_-of-leaves inner (single-position group) folds fine
+            return any(_has_or(b) for b in inner.parts)
         return _has_or_outside_groups(inner) if not isinstance(inner, Ev) else False
     return any(_has_or_outside_groups(p) for p in node.parts)
 

@@ -718,3 +718,78 @@ def test_or_in_group_bounded_cap_counts_repetitions():
                 fb[base] = el
         folded.append((0, tuple(sorted(fb.items()))))
     assert _canon_nfa(res) == sorted(set(folded))
+
+
+def test_bounded_bare_or_group_equals_chain_expansion():
+    """Kleene over a bare Or_ under the forced group lowering must match
+    the default chain expansion (whose Or_ products define the
+    semantics), including the repetition cap at loop-back entry."""
+    pat = Pattern(
+        Seq(Kleene(Or_(Ev("b", role="user"), Ev("c", role="tool")),
+                   max_len=2),
+            Ev("t", role="assistant")),
+        window=timedelta(minutes=5),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+    rng = np.random.default_rng(45)
+    nonzero = mixed = 0
+    for trial in range(80):
+        g = _gen_group(trial * 23 + 9, int(rng.integers(2, 10)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        grp = _canon_nfa(match_group_nfa(cp_group, gs))
+        folded = []
+        for _, b in match_group_nfa(cp_chain, gs):
+            fb = {"t": (b["t"],)}
+            for base in ("b", "c"):
+                el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                           if f"{base}__{j}" in b)
+                if el:
+                    fb[base] = el
+            folded.append((0, tuple(sorted(fb.items()))))
+            mixed += ("b" in fb) and ("c" in fb)
+        assert grp == sorted(set(folded)), f"trial {trial}\n{g}"
+        nonzero += bool(grp)
+    assert nonzero > 0 and mixed > 0
+
+
+BARE_OR_PATTERNS = {
+    # Kleene over a BARE Or_ (round 5): one-or-more events, each either
+    # branch — a single-position group (repetition completes at entry).
+    # Separate corpus with SMALLER groups: the replica bounds this
+    # closure at n // 1 repetitions, so its chain expansion is
+    # exponential in n (2^r branch products) — n <= 7 keeps it honest
+    # yet fast.
+    "kleene_bare_or": Pattern(
+        Seq(Kleene(Or_(Ev("b", role="user"), Ev("c", role="tool"))),
+            Ev("t", role="assistant")),
+        window=timedelta(minutes=5),
+    ),
+    "kleene_bare_or_cond": Pattern(
+        Seq(Kleene(Or_(Ev("b", role="user"), Ev("c", role="tool"))),
+            Ev("t", role="assistant")),
+        where=attr("b", "value") < attr("t", "value"),
+        window=timedelta(minutes=5),
+    ),
+    "kleene_bare_or_gapneg": Pattern(
+        Seq(Kleene(Or_(Ev("b", role="user"), Ev("c", role="tool"))),
+            Neg(Ev("n", role="user")), Ev("t", role="assistant")),
+        window=timedelta(minutes=5),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BARE_OR_PATTERNS))
+def test_kleene_bare_or_vs_replica(name):
+    pat = BARE_OR_PATTERNS[name]
+    cp = compile_pattern(pat)
+    rng = np.random.default_rng(0xBA2E02)
+    nonzero = 0
+    for trial in range(40):
+        g = _gen_group(trial * 29 + 3, int(rng.integers(2, 8)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        m = _canon_nfa(match_group_nfa(cp, gs))
+        o = _canon_rep(match_group(pat, g.copy()))
+        assert m == o, f"{name} trial {trial}\nnfa={m}\nrep={o}\n{g}"
+        nonzero += bool(m)
+    assert nonzero > 0

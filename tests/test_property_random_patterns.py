@@ -69,7 +69,7 @@ def kleene_node(draw):
     shape = draw(st.sampled_from(
         ["leaf", "leaf", "adjacent", "composite", "group",
          "group_neg", "group_lead_neg", "group_trail_neg", "and_group",
-         "group_or", "group_or_neg"]
+         "group_or", "group_or_neg", "group_bare_or"]
     ))
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
@@ -81,6 +81,12 @@ def kleene_node(draw):
         return Kleene(
             Seq(draw(leaf()), Or_(draw(leaf()), draw(leaf()))), max_len=None
         )
+    if shape == "group_bare_or":
+        # bounded here: the replica bounds an UNBOUNDED bare Or_ at n
+        # repetitions (arity 1), whose chain expansion is exponential —
+        # the unbounded path has its own dedicated replica test
+        # (test_group_kleene.test_kleene_bare_or_vs_replica)
+        return Kleene(Or_(draw(leaf()), draw(leaf())), max_len=2)
     if shape == "group_or_neg":
         return Kleene(
             Seq(draw(leaf()), Neg(draw(leaf())),
