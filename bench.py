@@ -154,18 +154,6 @@ def main() -> None:
 
     spark.range(1000).select(F.sum(_warm(F.col("id")))).collect()
 
-    stream_stats = None
-    if os.environ.get("BENCH_STREAM", "1") != "0" and only_set is None:
-        # BASELINE names p95 match-emission latency as a binding metric;
-        # keep it in the per-round artifact so regressions are visible
-        # round-over-round (round-4 verdict #7).  Small fixed-size
-        # transcript stream (own session knobs reused), exactly-once
-        # sink, availableNow.
-        try:
-            stream_stats = _bench_stream(spark)
-        except Exception as e:  # never let the stream leg kill the bench
-            print(f"stream leg failed: {e!r}", file=sys.stderr)
-
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     t0 = time.perf_counter()
@@ -180,6 +168,19 @@ def main() -> None:
         per_query[name] = round(best, 4)
         rows[name] = n
     wall = round(time.perf_counter() - t0, 4)
+
+    stream_stats = None
+    if os.environ.get("BENCH_STREAM", "1") != "0" and only_set is None:
+        # BASELINE names p95 match-emission latency as a binding metric;
+        # keep it in the per-round artifact so regressions are visible
+        # round-over-round (round-4 verdict #7).  Small fixed-size
+        # transcript stream, exactly-once sink, availableNow.  Runs
+        # AFTER the timed queries — a prior stream leg measurably slowed
+        # the doc family (~2x) via session/heap pollution.
+        try:
+            stream_stats = _bench_stream(spark)
+        except Exception as e:  # never let the stream leg kill the bench
+            print(f"stream leg failed: {e!r}", file=sys.stderr)
 
     spark.stop()
 
