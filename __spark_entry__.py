@@ -638,6 +638,81 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5: PATTERN-INITIAL leading Neg on an unbounded group — no
+# positive anchor before the Kleene, so the FIRST repetition's
+# look-back is the window-bounded leading edge (no qualifying 'error'
+# strictly before u_1 with p.ts - n.ts <= W) and later repetitions get
+# the loop-back gap w_{j-1} -> u_j (compiler._collect lead_noanchor;
+# semantics defined by the chain expansion after Seq flattening).
+
+_KLEENE_GROUP_LEAD_EDGE_PAT = _p(
+    Seq(
+        Kleene(Seq(Neg(Ev("n", event_type="error")),
+                   Ev("u", event_type="view"),
+                   Ev("w", event_type="click"))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_group_lead_edge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_LEAD_EDGE_PAT),
+                     mode="flat")
+
+
+def _kleene_group_lead_edge_oracle() -> str:
+    w = int(_KLEENE_GROUP_LEAD_EDGE_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT u.user_id,
+         u.event_id AS u_first, u.ts AS u1_ts, u.ts AS first_ts, 1 AS r,
+         u.event_id AS u_last,
+         ww.event_id AS w_first, ww.event_id AS w_last,
+         ww.event_id AS last_id, ww.ts AS last_ts
+  FROM events u JOIN events ww ON ww.user_id = u.user_id
+  WHERE u.event_type = 'view' AND ww.event_type = 'click'
+    AND (u.ts < ww.ts OR (u.ts = ww.ts AND u.event_id < ww.event_id))
+    AND EPOCH(ww.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT s.user_id, s.u_first, s.u1_ts, s.first_ts, s.r + 1,
+         u.event_id, s.w_first, ww.event_id, ww.event_id, ww.ts
+  FROM chains s
+  JOIN events u ON u.user_id = s.user_id
+  JOIN events ww ON ww.user_id = s.user_id
+  WHERE u.event_type = 'view' AND ww.event_type = 'click'
+    AND (s.last_ts < u.ts OR (s.last_ts = u.ts AND s.last_id < u.event_id))
+    AND (u.ts < ww.ts OR (u.ts = ww.ts AND u.event_id < ww.event_id))
+    AND EPOCH(ww.ts) - EPOCH(s.first_ts) <= {w}
+    AND NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = s.user_id AND n.event_type = 'error'
+        AND (s.last_ts < n.ts OR (s.last_ts = n.ts AND s.last_id < n.event_id))
+        AND (n.ts < u.ts OR (n.ts = u.ts AND n.event_id < u.event_id)))
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CAST(s.r AS BIGINT) AS w_len,
+       CAST(s.w_first AS BIGINT) AS w_first,
+       CAST(s.w_last AS BIGINT) AS w_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+  AND NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = s.user_id AND n.event_type = 'error'
+        AND (n.ts < s.u1_ts OR (n.ts = s.u1_ts AND n.event_id < s.u_first))
+        AND EPOCH(p.ts) - EPOCH(n.ts) <= {w})
+"""
+
+
 # round 5: Kleene over a BARE Or_ — one-or-more events, EACH either a
 # 'click' (w) or a 'view' (x): a single-position branch group (the
 # repetition completes at its entry bind; compiler._collect normalizes
@@ -1049,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_trail_neg"] = _kleene_group_trail_neg_query
     out["cep_kleene_group_or"] = _kleene_group_or_query
     out["cep_kleene_bare_or"] = _kleene_bare_or_query
+    out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
@@ -1071,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_trail_neg"] = _kleene_group_trail_neg_oracle()
     out["cep_kleene_group_or"] = _kleene_group_or_oracle()
     out["cep_kleene_bare_or"] = _kleene_bare_or_oracle()
+    out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()

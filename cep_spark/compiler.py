@@ -227,6 +227,32 @@ def _rename_node(node: Node, mapping: dict) -> Node:
     raise TypeError(f"unknown node {node!r}")
 
 
+def _flatten_seq(node: Node) -> Node:
+    """Flatten Seq-directly-under-Seq (associative): Seq(Seq(a,b),c) ≡
+    Seq(a,b,c) — prereq chains, gap negs, and trailing-neg bubbling all
+    agree.  Applied per Or-free alternative BEFORE the root edge-neg
+    pop, so a leading Neg at the overall pattern start reaches the pop
+    even when it arrived inside a nested chain (the bounded composite
+    expansion nests each repetition chain as a sub-Seq).  Kleene
+    innards are left untouched (their own lowerings expect the original
+    shape)."""
+    if isinstance(node, Seq):
+        parts = []
+        for p in node.parts:
+            p = _flatten_seq(p)
+            if isinstance(p, Seq):
+                parts.extend(p.parts)
+            else:
+                parts.append(p)
+        return Seq(*parts)
+    if isinstance(node, And_):
+        return And_(*[_flatten_seq(p) for p in node.parts])
+    if isinstance(node, Neg):
+        inner = _flatten_seq(node.inner)
+        return node if inner is node.inner else Neg(inner)
+    return node
+
+
 def _validate_group_inner(node: Kleene) -> None:
     """An unbounded composite Kleene compiles to a looping sub-automaton
     (group slots); that requires the inner structure to be a Seq of
@@ -274,8 +300,9 @@ def _validate_group_inner(node: Kleene) -> None:
             "unbounded Kleene over a composite sub-structure supports "
             "Seq of plain event leaves — optionally with Negs BETWEEN "
             "two leaves, LEADING, or TRAILING the repetition (gaps "
-            "scoped per repetition; a leading Neg additionally requires "
-            "a positive part before the Kleene; a trailing Neg's final-"
+            "scoped per repetition; a leading Neg needs a positive part "
+            "before the Kleene OR the Kleene must start the pattern; "
+            "a trailing Neg's final-"
             "repetition gap attaches to the following part, or is "
             "window-bounded when the Kleene ends the pattern) — or "
             "And_ of plain event leaves (each repetition binds them in "
@@ -356,12 +383,20 @@ def _collect(
     slots: list,
     negs: list,
     pending_gap: list,
+    initial_kleene=None,
 ) -> frozenset:
     """Walk the structure assigning slot ids & prerequisites.
 
     Returns the frozenset of slot ids contained in `node` (positives only).
     `pending_gap` accumulates Neg nodes seen in a Seq awaiting their
     following part (to fill post_slots).
+
+    ``initial_kleene`` is the one Kleene node (by identity) that STARTS
+    the pattern — the root structure itself or the first part of the
+    root Seq.  Only that node may carry an anchor-less leading Neg
+    (its first-repetition look-back becomes the window-bounded root
+    leading edge; the bounded chain expansion rejects every other
+    anchor-less placement, so the group lowering must too).
     """
     if isinstance(node, Ev):
         sid = len(slots)
@@ -405,19 +440,30 @@ def _collect(
                 [node.inner] if isinstance(node.inner, Or_)
                 else node.inner.parts
             )
+            lead_noanchor = False
             for part in inner_parts:
                 if isinstance(part, Neg):
                     if j == 0 and not prereq:
-                        # a LEADING Neg's first-repetition gap has no
-                        # left boundary when the group starts the
-                        # pattern (initial transitions carry no partial
-                        # to anchor the interval) — same rule as the
-                        # root-Seq leading Neg
-                        raise ValueError(
-                            "leading Neg inside an unbounded composite "
-                            "Kleene requires a positive part before "
-                            "the Kleene (the gap needs a left boundary)"
-                        )
+                        # a LEADING Neg with NO positive part before the
+                        # Kleene: when the group is PATTERN-INITIAL the
+                        # chain expansion defines the semantics — the
+                        # first repetition's look-back becomes the
+                        # window-bounded root leading edge, later
+                        # repetitions get the loop-back gap (repeat_lb,
+                        # mirror of the trailing case).  Anywhere else
+                        # (e.g. an And_ child — the chain expansion
+                        # rejects those too) there is no left boundary.
+                        if node is initial_kleene:
+                            lead_noanchor = True
+                        else:
+                            raise ValueError(
+                                "leading Neg inside an unbounded "
+                                "composite Kleene requires a positive "
+                                "part before the Kleene, or the Kleene "
+                                "must START the pattern (first-"
+                                "repetition look-back is then the "
+                                "window-bounded leading edge)"
+                            )
                     open_neg = part
                     continue
                 # an Or_ part (round 5) contributes ONE slot per branch
@@ -434,10 +480,23 @@ def _collect(
                     )
                     new_sids.append(sid)
                 if open_neg is not None:
-                    # per-repetition gap: re-checked on EVERY bind of
-                    # this sub-slot (see NegSpec.per_repeat) — for an
-                    # Or_ position, on every bind of EITHER branch
-                    negs.append((open_neg, ("repeat", frozenset(new_sids))))
+                    if lead_noanchor:
+                        # pattern-initial leading Neg: window-bounded
+                        # look-back for the first repetition (root
+                        # leading edge) + loop-back gap for later ones
+                        negs.append(
+                            (open_neg, ("repeat_lb", frozenset(new_sids)))
+                        )
+                        negs.append((open_neg, "leading"))
+                        lead_noanchor = False
+                    else:
+                        # per-repetition gap: re-checked on EVERY bind
+                        # of this sub-slot (see NegSpec.per_repeat) —
+                        # for an Or_ position, on every bind of EITHER
+                        # branch
+                        negs.append(
+                            (open_neg, ("repeat", frozenset(new_sids)))
+                        )
                     open_neg = None
                 if j == 0:
                     pos0_sids = new_sids
@@ -474,7 +533,8 @@ def _collect(
             # part — same post_slots attachment as an explicit Neg here
             while pending_gap:
                 open_negs.append(pending_gap.pop(0))
-            ids = _collect(part, here, slots, negs, pending_gap)
+            ids = _collect(part, here, slots, negs, pending_gap,
+                           initial_kleene)
             if open_negs:
                 if here == prereq and not acc:
                     # leading Neg inside this Seq: only valid if the Seq
@@ -501,7 +561,8 @@ def _collect(
             if isinstance(part, Neg):
                 negs.append((part, None))  # span-scoped
                 continue
-            ids = _collect(part, prereq, slots, negs, pending_gap)
+            ids = _collect(part, prereq, slots, negs, pending_gap,
+                           initial_kleene)
             if pending_gap:
                 # a trailing Neg bubbling out of an And_ child has no
                 # ordered successor to end its gap (And_ is unordered)
@@ -747,6 +808,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             needed.setdefault(v, set()).add(col)
 
     for alt_id, struct in enumerate(_expand_or(pat.structure)):
+        struct = _flatten_seq(struct)
         slots: list = []
         raw_negs: list = []
         # leading/trailing Neg at the ROOT Seq: no gap boundary exists,
@@ -769,7 +831,16 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                     )
                 struct = Seq(*parts)
         pending: list = []
-        _collect(struct, frozenset(), slots, raw_negs, pending)
+        # the one Kleene that STARTS the pattern (identity): the root
+        # itself or the first part of the root Seq — may carry an
+        # anchor-less leading Neg (see _collect docstring)
+        initial_kleene = None
+        if isinstance(struct, Kleene):
+            initial_kleene = struct
+        elif isinstance(struct, Seq) and isinstance(struct.parts[0], Kleene):
+            initial_kleene = struct.parts[0]
+        _collect(struct, frozenset(), slots, raw_negs, pending,
+                 initial_kleene)
         for ng in pending:
             # a trailing Neg bubbled all the way to the pattern end (a
             # nested Seq's — or an unbounded group repetition's — last
@@ -868,6 +939,13 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                 kind = "span"
             elif isinstance(post, str):
                 kind = post  # "leading" | "trailing"
+                # edge kinds registered inside _collect (pattern-initial
+                # group leading Neg) bypass the root-pop window check
+                if pat.window is None:
+                    raise ValueError(
+                        "leading/trailing negation requires a pattern "
+                        "window (it bounds the forbidden interval)"
+                    )
             else:
                 kind = "gap"
             # structural left boundary of a gap: the variables whose
@@ -1018,9 +1096,13 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                     gi
                     for gi in gap_idx
                     if s.sid in neg_specs[gi].post_slots
-                    # loop-back-only gaps (trailing Neg in a group): the
-                    # first repetition's entry bind has no predecessor
-                    and (repeat or not neg_specs[gi].repeat_only)
+                    # loop-back-only gaps (trailing Neg in a group, or a
+                    # pattern-initial leading Neg's later repetitions):
+                    # the first repetition's entry bind has no
+                    # predecessor.  Keyed on rep_start, NOT repeat — a
+                    # loop-back entering through a not-yet-bound Or_
+                    # branch has repeat=False but IS a later repetition
+                    and (rep_start or not neg_specs[gi].repeat_only)
                     and (
                         neg_specs[gi].per_repeat  # once per repetition
                         or not (neg_specs[gi].post_slots & st.bound)

@@ -141,6 +141,38 @@ PATTERNS = {
             Ev("t", role="tool")),
         window=timedelta(minutes=5),
     ),
+    # round 5: PATTERN-INITIAL leading Neg (no anchor) — the first
+    # repetition's look-back is the window-bounded leading edge, later
+    # repetitions get the loop-back gap (mirror of the trailing case;
+    # defined by the chain expansion after Seq flattening)
+    "lead_noanchor_group": Pattern(
+        Seq(Kleene(Seq(Neg(Ev("n", role="tool")), Ev("u", role="user"),
+                       Ev("w", role="assistant"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    "lead_noanchor_group_root": Pattern(
+        Kleene(Seq(Neg(Ev("n", role="tool")), Ev("u", role="user"),
+                   Ev("w", role="assistant"))),
+        window=timedelta(minutes=5),
+    ),
+    # round-5 regression: a loop-back entering through a NOT-yet-bound
+    # Or_ branch at position 0 has repeat=False but rep_start=True —
+    # repeat_only gap specs must key on rep_start or the
+    # between-repetition gap is silently skipped for that branch
+    "or_pos0_trail_neg": Pattern(
+        Seq(Kleene(Seq(Or_(Ev("a", role="user"), Ev("b", role="tool")),
+                       Ev("w", role="assistant"), Neg(Ev("n", role="user")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    "lead_noanchor_group_or": Pattern(
+        Seq(Kleene(Seq(Neg(Ev("n", role="tool")),
+                       Or_(Ev("a", role="user"), Ev("b", role="tool")),
+                       Ev("w", role="assistant"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
     # Kleene over And_ (round 4, session B): each repetition binds the
     # leaves in ANY arrival order; repetitions interleave strictly
     "and_group": Pattern(
@@ -429,13 +461,34 @@ def test_leading_neg_in_group_chain_parity_and_initial_reject():
         nonzero += bool(grp)
     assert nonzero > 0 and multirep > 0
 
-    bad = Pattern(
+    # round 5: the PATTERN-INITIAL case now compiles (first-repetition
+    # look-back = window-bounded leading edge; see lead_noanchor_group*
+    # in PATTERNS) — what stays rejected is an anchor-less leading Neg
+    # where the group does NOT start the pattern (an And_ child: the
+    # chain expansion rejects it too, there is no left boundary and no
+    # well-defined "first event of the match" anchor)
+    ok_now = Pattern(
         Kleene(Seq(Neg(Ev("n", role="tool")), Ev("u", role="user"),
                    Ev("w", role="assistant"))),
         window=timedelta(minutes=5),
     )
-    with pytest.raises(ValueError, match="left boundary"):
+    compile_pattern(ok_now)
+    bad = Pattern(
+        And_(Kleene(Seq(Neg(Ev("n", role="tool")), Ev("u", role="user"),
+                        Ev("w", role="assistant"))),
+             Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    )
+    with pytest.raises(ValueError, match="START the pattern"):
         compile_pattern(bad)
+    # ... and the pattern-initial case still needs a window (the edge
+    # look-back is window-bounded)
+    with pytest.raises(ValueError, match="window"):
+        compile_pattern(Pattern(
+            Kleene(Seq(Neg(Ev("n", role="tool")), Ev("u", role="user"),
+                       Ev("w", role="assistant"))),
+            window=None,
+        ))
 
 
 def test_trailing_neg_in_group_chain_parity():

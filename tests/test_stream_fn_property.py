@@ -21,7 +21,7 @@ from hypothesis import strategies as st
 from cep_spark.batch import match_group_nfa, matches_to_pdf_flat
 from cep_spark.compiler import compile_pattern
 from cep_spark.conditions import attr
-from cep_spark.pattern import And_, Ev, Kleene, Neg, Pattern, Seq
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Or_, Pattern, Seq
 from cep_spark.stream import _make_incremental_fn
 
 ROLES = ["user", "assistant", "tool"]
@@ -120,6 +120,26 @@ PATTERNS = {
                                          Ev("w", role="assistant"))),
                              Ev("t", role="tool")),
                          window=timedelta(seconds=180)),
+    # round 5: PATTERN-INITIAL leading Neg (no anchor) — the first
+    # repetition's look-back is the window-bounded leading edge, later
+    # repetitions get the loop-back gap; exercises leading-spec accept
+    # checks + repeat_only gaps through the incremental state
+    "group_lead_edge": Pattern(Seq(Kleene(Seq(Neg(Ev("n", role="tool")),
+                                              Ev("u", role="user"),
+                                              Ev("w", role="assistant"))),
+                                   Ev("t", role="tool")),
+                               window=timedelta(seconds=180)),
+    # round 5: Or_-of-leaves position + bare-Or_ body through the
+    # incremental executor's persisted partial tables
+    "group_or": Pattern(Seq(Kleene(Seq(Ev("u", role="user"),
+                                       Or_(Ev("w", role="assistant"),
+                                           Ev("x", role="tool")))),
+                            Ev("t", role="user")),
+                        window=timedelta(seconds=180)),
+    "bare_or": Pattern(Seq(Kleene(Or_(Ev("b", role="user"),
+                                      Ev("c", role="tool"))),
+                           Ev("t", role="assistant")),
+                       window=timedelta(seconds=120)),
 }
 
 
