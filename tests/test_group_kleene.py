@@ -173,6 +173,20 @@ PATTERNS = {
             Ev("t", role="user")),
         window=timedelta(minutes=5),
     ),
+    # round 5: three-way branch and TWO Or_ positions in one repetition
+    "or3_in_group": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Ev("w", role="assistant"), Ev("x", role="tool"),
+                           Ev("y", role="user")))),
+            Ev("t", role="assistant")),
+        window=timedelta(minutes=5),
+    ),
+    "double_or_in_group": Pattern(
+        Seq(Kleene(Seq(Or_(Ev("a", role="user"), Ev("b", role="tool")),
+                       Or_(Ev("w", role="assistant"), Ev("x", role="user")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
     # Kleene over And_ (round 4, session B): each repetition binds the
     # leaves in ANY arrival order; repetitions interleave strictly
     "and_group": Pattern(

@@ -978,3 +978,32 @@ def test_stream_shared_bucketed_parity(spark, tmp_path):
             want.append((r["conv_id"], r["pattern_id"],
                          tuple(sorted(m["turn_idx"] for m in r["matched"]))))
     assert got_set == sorted(want)
+
+
+def test_branch_group_patterns_merge_and_share():
+    """Round 5: patterns whose unbounded repetition contains Or_ BRANCH
+    sub-slots merge with prefix sharing (the group member tuple in the
+    slot signature distinguishes branch layouts), and the merged
+    automaton is observationally identical to per-pattern execution."""
+    from cep_spark.pattern import Or_
+
+    pats = [
+        _pat(Seq(Ev("s", role="user"),
+                 Kleene(Seq(Ev("u", role="user"),
+                            Or_(Ev("w", role="assistant"),
+                                Ev("x", role="tool"))))), pid=0),
+        _pat(Seq(Ev("s", role="user"),
+                 Kleene(Seq(Ev("u", role="user"),
+                            Or_(Ev("w", role="assistant"),
+                                Ev("x", role="tool")))),
+                 Ev("z", role="tool")), pid=1),
+        _pat(Seq(Ev("s", role="user"), Ev("q", role="assistant")), pid=2),
+    ]
+    merged = _assert_parity(pats, _group(61, n=24))
+    for seed in (62, 63, 64):
+        _assert_parity(pats, _group(seed, n=16))
+    cps = [compile_pattern(p) for p in pats]
+    n_sep = sum(len(a.states) for cp in cps for a in cp.alternatives)
+    # real sharing: the two branch-group patterns share their whole
+    # group automaton, pattern 2 shares the (s) prefix
+    assert len(merged.alternatives[0].states) < n_sep - (len(cps) - 1)
