@@ -262,13 +262,26 @@ def _leaf(draw):
 
 @st.composite
 def _suffix_part(draw):
-    kind = draw(st.sampled_from(["leaf", "leaf", "kleene", "neg_then_leaf", "group"]))
+    kind = draw(st.sampled_from(["leaf", "leaf", "kleene", "neg_then_leaf",
+                                 "group", "group_or", "bare_or"]))
     if kind == "kleene":
         return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
     if kind == "neg_then_leaf":
         return [Neg(draw(_leaf())), draw(_leaf())]
     if kind == "group":
         return [Kleene(Seq(draw(_leaf()), draw(_leaf())), max_len=None)]
+    if kind == "group_or":
+        # round 5: Or_ branch sub-slots inside the repetition — the
+        # group member tuple (incl. same-grp_idx branches) keys the
+        # merged group id, so identical branch layouts must share and
+        # different ones must not
+        from cep_spark.pattern import Or_
+        return [Kleene(Seq(draw(_leaf()),
+                           Or_(draw(_leaf()), draw(_leaf()))),
+                       max_len=None)]
+    if kind == "bare_or":
+        from cep_spark.pattern import Or_
+        return [Kleene(Or_(draw(_leaf()), draw(_leaf())), max_len=None)]
     return [draw(_leaf())]
 
 
