@@ -101,11 +101,16 @@ def test_materialization_registry_release(spark):
     registry.queries()["emb_ann_lsh_pairs"](spark, SF).count()
     n1, r1 = persisted(), len(_TABLES)
     assert r1 >= 3  # words, shingles, inv_index, lsh_banded
-    # run the same queries again: no new cache entries
+    # run the same queries again: no new cache entries.  The Spark-side
+    # count is compared with <= — the async ContextCleaner can reclaim
+    # UNRELATED persistent RDDs (earlier tests' GC'd caches) between the
+    # two measurements under the full suite, so equality flakes; growth
+    # is what the registry must prevent, and entry identity is pinned by
+    # len(_TABLES) staying put.
     registry.queries()["doc_ngram_jaccard"](spark, SF).count()
     registry.queries()["emb_ann_lsh_pairs"](spark, SF).count()
     assert len(_TABLES) == r1
-    assert persisted() == n1
+    assert persisted() <= n1
     released = release_caches()
     assert released == r1 and len(_TABLES) == 0
     assert persisted() <= base
