@@ -619,7 +619,10 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
         # (each repetition binds exactly one of them)
         grp_pos0_vars: dict = {}
         for s in alt.slots:
-            if s.group is not None and s.grp_kind != "and" and s.grp_idx == 0:
+            if (s.group is not None and s.grp_kind != "and"
+                    and s.grp_idx == 0 and s.br_idx == 0):
+                # entry sub-slots only: a multi-event (Seq) branch binds
+                # once per repetition at its br_idx-0 event
                 grp_pos0_vars.setdefault(s.group, []).append(s.var)
 
         def _accept_negs(sub, neg_indices, edge_w=None):

@@ -71,6 +71,15 @@ class Slot:
     group: Optional[int] = None
     grp_idx: int = 0
     grp_kind: str = "seq"
+    # Or_ branches at one group position (round 5): `br` identifies the
+    # branch, `br_idx` the offset within a multi-event (Seq) branch,
+    # `br_len` the branch's event count.  A repetition that enters a
+    # branch binds its events in br_idx order before the position
+    # completes (single-event branches: br_idx=0, br_len=1 — the
+    # position completes at the entry bind, as before).
+    br: int = 0
+    br_idx: int = 0
+    br_len: int = 1
 
 
 @dataclass(frozen=True)
@@ -261,14 +270,23 @@ def _validate_group_inner(node: Kleene) -> None:
     element tuple."""
     inner = node.inner
 
+    def _branch_ok(b):
+        # a branch is a plain leaf or (round 5, session 2) a Seq of
+        # plain leaves — the repetition that chooses it binds the
+        # branch's events in order before the position completes
+        return isinstance(b, Ev) or (
+            isinstance(b, Seq) and all(isinstance(x, Ev) for x in b.parts)
+        )
+
     def _seq_part_ok(p):
         # a position is a plain leaf, a Neg guarding a gap, or (round 5)
-        # an Or_ of plain leaves — the repetition binds ONE branch per
-        # iteration (alternative sub-slots at the same position)
+        # an Or_ of leaf-or-Seq branches — the repetition binds ONE
+        # branch per iteration (alternative sub-slots at the same
+        # position)
         return isinstance(p, (Ev, Neg)) or (
             isinstance(p, Or_)
             and len(p.parts) >= 2
-            and all(isinstance(b, Ev) for b in p.parts)
+            and all(_branch_ok(b) for b in p.parts)
         )
 
     ok = (
@@ -288,12 +306,13 @@ def _validate_group_inner(node: Kleene) -> None:
         and len(inner.parts) >= 2
         and all(isinstance(p, Ev) for p in inner.parts)
     ) or (
-        # Kleene over Or_ of plain leaves (round 5): each repetition is
-        # ONE event matching either branch — a single-position group of
-        # branch sub-slots (the repetition completes at its entry bind)
+        # Kleene over a bare Or_ (round 5): each repetition binds ONE
+        # branch — a single-position group of branch sub-slots (leaf
+        # branches complete the repetition at the entry bind; Seq
+        # branches bind their events in order first)
         isinstance(inner, Or_)
         and len(inner.parts) >= 2
-        and all(isinstance(p, Ev) for p in inner.parts)
+        and all(_branch_ok(p) for p in inner.parts)
     )
     if not ok:
         raise ValueError(
@@ -304,12 +323,85 @@ def _validate_group_inner(node: Kleene) -> None:
             "before the Kleene OR the Kleene must start the pattern; "
             "a trailing Neg's final-"
             "repetition gap attaches to the following part, or is "
-            "window-bounded when the Kleene ends the pattern) — or "
-            "And_ of plain event leaves (each repetition binds them in "
-            "any arrival order, no Negs inside); nested Kleene/Or_ or "
-            "other shapes inside the repetition require max_len — "
-            "those expand to fixed chains at compile time"
+            "window-bounded when the Kleene ends the pattern) — "
+            "positions may be Or_ alternations whose branches are "
+            "leaves or Seqs of leaves — or And_ of plain event leaves "
+            "(each repetition binds them in any arrival order, no Negs "
+            "inside); deeper nesting inside the repetition requires "
+            "max_len — those expand to fixed chains at compile time"
         )
+
+
+def _expand_nested_bounded(inner: Node, reps: list) -> Node:
+    """Chain-expand BOUNDED leaf Kleenes nested inside an unbounded (or
+    force-grouped) composite repetition: ``Kleene(b, max_len=m)``
+    becomes ``Or_(b__1, Seq(b__1, b__2), ...)`` — exactly the Or_
+    branch shape the group lowering executes as alternative sub-slots
+    (one chain per within-repetition count r = 1..m), so e.g.
+    ``Kleene(Seq(a, Kleene(b, max_len=2)), max_len=None)`` runs as a
+    looping group without bounding the OUTER repetition.  Applied to
+    the repetition body's direct Seq parts and Or_ branch lists;
+    ``where`` conjuncts referencing the inner variable replicate per
+    instance via `reps` (ALL-elements semantics, like every bounded
+    expansion), and an adjacent-pair condition becomes a two-variable
+    conjunct between consecutive chain events (same-branch events
+    zip-align per repetition).  Unbounded nested Kleenes are left in
+    place for _validate_group_inner to reject."""
+
+    def _chains(k: Kleene) -> list:
+        # unlike the Or_-of-ALTERNATIVES chain expansion, these branches
+        # coexist as slots of ONE alternative, so every instance needs a
+        # unique name: branch r (= r events per repetition) renames the
+        # inner variable to {name}__{r}_{j}
+        name = k.inner.name
+        mappings = []
+        out = []
+        for r in range(1, k.max_len + 1):
+            maps_r = [{name: f"{name}__{r}_{j}"} for j in range(1, r + 1)]
+            mappings.extend(maps_r)
+            evs = [_rename_node(k.inner, m) for m in maps_r]
+            if k.adjacent is not None:
+                evs = [
+                    ev if j == 0 else Ev(
+                        ev.name,
+                        where=ev.where & subst(
+                            k.adjacent,
+                            {name: ev.name,
+                             f"{name}__prev": evs[j - 1].name},
+                        ),
+                    )
+                    for j, ev in enumerate(evs)
+                ]
+            out.append(evs[0] if r == 1 else Seq(*evs))
+        reps.append(([name], mappings))
+        return out
+
+    def _is_bounded_leaf(p) -> bool:
+        return (isinstance(p, Kleene) and isinstance(p.inner, Ev)
+                and p.max_len is not None)
+
+    def _part(p):
+        if _is_bounded_leaf(p):
+            ch = _chains(p)
+            return ch[0] if len(ch) == 1 else Or_(*ch)
+        if isinstance(p, Or_):
+            branches = []
+            for b in p.parts:
+                if _is_bounded_leaf(b):
+                    branches.extend(_chains(b))
+                else:
+                    branches.append(b)
+            return Or_(*branches) if len(branches) >= 2 else branches[0]
+        return p
+
+    if isinstance(inner, Seq):
+        new = [_part(p) for p in inner.parts]
+        if all(a is b for a, b in zip(new, inner.parts)):
+            return inner
+        return Seq(*new)
+    if isinstance(inner, (Or_, Kleene)):
+        return _part(inner)
+    return inner
 
 
 def _expand_composite_kleene(node: Node, reps: list, force_group: bool = False) -> Node:
@@ -332,6 +424,7 @@ def _expand_composite_kleene(node: Node, reps: list, force_group: bool = False) 
         if isinstance(inner, Ev):
             return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
         if node.max_len is None or force_group:
+            inner = _expand_nested_bounded(inner, reps)
             _validate_group_inner(Kleene(inner, max_len=node.max_len))
             return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
         names = _all_names(inner)
@@ -466,40 +559,53 @@ def _collect(
                             )
                     open_neg = part
                     continue
-                # an Or_ part (round 5) contributes ONE slot per branch
-                # at the SAME grp_idx: each repetition binds exactly one
-                # of them (alternative sub-slots of the position)
+                # an Or_ part (round 5) contributes one sub-slot per
+                # branch EVENT at the SAME grp_idx: each repetition
+                # binds exactly one branch (alternative sub-slots of the
+                # position); a Seq branch's events bind in br_idx order
+                # before the position completes.  Negation specs and the
+                # repetition count key on the ENTRY slots (br_idx == 0 —
+                # exactly one entry bind per repetition).
                 branches = part.parts if isinstance(part, Or_) else (part,)
                 new_sids = []
-                for br in branches:
-                    sid = len(slots)
-                    slots.append(
-                        Slot(sid, br.name, br.where, kleene=True,
-                             kleene_max=node.max_len, prereq=here,
-                             group=gid, grp_idx=j)
-                    )
-                    new_sids.append(sid)
+                entry_sids = []
+                for bi, brn in enumerate(branches):
+                    evs = brn.parts if isinstance(brn, Seq) else (brn,)
+                    bhere = here
+                    for k, ev in enumerate(evs):
+                        sid = len(slots)
+                        slots.append(
+                            Slot(sid, ev.name, ev.where, kleene=True,
+                                 kleene_max=node.max_len, prereq=bhere,
+                                 group=gid, grp_idx=j,
+                                 br=bi, br_idx=k, br_len=len(evs))
+                        )
+                        if k == 0:
+                            entry_sids.append(sid)
+                        new_sids.append(sid)
+                        bhere = bhere | frozenset({sid})
                 if open_neg is not None:
                     if lead_noanchor:
                         # pattern-initial leading Neg: window-bounded
                         # look-back for the first repetition (root
                         # leading edge) + loop-back gap for later ones
                         negs.append(
-                            (open_neg, ("repeat_lb", frozenset(new_sids)))
+                            (open_neg, ("repeat_lb", frozenset(entry_sids)))
                         )
                         negs.append((open_neg, "leading"))
                         lead_noanchor = False
                     else:
                         # per-repetition gap: re-checked on EVERY bind
-                        # of this sub-slot (see NegSpec.per_repeat) —
-                        # for an Or_ position, on every bind of EITHER
-                        # branch
+                        # of this position's ENTRY sub-slot (see
+                        # NegSpec.per_repeat) — for an Or_ position, on
+                        # the entry bind of WHICHEVER branch the
+                        # repetition chooses
                         negs.append(
-                            (open_neg, ("repeat", frozenset(new_sids)))
+                            (open_neg, ("repeat", frozenset(entry_sids)))
                         )
                     open_neg = None
                 if j == 0:
-                    pos0_sids = new_sids
+                    pos0_sids = entry_sids
                 sids.extend(new_sids)
                 here = prereq | frozenset(sids)
                 j += 1
@@ -605,7 +711,10 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
     set, a prerequisite position is satisfied by ANY bound branch, and a
     loop-back may enter through a branch not yet in `bound` (the bound
     set then grows; repeat is per-SLOT — a branch's first bind creates
-    its tuple, later binds append)."""
+    its tuple, later binds append).  A multi-event (Seq) branch holds
+    the mid pointer at (position, branch, next_br_idx) until its last
+    event binds — the position then completes as one unit; entries and
+    loop-backs only go through br_idx-0 sub-slots."""
     mid_d = dict(mid)
     by_sid = {s.sid: s for s in slots}
     pos_sids: dict = {}  # (gid, grp_idx) -> [sids]
@@ -662,23 +771,41 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                 else:
                     nm[s.group] = nval
             else:
-                if cur != s.grp_idx:
-                    continue
-                if s.grp_idx == npos - 1:
+                # seq-group mid value: int j = waiting for position j's
+                # entry bind; tuple (j, br, k) = inside a multi-event
+                # branch of position j, waiting for its br_idx-k event
+                if isinstance(cur, tuple):
+                    jj, bb, kk = cur
+                    if s.grp_idx != jj or s.br != bb or s.br_idx != kk:
+                        continue
+                else:
+                    if cur != s.grp_idx or s.br_idx != 0:
+                        continue
+                    jj = cur
+                if s.br_idx < s.br_len - 1:
+                    nm[s.group] = (jj, s.br, s.br_idx + 1)
+                elif jj == npos - 1:
                     del nm[s.group]
                 else:
-                    nm[s.group] = s.grp_idx + 1
+                    nm[s.group] = jj + 1
             out.append(
                 (s, bound | {s.sid}, frozenset(nm.items()), s.sid in bound, False)
             )
             continue
-        if not unordered and s.grp_idx != 0:
-            continue  # a seq-group repetition always starts at position 0
+        if not unordered and (s.grp_idx != 0 or s.br_idx != 0):
+            continue  # a seq-group repetition always starts at position
+            # 0's entry sub-slot
         nm = dict(mid_d)
-        if npos > 1:
-            nm[s.group] = frozenset({s.grp_idx}) if unordered else 1
-        # else: a single-position group (Kleene over a bare Or_) completes
-        # its repetition at the entry bind — it never goes mid
+        if unordered:
+            if npos > 1:
+                nm[s.group] = frozenset({s.grp_idx})
+        elif s.br_len > 1:
+            nm[s.group] = (0, s.br, 1)
+        elif npos > 1:
+            nm[s.group] = 1
+        # else: a single-position group over single-event branches
+        # (Kleene over a bare Or_ of leaves) completes its repetition at
+        # the entry bind — it never goes mid
         fresh = not ({x.sid for x in gs} & bound)
         if fresh:
             # first repetition
@@ -875,7 +1002,8 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             multi.extend(s_multi)
             slot_list.append(
                 Slot(s.sid, s.var, u, s.kleene, s.kleene_max, s.prereq,
-                     s.adjacent, s.group, s.grp_idx, s.grp_kind)
+                     s.adjacent, s.group, s.grp_idx, s.grp_kind,
+                     s.br, s.br_idx, s.br_len)
             )
             if s.adjacent is not None:
                 # {var}__prev reads the same physical columns as {var}
@@ -890,7 +1018,8 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             # silently dropping the conjunct.
             slot_list = [
                 Slot(s.sid, s.var, FALSE, s.kleene, s.kleene_max, s.prereq,
-                     s.adjacent, s.group, s.grp_idx, s.grp_kind)
+                     s.adjacent, s.group, s.grp_idx, s.grp_kind,
+                     s.br, s.br_idx, s.br_len)
                 for s in slot_list
             ]
             multi = []
@@ -998,7 +1127,10 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
         # position): a multi-var conjunct may reference one — evaluated
         # per element, i.e. over exactly the repetitions that chose the
         # branch, matching the chain expansion where instances for
-        # unchosen repetitions drop out — but NOT together with another
+        # unchosen repetitions drop out — and (round 5, session 2) may
+        # pair it with variables of the SAME branch (a Seq branch's
+        # events bind together in every repetition that chose it, so
+        # their tuples zip-align exactly) — but NOT with any OTHER
         # variable of the same group: the branch's tuple has no element
         # for repetitions that chose a sibling, so the per-repetition
         # zip alignment is undefined.  Reject loudly instead of
@@ -1016,20 +1148,32 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
         }
         if branch_vars:
             gvars = {}
+            same_branch: dict = {}  # var -> vars of its multi-event branch
+            by_branch: dict = {}
             for s in slots:
                 if s.group is not None:
                     gvars.setdefault(s.group, set()).add(s.var)
+                    if s.br_len > 1:
+                        by_branch.setdefault(
+                            (s.group, s.grp_idx, s.br), set()
+                        ).add(s.var)
+            for vs in by_branch.values():
+                for v in vs:
+                    same_branch[v] = vs
             for c in multi:
                 for bv in set(c.vars()) & set(branch_vars):
                     mates = (gvars[branch_vars[bv]] - {bv}) & set(c.vars())
+                    mates -= same_branch.get(bv, frozenset())
                     if mates:
                         raise ValueError(
                             f"condition {c!r} references Or_-branch "
                             f"variable {bv!r} together with same-group "
-                            f"variable(s) {sorted(mates)}: a branch binds "
-                            "only in the repetitions that chose it, so "
-                            "per-repetition alignment with its group "
-                            "mates is undefined"
+                            f"variable(s) {sorted(mates)} outside its own "
+                            "branch: a branch binds only in the "
+                            "repetitions that chose it, so per-repetition "
+                            "alignment with its group mates is undefined "
+                            "(same-branch variables zip-align and ARE "
+                            "allowed)"
                         )
 
         # build states
@@ -1081,9 +1225,13 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                     # referencing a same-group var of a LATER sub-index
                     # (the per-repetition aligned pair isn't complete
                     # yet; that conjunct re-attaches at the later
-                    # sub-slot's repetition bind)
+                    # sub-slot's repetition bind).  Later same-BRANCH
+                    # events (br_idx above ours) count as later too.
                     later = frozenset(
-                        x.var for x in groups[s.group] if x.grp_idx > s.grp_idx
+                        x.var for x in groups[s.group]
+                        if x.grp_idx > s.grp_idx
+                        or (x.grp_idx == s.grp_idx and x.br == s.br
+                            and x.br_idx > s.br_idx)
                     )
                     conds = tuple(
                         c
@@ -1139,14 +1287,20 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
 
         # span-neg conditions must be evaluable with all vars bound (they are)
         var_order = [s.var for s in slots]
-        # branch vars are EXCLUDED from the alignment map: conjuncts
-        # referencing them evaluate per-element over the repetitions
-        # that chose the branch (independent-dimension semantics);
-        # mixed branch+mate conjuncts were rejected above
+        # branch vars are EXCLUDED from the group alignment map:
+        # conjuncts referencing them evaluate per-element over the
+        # repetitions that chose the branch (independent-dimension
+        # semantics); mixed branch+mate conjuncts were rejected above.
+        # Events of one MULTI-EVENT branch (round 5, session 2) form
+        # their own alignment dimension — their tuples zip per
+        # repetition that chose the branch.
         var_group = {
             s.var: s.group for s in slots
             if s.group is not None and s.var not in branch_vars
         }
+        for s in slots:
+            if s.group is not None and s.var in branch_vars and s.br_len > 1:
+                var_group[s.var] = (s.group, s.grp_idx, s.br)
         alternatives.append(
             CompiledAlternative(
                 alt_id, slots, states, neg_specs, span_idx, var_order,

@@ -294,6 +294,9 @@ def merge_compiled(cps) -> CompiledPattern:
                     s.group,
                     s.grp_idx,
                     s.grp_kind,
+                    s.br,
+                    s.br_idx,
+                    s.br_len,
                     tuple(sorted(s.prereq)),
                 )
 
@@ -341,6 +344,9 @@ def merge_compiled(cps) -> CompiledPattern:
                         None if s.group is None else m_gid[s.group],
                         s.grp_idx,
                         s.grp_kind,
+                        s.br,
+                        s.br_idx,
+                        s.br_len,
                     )
                     m_slots.append(ms)
                     slot_of_sig[sig] = ms

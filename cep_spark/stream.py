@@ -1090,6 +1090,11 @@ def _pattern_fp(cp, w_ns):
              tuple(sorted(s.prereq)),
              None if s.adjacent is None else _cond_fp(s.adjacent),
              s.group, s.grp_idx, s.grp_kind)
+            # multi-event Or_ branches extend the tuple (round 5,
+            # session 2) — appended conditionally so fingerprints of
+            # branch-free families (all existing checkpoints) are
+            # unchanged
+            + ((s.br, s.br_idx, s.br_len) if s.br_len > 1 else ())
             for s in alt.slots
         )
         negs = tuple(

@@ -30,13 +30,23 @@ def _unbounded_group_names(node) -> list:
         if not isinstance(node.inner, Ev) and node.max_len is None:
             # positive leaves only: a Neg between leaves is not part of
             # the emitted binding (round 4: Neg inside unbounded groups);
-            # an Or_ position contributes every branch name (round 5)
+            # an Or_ position contributes every branch name (round 5),
+            # a Seq branch every event name (round 5, session 2); a
+            # bare Or_ inner is a single position of branches
+            positions = (
+                [node.inner] if isinstance(node.inner, Or_)
+                else node.inner.parts
+            )
             names = []
-            for p in node.inner.parts:
+            for p in positions:
                 if isinstance(p, Ev):
                     names.append(p.name)
                 elif isinstance(p, Or_):
-                    names.extend(b.name for b in p.parts)
+                    for b in p.parts:
+                        if isinstance(b, Seq):
+                            names.extend(x.name for x in b.parts)
+                        else:
+                            names.append(b.name)
             return [names]
         return _unbounded_group_names(node.inner)
     if isinstance(node, Neg):

@@ -254,6 +254,43 @@ PATTERNS = {
             Ev("t", role="user")),
         window=timedelta(minutes=5),
     ),
+    # round 5, session 2: a multi-event (Seq) branch — the repetition
+    # that chooses it binds w then x before the position completes
+    "seq_branch_in_group": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"), Ev("x", role="tool")),
+                           Ev("y", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    # bare Or_ with a Seq branch: single-position group that goes MID
+    # while inside the multi-event branch
+    "seq_branch_bare_or": Pattern(
+        Seq(Kleene(Or_(Seq(Ev("w", role="assistant"), Ev("x", role="tool")),
+                       Ev("y", role="tool"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    # same-branch conjunct (zips per repetition that chose the branch)
+    # + branch var vs a variable outside the group (per element)
+    "seq_branch_conds": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"), Ev("x", role="tool")),
+                           Ev("y", role="assistant")))),
+            Ev("t", role="user")),
+        where=(attr("x", "value") > attr("w", "value"))
+        & (attr("y", "value") < attr("t", "value")),
+        window=timedelta(minutes=5),
+    ),
+    # per-repetition gap Neg guarding a Seq-branch position's ENTRY bind
+    "seq_branch_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Neg(Ev("n", role="user")),
+                       Or_(Seq(Ev("w", role="assistant"), Ev("x", role="tool")),
+                           Ev("y", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
 }
 
 
@@ -723,8 +760,10 @@ def test_bounded_group_or_equals_chain_expansion():
 
 def test_or_in_group_rejects():
     """Or_-in-group guard rails: a multi-var conjunct pairing a branch
-    var with a same-group mate has undefined per-repetition alignment
-    and must be rejected loudly; non-leaf Or_ branches stay rejected."""
+    var with a same-group mate OUTSIDE its own branch has undefined
+    per-repetition alignment and must be rejected loudly; branches
+    deeper than a Seq of leaves (UNBOUNDED nested Kleene, Neg inside a
+    branch, nested Or_) stay rejected."""
     import pytest
 
     with pytest.raises(ValueError, match="same-group"):
@@ -736,10 +775,32 @@ def test_or_in_group_rejects():
             where=attr("w", "value") > attr("u", "value"),
             window=timedelta(minutes=5),
         ))
+    # cross-branch pairing: w and x never bind in the same repetition
+    with pytest.raises(ValueError, match="same-group"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Or_(Seq(Ev("w", role="assistant"),
+                                   Ev("y", role="user")),
+                               Ev("x", role="tool")))),
+                Ev("t", role="user")),
+            where=attr("w", "value") > attr("x", "value"),
+            window=timedelta(minutes=5),
+        ))
+    # UNBOUNDED nested Kleene inside the repetition has no chain
+    # expansion to branch on
+    with pytest.raises(ValueError, match="Seq of plain event leaves"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Kleene(Ev("w", role="assistant")))),
+                Ev("t", role="user")),
+            window=timedelta(minutes=5),
+        ))
+    # a Neg inside a branch Seq has no per-repetition gap definition
     with pytest.raises(ValueError, match="Seq of plain event leaves"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("u", role="user"),
                            Or_(Seq(Ev("w", role="assistant"),
+                                   Neg(Ev("n", role="user")),
                                    Ev("y", role="user")),
                                Ev("x", role="tool")))),
                 Ev("t", role="user")),
@@ -860,3 +921,109 @@ def test_kleene_bare_or_vs_replica(name):
         assert m == o, f"{name} trial {trial}\nnfa={m}\nrep={o}\n{g}"
         nonzero += bool(m)
     assert nonzero > 0
+
+
+# ---------------------------------------------------------------------------
+# round 5, session 2: BOUNDED leaf Kleene nested inside an unbounded
+# group repetition — pre-expanded to Or_ branch chains (b__r_j) by
+# compiler._expand_nested_bounded.
+
+
+def _flat(px):
+    return tuple(sorted(px)) if isinstance(px, tuple) else (px,)
+
+
+def _canon_nested_group(res):
+    """Group-lowering binding -> (u events, all nested-b events, t).
+    The nested chains decompose b differently per lowering, so parity
+    compares the flattened per-variable event sets."""
+    out = set()
+    for _a, b in res:
+        u = _flat(b["u"])
+        bb = tuple(sorted(p for v in b if v.startswith("b__")
+                          for p in _flat(b[v])))
+        out.add((u, bb, _flat(b["t"])))
+    return out
+
+
+def _canon_nested_chain(res, R):
+    out = set()
+    for _a, b in res:
+        u = tuple(sorted(p for j in range(1, R + 1)
+                         if f"u__{j}" in b for p in _flat(b[f"u__{j}"])))
+        bb = tuple(sorted(p for v in b if v.startswith("b__")
+                          for p in _flat(b[v])))
+        out.add((u, bb, _flat(b["t"])))
+    return out
+
+
+def _nested_pat(outer_max, where=None, adjacent=None):
+    inner = Kleene(Ev("b", role="assistant"), max_len=2, adjacent=adjacent)
+    kw = {} if where is None else {"where": where}
+    return Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), inner), max_len=outer_max),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5), **kw,
+    )
+
+
+@pytest.mark.parametrize("variant", ["plain", "where", "adjacent"])
+def test_nested_bounded_kleene_group_equals_chain(variant):
+    """Bounded outer: the forced group lowering (nested Kleene ->
+    branch chains) must match the default chain expansion (nested
+    Kleene stays a per-repetition leaf-Kleene slot) on flattened
+    per-variable event sets."""
+    where = adjacent = None
+    if variant == "where":
+        where = (attr("b", "value") > 20.0) & (
+            attr("b", "value") < attr("t", "value"))
+    elif variant == "adjacent":
+        adjacent = attr("b", "value") > attr("b__prev", "value")
+    pat = _nested_pat(2, where=where, adjacent=adjacent)
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+    rng = np.random.default_rng(0x5E57ED)
+    nonzero = 0
+    for trial in range(60):
+        g = _gen_group(trial * 19 + 3, int(rng.integers(3, 11)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        mg = _canon_nested_group(match_group_nfa(cp_group, gs))
+        mc = _canon_nested_chain(match_group_nfa(cp_chain, gs), 2)
+        assert mg == mc, f"{variant} trial {trial}\n{g}"
+        nonzero += bool(mg)
+    assert nonzero > 0
+
+
+def test_nested_bounded_kleene_in_unbounded_group():
+    """UNBOUNDED outer with a nested bounded Kleene: matches must equal
+    the chain expansion of the same pattern bounded at n repetitions
+    (which cannot exclude any match in an n-event group)."""
+    pat_unb = _nested_pat(None)
+    cp_unb = compile_pattern(pat_unb)
+    # the pre-expansion names the nested chains b__r_j as branch slots
+    slots = cp_unb.alternatives[0].slots
+    assert sorted(s.var for s in slots if s.var.startswith("b__")) == [
+        "b__1_1", "b__2_1", "b__2_2"]
+    assert {s.br_len for s in slots if s.var.startswith("b__2")} == {2}
+    rng = np.random.default_rng(0x0E57)
+    nonzero = 0
+    for trial in range(40):
+        g = _gen_group(trial * 13 + 5, int(rng.integers(3, 10)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        n = len(gs)
+        cp_bn = compile_pattern(_nested_pat(max(1, n)))
+        mu = _canon_nested_group(match_group_nfa(cp_unb, gs))
+        mc = _canon_nested_chain(match_group_nfa(cp_bn, gs), max(1, n))
+        assert mu == mc, f"trial {trial}\n{g}"
+        nonzero += bool(mu)
+    assert nonzero > 0
+
+
+def test_nested_unbounded_kleene_still_rejected():
+    with pytest.raises(ValueError, match="Seq of plain event leaves"):
+        compile_pattern(_nested_pat(None).__class__(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Kleene(Ev("b", role="assistant")))),
+                Ev("t", role="tool")),
+            window=timedelta(minutes=5),
+        ))

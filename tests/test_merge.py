@@ -263,7 +263,8 @@ def _leaf(draw):
 @st.composite
 def _suffix_part(draw):
     kind = draw(st.sampled_from(["leaf", "leaf", "kleene", "neg_then_leaf",
-                                 "group", "group_or", "bare_or"]))
+                                 "group", "group_or", "bare_or",
+                                 "group_seq_or", "group_nested_k"]))
     if kind == "kleene":
         return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
     if kind == "neg_then_leaf":
@@ -282,6 +283,21 @@ def _suffix_part(draw):
     if kind == "bare_or":
         from cep_spark.pattern import Or_
         return [Kleene(Or_(draw(_leaf()), draw(_leaf())), max_len=None)]
+    if kind == "group_seq_or":
+        # round 5, session 2: a multi-event (Seq) branch — br/br_idx/
+        # br_len join the slot signature, so same layouts share and a
+        # 2-event branch never merges with two 1-event branches
+        from cep_spark.pattern import Or_
+        return [Kleene(Seq(draw(_leaf()),
+                           Or_(Seq(draw(_leaf()), draw(_leaf())),
+                               draw(_leaf()))),
+                       max_len=None)]
+    if kind == "group_nested_k":
+        # nested BOUNDED leaf Kleene inside the repetition (pre-expands
+        # to branch chains b__r_j)
+        return [Kleene(Seq(draw(_leaf()),
+                           Kleene(draw(_leaf()), max_len=2)),
+                       max_len=None)]
     return [draw(_leaf())]
 
 

@@ -69,7 +69,8 @@ def kleene_node(draw):
     shape = draw(st.sampled_from(
         ["leaf", "leaf", "adjacent", "composite", "group",
          "group_neg", "group_lead_neg", "group_trail_neg", "and_group",
-         "group_or", "group_or_neg", "group_bare_or"]
+         "group_or", "group_or_neg", "group_bare_or", "group_seq_or",
+         "group_seq_or_neg"]
     ))
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
@@ -87,6 +88,23 @@ def kleene_node(draw):
         # the unbounded path has its own dedicated replica test
         # (test_group_kleene.test_kleene_bare_or_vs_replica)
         return Kleene(Or_(draw(leaf()), draw(leaf())), max_len=2)
+    if shape == "group_seq_or":
+        # round 5, session 2: a multi-event (Seq) branch at a
+        # repetition position — the chosen branch binds its events in
+        # order before the position completes
+        return Kleene(
+            Seq(draw(leaf()),
+                Or_(Seq(draw(leaf()), draw(leaf())), draw(leaf()))),
+            max_len=None,
+        )
+    if shape == "group_seq_or_neg":
+        # ... with a per-repetition gap Neg guarding the branch
+        # position's entry bind
+        return Kleene(
+            Seq(draw(leaf()), Neg(draw(leaf())),
+                Or_(Seq(draw(leaf()), draw(leaf())), draw(leaf()))),
+            max_len=None,
+        )
     if shape == "group_or_neg":
         return Kleene(
             Seq(draw(leaf()), Neg(draw(leaf())),

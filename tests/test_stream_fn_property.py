@@ -140,6 +140,21 @@ PATTERNS = {
                                       Ev("c", role="tool"))),
                            Ev("t", role="assistant")),
                        window=timedelta(seconds=120)),
+    # round 5, session 2: multi-event (Seq) branch — the mid-branch
+    # pointer state must survive the incremental executor's persisted
+    # partial tables across micro-batches
+    "group_seq_or": Pattern(Seq(Kleene(Seq(Ev("u", role="user"),
+                                           Or_(Seq(Ev("w", role="assistant"),
+                                                   Ev("x", role="tool")),
+                                               Ev("y", role="assistant")))),
+                                Ev("t", role="user")),
+                            window=timedelta(seconds=180)),
+    # nested BOUNDED leaf Kleene (pre-expanded to branch chains b__r_j)
+    "group_nested_k": Pattern(Seq(Kleene(Seq(Ev("u", role="user"),
+                                             Kleene(Ev("b", role="assistant"),
+                                                    max_len=2))),
+                                  Ev("t", role="tool")),
+                              window=timedelta(seconds=180)),
 }
 
 
