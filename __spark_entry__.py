@@ -857,6 +857,198 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 2): a MULTI-EVENT (Seq) branch inside the Or_
+# position — every repetition binds a 'view' then EITHER ('click' w,
+# 'signup' x — in order, bound together before the position completes)
+# OR a single 'error' y (compiler Slot.br/br_idx/br_len; _successors'
+# (position, branch, next_idx) mid pointer).  The oracle pre-computes
+# single-repetition units in a `reps` CTE (u+(w,x) | u+y) and chains
+# them recursively; a branch never chosen emits NULL len/first/last.
+
+_KLEENE_GROUP_SEQ_OR_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(Seq(Ev("w", event_type="click"),
+                           Ev("x", event_type="signup")),
+                       Ev("y", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_group_seq_or_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_SEQ_OR_PAT), mode="flat")
+
+
+def _kleene_group_seq_or_oracle() -> str:
+    w = int(_KLEENE_GROUP_SEQ_OR_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE reps AS (
+  SELECT u.user_id, u.event_id AS u_id, u.ts AS u_ts,
+         w.event_id AS w_id, x.event_id AS x_id,
+         CAST(NULL AS BIGINT) AS y_id,
+         x.event_id AS last_id, x.ts AS last_ts
+  FROM events u
+  JOIN events w ON w.user_id = u.user_id
+  JOIN events x ON x.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND x.event_type = 'signup'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND (w.ts < x.ts OR (w.ts = x.ts AND w.event_id < x.event_id))
+    AND EPOCH(x.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), y.event_id,
+         y.event_id, y.ts
+  FROM events u JOIN events y ON y.user_id = u.user_id
+  WHERE u.event_type = 'view' AND y.event_type = 'error'
+    AND (u.ts < y.ts OR (u.ts = y.ts AND u.event_id < y.event_id))
+    AND EPOCH(y.ts) - EPOCH(u.ts) <= {w}
+),
+chains AS (
+  SELECT user_id, u_id AS u_first, u_id AS u_last, u_ts AS first_ts,
+         1 AS r,
+         CASE WHEN w_id IS NOT NULL THEN 1 ELSE 0 END AS w_cnt,
+         w_id AS w_first, w_id AS w_last,
+         CASE WHEN x_id IS NOT NULL THEN 1 ELSE 0 END AS x_cnt,
+         x_id AS x_first, x_id AS x_last,
+         CASE WHEN y_id IS NOT NULL THEN 1 ELSE 0 END AS y_cnt,
+         y_id AS y_first, y_id AS y_last,
+         last_id, last_ts
+  FROM reps
+  UNION ALL
+  SELECT s.user_id, s.u_first, t.u_id, s.first_ts, s.r + 1,
+         s.w_cnt + CASE WHEN t.w_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.w_first, t.w_id), COALESCE(t.w_id, s.w_last),
+         s.x_cnt + CASE WHEN t.x_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.x_first, t.x_id), COALESCE(t.x_id, s.x_last),
+         s.y_cnt + CASE WHEN t.y_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.y_first, t.y_id), COALESCE(t.y_id, s.y_last),
+         t.last_id, t.last_ts
+  FROM chains s JOIN reps t ON t.user_id = s.user_id
+  WHERE (s.last_ts < t.u_ts OR (s.last_ts = t.u_ts AND s.last_id < t.u_id))
+    AND EPOCH(t.last_ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CASE WHEN s.w_cnt > 0 THEN CAST(s.w_cnt AS BIGINT) END AS w_len,
+       CAST(s.w_first AS BIGINT) AS w_first,
+       CAST(s.w_last AS BIGINT) AS w_last,
+       CASE WHEN s.x_cnt > 0 THEN CAST(s.x_cnt AS BIGINT) END AS x_len,
+       CAST(s.x_first AS BIGINT) AS x_first,
+       CAST(s.x_last AS BIGINT) AS x_last,
+       CASE WHEN s.y_cnt > 0 THEN CAST(s.y_cnt AS BIGINT) END AS y_len,
+       CAST(s.y_first AS BIGINT) AS y_first,
+       CAST(s.y_last AS BIGINT) AS y_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
+# round 5 (session 2): a BOUNDED leaf Kleene nested inside the UNBOUNDED
+# repetition — compiler._expand_nested_bounded pre-expands Kleene(b,
+# max_len=2) to branch chains b__1_1 | (b__2_1, b__2_2), so each
+# repetition binds a 'view' then one or two 'click's without bounding
+# the OUTER repetition count.  Same reps-CTE shape as
+# cep_kleene_group_seq_or with the chain-instance variable names.
+
+_KLEENE_NESTED_BOUNDED_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Kleene(Ev("b", event_type="click"), max_len=2))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_nested_bounded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_NESTED_BOUNDED_PAT),
+                     mode="flat")
+
+
+def _kleene_nested_bounded_oracle() -> str:
+    w = int(_KLEENE_NESTED_BOUNDED_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE reps AS (
+  SELECT u.user_id, u.event_id AS u_id, u.ts AS u_ts,
+         b.event_id AS b11_id,
+         CAST(NULL AS BIGINT) AS b21_id, CAST(NULL AS BIGINT) AS b22_id,
+         b.event_id AS last_id, b.ts AS last_ts
+  FROM events u JOIN events b ON b.user_id = u.user_id
+  WHERE u.event_type = 'view' AND b.event_type = 'click'
+    AND (u.ts < b.ts OR (u.ts = b.ts AND u.event_id < b.event_id))
+    AND EPOCH(b.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), b1.event_id, b2.event_id,
+         b2.event_id, b2.ts
+  FROM events u
+  JOIN events b1 ON b1.user_id = u.user_id
+  JOIN events b2 ON b2.user_id = u.user_id
+  WHERE u.event_type = 'view' AND b1.event_type = 'click'
+    AND b2.event_type = 'click'
+    AND (u.ts < b1.ts OR (u.ts = b1.ts AND u.event_id < b1.event_id))
+    AND (b1.ts < b2.ts OR (b1.ts = b2.ts AND b1.event_id < b2.event_id))
+    AND EPOCH(b2.ts) - EPOCH(u.ts) <= {w}
+),
+chains AS (
+  SELECT user_id, u_id AS u_first, u_id AS u_last, u_ts AS first_ts,
+         1 AS r,
+         CASE WHEN b11_id IS NOT NULL THEN 1 ELSE 0 END AS b11_cnt,
+         b11_id AS b11_first, b11_id AS b11_last,
+         CASE WHEN b21_id IS NOT NULL THEN 1 ELSE 0 END AS b21_cnt,
+         b21_id AS b21_first, b21_id AS b21_last,
+         CASE WHEN b22_id IS NOT NULL THEN 1 ELSE 0 END AS b22_cnt,
+         b22_id AS b22_first, b22_id AS b22_last,
+         last_id, last_ts
+  FROM reps
+  UNION ALL
+  SELECT s.user_id, s.u_first, t.u_id, s.first_ts, s.r + 1,
+         s.b11_cnt + CASE WHEN t.b11_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.b11_first, t.b11_id), COALESCE(t.b11_id, s.b11_last),
+         s.b21_cnt + CASE WHEN t.b21_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.b21_first, t.b21_id), COALESCE(t.b21_id, s.b21_last),
+         s.b22_cnt + CASE WHEN t.b22_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.b22_first, t.b22_id), COALESCE(t.b22_id, s.b22_last),
+         t.last_id, t.last_ts
+  FROM chains s JOIN reps t ON t.user_id = s.user_id
+  WHERE (s.last_ts < t.u_ts OR (s.last_ts = t.u_ts AND s.last_id < t.u_id))
+    AND EPOCH(t.last_ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CASE WHEN s.b11_cnt > 0 THEN CAST(s.b11_cnt AS BIGINT) END AS b__1_1_len,
+       CAST(s.b11_first AS BIGINT) AS b__1_1_first,
+       CAST(s.b11_last AS BIGINT) AS b__1_1_last,
+       CASE WHEN s.b21_cnt > 0 THEN CAST(s.b21_cnt AS BIGINT) END AS b__2_1_len,
+       CAST(s.b21_first AS BIGINT) AS b__2_1_first,
+       CAST(s.b21_last AS BIGINT) AS b__2_1_last,
+       CASE WHEN s.b22_cnt > 0 THEN CAST(s.b22_cnt AS BIGINT) END AS b__2_2_len,
+       CAST(s.b22_first AS BIGINT) AS b__2_2_first,
+       CAST(s.b22_last AS BIGINT) AS b__2_2_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
 # ---------------------------------------------------------------------------
 # udf_pred (the reference's arbitrary-lambda conditions, SURVEY.md §2.2):
 # a vectorized user predicate has NO SQL lowering by design, so this entry
@@ -1125,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_or"] = _kleene_group_or_query
     out["cep_kleene_bare_or"] = _kleene_bare_or_query
     out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_query
+    out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_query
+    out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
@@ -1148,6 +1342,8 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_or"] = _kleene_group_or_oracle()
     out["cep_kleene_bare_or"] = _kleene_bare_or_oracle()
     out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_oracle()
+    out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_oracle()
+    out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()
