@@ -533,10 +533,15 @@ def _stream_incremental(df, cp: CompiledPattern, out_schema, mode, emit_cols, w_
 
 
 def _binding_of(p: "_Partials", j: int) -> dict:
-    """Reconstruct a matcher binding from row j of a partial table."""
+    """Reconstruct a matcher binding from row j of a partial table.
+    An empty kleene tuple means an Or_-branch variable no repetition
+    chose (see _park_partials) — the matcher represents that as an
+    ABSENT key, and flat emission turns it into NULL columns."""
     b = {v: int(p.scalar[v][j]) for v in p.scalar}
     for v in p.kleene:
-        b[v] = tuple(p.kleene[v][j])
+        t = p.kleene[v][j]
+        if len(t):
+            b[v] = tuple(t)
     return b
 
 
@@ -553,7 +558,11 @@ def _park_partials(alt, bindings, ts_ns) -> "_Partials":
         v: np.fromiter((b[v] for b in bindings), dtype=np.int64, count=m)
         for v in svars
     }
-    p.kleene = {v: _obj_array([b[v] for b in bindings]) for v in kvars}
+    # b.get: an Or_-branch variable is ABSENT from bindings whose
+    # repetitions all chose a sibling branch — park it as the empty
+    # tuple (a real kleene bind is never empty; min one repetition),
+    # _binding_of reconstructs the absence on unpark
+    p.kleene = {v: _obj_array([b.get(v, ()) for b in bindings]) for v in kvars}
     firsts = np.empty(m, dtype=np.int64)
     lasts = np.empty(m, dtype=np.int64)
     for j, b in enumerate(bindings):

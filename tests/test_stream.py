@@ -148,6 +148,33 @@ def test_parity_sealed_subset(spark, events_pdf, tmp_path):
     assert sorted(got_rows) == sorted(expected)
 
 
+def test_parity_branch_group(spark, events_pdf, tmp_path):
+    """Round 5: a multi-event (Seq) branch inside an Or_ position of an
+    UNBOUNDED group through the REAL streaming state store — the
+    (position, branch, next_idx) mid pointer and the branch partial
+    tables must survive pickled state roundtrips across micro-batches.
+    A flush event seals everything: stream == batch exactly."""
+    from cep_spark.pattern import Or_
+
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("u", event_type="view"),
+                       Or_(Seq(Ev("w", event_type="click"),
+                               Ev("x", event_type="signup")),
+                           Ev("y", event_type="error")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=12),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_brgrp")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    assert got.count() == 5  # pinned from the sf0.001 entry-shape probe
+
+
 def test_disorder_within_watermark(spark, events_pdf, tmp_path):
     """Arrival order shuffled within a bounded disorder window; watermark
     covers the disorder -> same matches as in-order batch."""

@@ -155,6 +155,14 @@ PATTERNS = {
                                                     max_len=2))),
                                   Ev("t", role="tool")),
                               window=timedelta(seconds=180)),
+    # regression (round 5, session 3): PATTERN-trailing Neg parks
+    # matches whose Or_-branch vars may be ABSENT (all repetitions chose
+    # the sibling) — _park_partials must pack absence, not KeyError
+    "group_or_parked": Pattern(Seq(Kleene(Seq(Ev("u", role="user"),
+                                              Or_(Ev("w", role="assistant"),
+                                                  Ev("x", role="tool")))),
+                                   Neg(Ev("n", role="tool"))),
+                               window=timedelta(seconds=120)),
 }
 
 
@@ -489,4 +497,38 @@ def test_incremental_fn_exactly_once_parity(sc):
     want = _canon_rows([matches_to_pdf_flat(cp, g2, "k0", res=res)]) if res else []
     assert got == want, f"{name}: stream={got}\nbatch={want}\ncuts={cuts}\n{g}"
     # drained key must free its state-store entry
+    assert state.removed or not state.exists
+
+
+def test_park_absent_branch_var_regression():
+    """Pinned from a 500-example hypothesis run (round 5, session 3):
+    a trailing Neg at pattern end parks accepted matches; a match whose
+    repetitions all chose ONE Or_ branch has NO binding for the sibling
+    branch var, and _park_partials raised KeyError packing it.  The
+    fix parks absence as an empty tuple and _binding_of reconstructs
+    the absent key."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("v1", role="user"),
+                       Or_(Ev("v2", role="assistant"),
+                           Ev("v3", role="tool")))),
+            Neg(Ev("v4", role="assistant"))),
+        window=timedelta(seconds=120),
+    )
+    cp = compile_pattern(pat)
+    ts0 = pd.Timestamp("2026-01-01")
+    g = pd.DataFrame({
+        "conv_id": "k0",
+        "turn_idx": np.arange(4, dtype=np.int32),
+        "role": ["user", "tool", "user", "tool"],  # v3-only repetitions
+        "tool": ["python", "sql", "sql", "sql"],
+        "ts": (ts0 + pd.to_timedelta([0, 20, 40, 60], unit="s")
+               ).astype("datetime64[us]"),
+        "value": [60.7, 72.9, 54.4, 93.5],
+    })
+    final_wm = int(g["ts"].max().value // 1_000_000) + 10_000_000
+    out, state = _drive(cp, [g.iloc[:2], g.iloc[2:]], final_wm)
+    got = _canon_rows(out)
+    res = match_group_nfa(cp, g)
+    want = _canon_rows([matches_to_pdf_flat(cp, g, "k0", res=res)])
+    assert got == want and len(got) > 0
     assert state.removed or not state.exists
