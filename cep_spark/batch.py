@@ -900,7 +900,9 @@ def array_match_rows(cp, key_val, emit_cols, res, cols) -> list:
         mpos: list = []
         mvar: list = []
         for v in alt.var_order:
-            p = binding[v]
+            p = binding.get(v)
+            if p is None:
+                continue  # Or_-branch var no repetition chose
             if isinstance(p, tuple):
                 mpos.extend(p)
                 mvar.extend([v] * len(p))

@@ -448,7 +448,7 @@ def test_group_identity_in_slot_signature():
 # streaming strategy='shared' — the merged automaton in the state store
 
 
-def _mergeable_stream_family(mixed_windows=False):
+def _mergeable_stream_family(mixed_windows=False, with_group=False):
     a = Ev("a", role="user")
     b = Ev("b", role="assistant")
     w = timedelta(seconds=120)
@@ -463,7 +463,7 @@ def _mergeable_stream_family(mixed_windows=False):
         struct, where=where if where is not None else TRUE, window=win,
         pattern_id=pid,
     )
-    return [
+    fam = [
         mk(Seq(a, b, Ev("c", role="tool")), "p_fun", ws[0]),
         mk(Seq(a, b, Ev("d", role="user")), "p_up", ws[1],
            where=attr("d", "value") > attr("a", "value")),
@@ -471,14 +471,27 @@ def _mergeable_stream_family(mixed_windows=False):
         mk(Seq(a, Kleene(Ev("k", role="assistant")), Ev("e", role="tool")),
            "p_kleene", ws[3]),
     ]
+    if with_group:
+        # branch-group + PATTERN-trailing Neg: its own merge component;
+        # parks matches whose Or_-branch vars may be absent (the
+        # round-5 _park_partials regression, through the MULTI path)
+        from cep_spark.pattern import Or_
+        fam.append(
+            mk(Seq(Kleene(Seq(Ev("u", role="user"),
+                              Or_(Ev("v", role="assistant"),
+                                  Ev("x", role="tool")))),
+                   Neg(Ev("m", role="assistant"))),
+               "p_grp", ws[1])
+        )
+    return fam
 
 
 @settings(max_examples=120, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(seed=st.integers(0, 2**31), n=st.integers(2, 24),
        cuts=st.lists(st.integers(0, 24), max_size=4),
-       mixed=st.booleans())
-def test_stream_shared_exactly_once_parity(seed, n, cuts, mixed):
+       mixed=st.booleans(), grp=st.booleans())
+def test_stream_shared_exactly_once_parity(seed, n, cuts, mixed, grp):
     """strategy='shared' streaming (merged automaton in the state store,
     per-tag trailing-neg parking) == per-pattern multi streaming == the
     union of batch runs over the effective rows — exactly once.  With
@@ -492,7 +505,8 @@ def test_stream_shared_exactly_once_parity(seed, n, cuts, mixed):
     from cep_spark.batch import matches_to_pdf_array
 
     cps = [compile_pattern(p)
-           for p in _mergeable_stream_family(mixed_windows=mixed)]
+           for p in _mergeable_stream_family(mixed_windows=mixed,
+                                             with_group=grp)]
     g = _group(seed, n=n)
     cuts = sorted(min(c, n) for c in cuts)
     bounds = [0] + cuts + [n]

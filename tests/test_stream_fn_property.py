@@ -532,3 +532,11 @@ def test_park_absent_branch_var_regression():
     want = _canon_rows([matches_to_pdf_flat(cp, g, "k0", res=res)])
     assert got == want and len(got) > 0
     assert state.removed or not state.exists
+    # array-mode emission hit the same assumption (binding[v] KeyError
+    # in array_match_rows) — the absent branch var contributes no
+    # matched-struct entries
+    from cep_spark.batch import matches_to_pdf_array
+
+    arr = matches_to_pdf_array(cp, g, "k0", ("turn_idx",), res=res)
+    assert len(arr) == len(res)
+    assert all(m["var"] != "v2" for row in arr["matched"] for m in row)
