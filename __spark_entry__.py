@@ -1049,6 +1049,113 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 4): a Neg strictly BETWEEN two leaves of a Seq
+# branch — the within-repetition gap (w_j, x_j) must be 'error'-free in
+# exactly the repetitions that CHOSE the (click, signup) branch;
+# repetitions that bind the single-'error' y branch carry no gap check
+# (compiler._collect registers the spec on the branch's mid sub-slot;
+# semantics defined by the bounded chain expansion).  Oracle = the
+# cep_kleene_group_seq_or reps CTE with a NOT EXISTS inside the
+# two-event branch's unit: strict interleaving guarantees no event
+# bound elsewhere in the match can lie inside a (w_j, x_j) gap, so the
+# raw NOT EXISTS is exact.
+
+_KLEENE_GROUP_BR_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(Seq(Ev("w", event_type="click"),
+                           Neg(Ev("n", event_type="error")),
+                           Ev("x", event_type="signup")),
+                       Ev("y", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_group_br_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_BR_NEG_PAT),
+                     mode="flat")
+
+
+def _kleene_group_br_neg_oracle() -> str:
+    w = int(_KLEENE_GROUP_BR_NEG_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE reps AS (
+  SELECT u.user_id, u.event_id AS u_id, u.ts AS u_ts,
+         w.event_id AS w_id, x.event_id AS x_id,
+         CAST(NULL AS BIGINT) AS y_id,
+         x.event_id AS last_id, x.ts AS last_ts
+  FROM events u
+  JOIN events w ON w.user_id = u.user_id
+  JOIN events x ON x.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND x.event_type = 'signup'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND (w.ts < x.ts OR (w.ts = x.ts AND w.event_id < x.event_id))
+    AND EPOCH(x.ts) - EPOCH(u.ts) <= {w}
+    AND NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = u.user_id AND n.event_type = 'error'
+        AND (w.ts < n.ts OR (w.ts = n.ts AND w.event_id < n.event_id))
+        AND (n.ts < x.ts OR (n.ts = x.ts AND n.event_id < x.event_id)))
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), y.event_id,
+         y.event_id, y.ts
+  FROM events u JOIN events y ON y.user_id = u.user_id
+  WHERE u.event_type = 'view' AND y.event_type = 'error'
+    AND (u.ts < y.ts OR (u.ts = y.ts AND u.event_id < y.event_id))
+    AND EPOCH(y.ts) - EPOCH(u.ts) <= {w}
+),
+chains AS (
+  SELECT user_id, u_id AS u_first, u_id AS u_last, u_ts AS first_ts,
+         1 AS r,
+         CASE WHEN w_id IS NOT NULL THEN 1 ELSE 0 END AS w_cnt,
+         w_id AS w_first, w_id AS w_last,
+         CASE WHEN x_id IS NOT NULL THEN 1 ELSE 0 END AS x_cnt,
+         x_id AS x_first, x_id AS x_last,
+         CASE WHEN y_id IS NOT NULL THEN 1 ELSE 0 END AS y_cnt,
+         y_id AS y_first, y_id AS y_last,
+         last_id, last_ts
+  FROM reps
+  UNION ALL
+  SELECT s.user_id, s.u_first, t.u_id, s.first_ts, s.r + 1,
+         s.w_cnt + CASE WHEN t.w_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.w_first, t.w_id), COALESCE(t.w_id, s.w_last),
+         s.x_cnt + CASE WHEN t.x_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.x_first, t.x_id), COALESCE(t.x_id, s.x_last),
+         s.y_cnt + CASE WHEN t.y_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.y_first, t.y_id), COALESCE(t.y_id, s.y_last),
+         t.last_id, t.last_ts
+  FROM chains s JOIN reps t ON t.user_id = s.user_id
+  WHERE (s.last_ts < t.u_ts OR (s.last_ts = t.u_ts AND s.last_id < t.u_id))
+    AND EPOCH(t.last_ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CASE WHEN s.w_cnt > 0 THEN CAST(s.w_cnt AS BIGINT) END AS w_len,
+       CAST(s.w_first AS BIGINT) AS w_first,
+       CAST(s.w_last AS BIGINT) AS w_last,
+       CASE WHEN s.x_cnt > 0 THEN CAST(s.x_cnt AS BIGINT) END AS x_len,
+       CAST(s.x_first AS BIGINT) AS x_first,
+       CAST(s.x_last AS BIGINT) AS x_last,
+       CASE WHEN s.y_cnt > 0 THEN CAST(s.y_cnt AS BIGINT) END AS y_len,
+       CAST(s.y_first AS BIGINT) AS y_first,
+       CAST(s.y_last AS BIGINT) AS y_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
 # ---------------------------------------------------------------------------
 # udf_pred (the reference's arbitrary-lambda conditions, SURVEY.md §2.2):
 # a vectorized user predicate has NO SQL lowering by design, so this entry
@@ -1318,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_bare_or"] = _kleene_bare_or_query
     out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_query
     out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_query
+    out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_query
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
@@ -1343,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_bare_or"] = _kleene_bare_or_oracle()
     out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_oracle()
     out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_oracle()
+    out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_oracle()
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()

@@ -273,10 +273,26 @@ def _validate_group_inner(node: Kleene) -> None:
     def _branch_ok(b):
         # a branch is a plain leaf or (round 5, session 2) a Seq of
         # plain leaves — the repetition that chooses it binds the
-        # branch's events in order before the position completes
-        return isinstance(b, Ev) or (
-            isinstance(b, Seq) and all(isinstance(x, Ev) for x in b.parts)
-        )
+        # branch's events in order before the position completes.
+        # Session 4: a Neg STRICTLY BETWEEN two branch leaves guards
+        # that within-repetition gap, in exactly the repetitions that
+        # choose the branch (the bounded chain expansion's semantics).
+        # Leading/trailing Negs inside a branch stay rejected: their
+        # gap boundary is the neighbouring POSITION's bind, which a
+        # statically-attached spec cannot condition on the branch
+        # choice.
+        if isinstance(b, Ev):
+            return True
+        if not (isinstance(b, Seq) and b.parts):
+            return False
+        if not (isinstance(b.parts[0], Ev) and isinstance(b.parts[-1], Ev)):
+            return False
+        if any(
+            isinstance(x, Neg) and isinstance(y, Neg)
+            for x, y in zip(b.parts, b.parts[1:])
+        ):
+            return False
+        return all(isinstance(x, (Ev, Neg)) for x in b.parts)
 
     def _seq_part_ok(p):
         # a position is a plain leaf, a Neg guarding a gap, or (round 5)
@@ -325,7 +341,10 @@ def _validate_group_inner(node: Kleene) -> None:
             "repetition gap attaches to the following part, or is "
             "window-bounded when the Kleene ends the pattern) — "
             "positions may be Or_ alternations whose branches are "
-            "leaves or Seqs of leaves — or And_ of plain event leaves "
+            "leaves or Seqs of leaves (optionally with Negs strictly "
+            "BETWEEN two branch leaves — within-repetition gaps for "
+            "the repetitions that choose the branch) — or And_ of "
+            "plain event leaves "
             "(each repetition binds them in any arrival order, no Negs "
             "inside); deeper nesting inside the repetition requires "
             "max_len — those expand to fixed chains at compile time"
@@ -570,9 +589,22 @@ def _collect(
                 new_sids = []
                 entry_sids = []
                 for bi, brn in enumerate(branches):
-                    evs = brn.parts if isinstance(brn, Seq) else (brn,)
+                    parts_b = brn.parts if isinstance(brn, Seq) else (brn,)
+                    evs = [x for x in parts_b if isinstance(x, Ev)]
                     bhere = here
-                    for k, ev in enumerate(evs):
+                    br_neg = None  # Neg between two branch leaves
+                    k = 0
+                    for x in parts_b:
+                        if isinstance(x, Neg):
+                            # within-branch gap: guards (prev leaf, next
+                            # leaf) of the SAME repetition, re-checked on
+                            # every bind of the following sub-slot — i.e.
+                            # exactly the repetitions that chose this
+                            # branch (_validate_group_inner guarantees a
+                            # leaf on both sides)
+                            br_neg = x
+                            continue
+                        ev = x
                         sid = len(slots)
                         slots.append(
                             Slot(sid, ev.name, ev.where, kleene=True,
@@ -582,8 +614,12 @@ def _collect(
                         )
                         if k == 0:
                             entry_sids.append(sid)
+                        if br_neg is not None:
+                            negs.append((br_neg, ("repeat", frozenset({sid}))))
+                            br_neg = None
                         new_sids.append(sid)
                         bhere = bhere | frozenset({sid})
+                        k += 1
                 if open_neg is not None:
                     if lead_noanchor:
                         # pattern-initial leading Neg: window-bounded

@@ -44,7 +44,11 @@ def _unbounded_group_names(node) -> list:
                 elif isinstance(p, Or_):
                     for b in p.parts:
                         if isinstance(b, Seq):
-                            names.extend(x.name for x in b.parts)
+                            # a Neg between branch leaves (session 4) is
+                            # not part of the emitted binding
+                            names.extend(
+                                x.name for x in b.parts if isinstance(x, Ev)
+                            )
                         else:
                             names.append(b.name)
             return [names]

@@ -25,7 +25,7 @@ import pandas as pd
 
 from cep_spark.batch import match_group_nfa
 from cep_spark.compiler import compile_pattern
-from cep_spark.conditions import attr
+from cep_spark.conditions import attr, lit
 from cep_spark.pattern import And_, Ev, Kleene, Neg, Or_, Pattern, Seq
 from oracle_cep import match_group
 
@@ -287,6 +287,18 @@ PATTERNS = {
         Seq(Kleene(Seq(Ev("u", role="user"),
                        Neg(Ev("n", role="user")),
                        Or_(Seq(Ev("w", role="assistant"), Ev("x", role="tool")),
+                           Ev("y", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    # session 4: Neg strictly BETWEEN two leaves OF a Seq branch — the
+    # within-repetition gap (w_j, x_j), guarded in exactly the
+    # repetitions that CHOSE the branch (chain-expansion semantics)
+    "neg_in_seq_branch": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"),
+                               Neg(Ev("n", role="user")),
+                               Ev("x", role="tool")),
                            Ev("y", role="assistant")))),
             Ev("t", role="user")),
         window=timedelta(minutes=5),
@@ -762,8 +774,9 @@ def test_or_in_group_rejects():
     """Or_-in-group guard rails: a multi-var conjunct pairing a branch
     var with a same-group mate OUTSIDE its own branch has undefined
     per-repetition alignment and must be rejected loudly; branches
-    deeper than a Seq of leaves (UNBOUNDED nested Kleene, Neg inside a
-    branch, nested Or_) stay rejected."""
+    deeper than a Seq of leaves with interior Negs (UNBOUNDED nested
+    Kleene, LEADING/TRAILING Neg inside a branch, nested Or_) stay
+    rejected."""
     import pytest
 
     with pytest.raises(ValueError, match="same-group"):
@@ -795,17 +808,21 @@ def test_or_in_group_rejects():
                 Ev("t", role="user")),
             window=timedelta(minutes=5),
         ))
-    # a Neg inside a branch Seq has no per-repetition gap definition
-    with pytest.raises(ValueError, match="Seq of plain event leaves"):
-        compile_pattern(Pattern(
-            Seq(Kleene(Seq(Ev("u", role="user"),
-                           Or_(Seq(Ev("w", role="assistant"),
-                                   Neg(Ev("n", role="user")),
-                                   Ev("y", role="user")),
-                               Ev("x", role="tool")))),
-                Ev("t", role="user")),
-            window=timedelta(minutes=5),
-        ))
+    # a Neg strictly BETWEEN two branch leaves is supported (session 4)
+    # — but LEADING or TRAILING a branch it has no in-branch boundary
+    # (the neighbouring position's bind can't carry a branch-conditional
+    # spec): both stay rejected
+    for shp in (Seq(Neg(Ev("n", role="user")), Ev("w", role="assistant"),
+                    Ev("y", role="user")),
+                Seq(Ev("w", role="assistant"), Ev("y", role="user"),
+                    Neg(Ev("n", role="user")))):
+        with pytest.raises(ValueError, match="Seq of plain event leaves"):
+            compile_pattern(Pattern(
+                Seq(Kleene(Seq(Ev("u", role="user"),
+                               Or_(shp, Ev("x", role="tool")))),
+                    Ev("t", role="user")),
+                window=timedelta(minutes=5),
+            ))
 
 
 def test_or_in_group_bounded_cap_counts_repetitions():
@@ -1027,3 +1044,97 @@ def test_nested_unbounded_kleene_still_rejected():
                 Ev("t", role="tool")),
             window=timedelta(minutes=5),
         ))
+
+
+# --------------------------------------------------------------------------
+# session 4: Neg strictly BETWEEN two leaves of a Seq BRANCH
+
+
+NEG_IN_BRANCH_PATTERNS = {
+    # bare Or_ inner: the branch goes MID across its own guarded gap
+    "br_neg_bare_or": Pattern(
+        Seq(Kleene(Or_(Seq(Ev("w", role="assistant"),
+                           Neg(Ev("n", role="user")),
+                           Ev("x", role="tool")),
+                       Ev("y", role="tool"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    # 3-event branch, Neg between the 2nd and 3rd leaf
+    "br_neg_3ev": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"), Ev("x", role="tool"),
+                               Neg(Ev("n", role="user")),
+                               Ev("z", role="assistant")),
+                           Ev("y", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    # neg condition referencing a NON-group scalar var (the anchor):
+    # evaluable at the gap-closing bind
+    "br_neg_cond": Pattern(
+        Seq(Ev("a", role="tool"),
+            Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"),
+                               Neg(Ev("n", where=(attr("n", "role") == lit("user"))
+                                   & (attr("n", "value") > attr("a", "value")))),
+                               Ev("x", role="tool")),
+                           Ev("y", role="assistant"))))),
+        window=timedelta(minutes=5),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(NEG_IN_BRANCH_PATTERNS))
+def test_neg_in_seq_branch_vs_replica(name):
+    """The within-branch gap must be neg-free in exactly the repetitions
+    that chose the branch (smaller groups: the replica's bounded chain
+    expansion of these shapes is combinatorial)."""
+    pat = NEG_IN_BRANCH_PATTERNS[name]
+    cp = compile_pattern(pat)
+    rng = np.random.default_rng(0xB4A9C4)
+    nonzero = 0
+    for trial in range(30):
+        g = _gen_group(trial * 11 + 9, int(rng.integers(2, 9)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        m = _canon_nfa(match_group_nfa(cp, gs))
+        o = _canon_rep(match_group(pat, g.copy()))
+        assert m == o, f"{name} trial {trial}\nnfa={m}\nrep={o}\n{g}"
+        nonzero += bool(m)
+    assert nonzero > 0
+
+
+def test_bounded_neg_in_seq_branch_equals_chain_expansion():
+    """Bounded: the forced group lowering of a branch-interior Neg must
+    match the default chain expansion (whose per-alternative gap negs
+    define the semantics), including repetitions that mix branches."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"),
+                               Neg(Ev("n", role="user")),
+                               Ev("x", role="tool")),
+                           Ev("y", role="assistant"))), max_len=2),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+    rng = np.random.default_rng(0xB4A9C5)
+    nonzero = mixed = 0
+    for trial in range(80):
+        g = _gen_group(trial * 23 + 11, int(rng.integers(3, 12)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        grp = _canon_nfa(match_group_nfa(cp_group, gs))
+        folded = []
+        for _, b in match_group_nfa(cp_chain, gs):
+            fb = {"t": (b["t"],)}
+            for base in ("u", "w", "x", "y"):
+                el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                           if f"{base}__{j}" in b)
+                if el:
+                    fb[base] = el
+            folded.append((0, tuple(sorted(fb.items()))))
+            mixed += ("w" in fb) and ("y" in fb)
+        assert grp == sorted(set(folded)), f"trial {trial}\n{g}"
+        nonzero += bool(grp)
+    assert nonzero > 0 and mixed > 0  # mixed-branch repetitions exercised

@@ -264,7 +264,8 @@ def _leaf(draw):
 def _suffix_part(draw):
     kind = draw(st.sampled_from(["leaf", "leaf", "kleene", "neg_then_leaf",
                                  "group", "group_or", "bare_or",
-                                 "group_seq_or", "group_nested_k"]))
+                                 "group_seq_or", "group_nested_k",
+                                 "group_br_neg"]))
     if kind == "kleene":
         return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
     if kind == "neg_then_leaf":
@@ -297,6 +298,17 @@ def _suffix_part(draw):
         # to branch chains b__r_j)
         return [Kleene(Seq(draw(_leaf()),
                            Kleene(draw(_leaf()), max_len=2)),
+                       max_len=None)]
+    if kind == "group_br_neg":
+        # session 4: Neg between two branch leaves — the within-branch
+        # NegSpec (per_repeat gap on the mid sub-slot) joins the merged
+        # NegSpec table, so identical layouts share and a guarded
+        # branch never merges with an unguarded one
+        from cep_spark.pattern import Or_
+        return [Kleene(Seq(draw(_leaf()),
+                           Or_(Seq(draw(_leaf()), Neg(draw(_leaf())),
+                                   draw(_leaf())),
+                               draw(_leaf()))),
                        max_len=None)]
     return [draw(_leaf())]
 

@@ -70,7 +70,7 @@ def kleene_node(draw):
         ["leaf", "leaf", "adjacent", "composite", "group",
          "group_neg", "group_lead_neg", "group_trail_neg", "and_group",
          "group_or", "group_or_neg", "group_bare_or", "group_seq_or",
-         "group_seq_or_neg"]
+         "group_seq_or_neg", "group_br_neg"]
     ))
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
@@ -103,6 +103,16 @@ def kleene_node(draw):
         return Kleene(
             Seq(draw(leaf()), Neg(draw(leaf())),
                 Or_(Seq(draw(leaf()), draw(leaf())), draw(leaf()))),
+            max_len=None,
+        )
+    if shape == "group_br_neg":
+        # session 4: Neg strictly BETWEEN two leaves OF a Seq branch —
+        # the within-repetition gap, guarded in exactly the repetitions
+        # that chose the branch
+        return Kleene(
+            Seq(draw(leaf()),
+                Or_(Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf())),
+                    draw(leaf()))),
             max_len=None,
         )
     if shape == "group_or_neg":

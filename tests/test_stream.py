@@ -175,6 +175,40 @@ def test_parity_branch_group(spark, events_pdf, tmp_path):
     assert got.count() == 5  # pinned from the sf0.001 entry-shape probe
 
 
+def test_parity_branch_neg_group(spark, events_pdf, tmp_path):
+    """Round 5, session 4: a Neg strictly BETWEEN two leaves of a Seq
+    branch through the REAL streaming state store — the within-branch
+    gap check must see the same sealed-event history across micro-batch
+    cuts.  48h window: the gap Neg kills 8 of the 116 unguarded matches
+    on sf0.001 (probe-pinned), so a no-op gap check fails this test."""
+    from cep_spark.pattern import Or_
+
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("u", event_type="view"),
+                       Or_(Seq(Ev("w", event_type="click"),
+                               Neg(Ev("n", event_type="error")),
+                               Ev("x", event_type="signup")),
+                           Ev("y", event_type="error")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=48),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_brneg")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+
+    def _nn(rows):  # None-safe: absent branch vars are NULL columns
+        return sorted(
+            (tuple((v is None, v) for v in r) for r in rows)
+        )
+
+    assert _nn(got.collect()) == _nn(batch.collect())
+    assert got.count() == 108  # 116 without the in-branch Neg
+
+
 def test_disorder_within_watermark(spark, events_pdf, tmp_path):
     """Arrival order shuffled within a bounded disorder window; watermark
     covers the disorder -> same matches as in-order batch."""

@@ -163,6 +163,16 @@ PATTERNS = {
                                                   Ev("x", role="tool")))),
                                    Neg(Ev("n", role="tool"))),
                                window=timedelta(seconds=120)),
+    # session 4: Neg strictly BETWEEN two leaves of a Seq branch — the
+    # within-repetition gap check must see the same events across
+    # micro-batch cuts (partial mid-branch state + sealed-event store)
+    "group_br_neg": Pattern(Seq(Kleene(Seq(Ev("u", role="user"),
+                                           Or_(Seq(Ev("w", role="assistant"),
+                                                   Neg(Ev("n", role="user")),
+                                                   Ev("x", role="tool")),
+                                               Ev("y", role="assistant")))),
+                                Ev("t", role="user")),
+                            window=timedelta(seconds=180)),
 }
 
 
