@@ -1081,6 +1081,52 @@ def _kleene_group_br_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                      mode="flat")
 
 
+# ... and the LEADING variant (session 4): the Neg guards the gap INTO
+# the two-event branch — (u_j, w_j) must be 'error'-free in exactly the
+# repetitions that choose it (enforced at the branch's entry bind,
+# which only fires for those repetitions; no branch-conditional spec
+# machinery needed).  Oracle = the same reps CTE with the NOT EXISTS
+# bounds moved to (u, w).
+
+_KLEENE_GROUP_BR_LEAD_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(Seq(Neg(Ev("n", event_type="error")),
+                           Ev("w", event_type="click"),
+                           Ev("x", event_type="signup")),
+                       Ev("y", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_group_br_lead_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_BR_LEAD_NEG_PAT),
+                     mode="flat")
+
+
+def _kleene_group_br_lead_neg_oracle() -> str:
+    base = _kleene_group_br_neg_oracle()
+    out = base.replace(
+        """    AND NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = u.user_id AND n.event_type = 'error'
+        AND (w.ts < n.ts OR (w.ts = n.ts AND w.event_id < n.event_id))
+        AND (n.ts < x.ts OR (n.ts = x.ts AND n.event_id < x.event_id)))""",
+        """    AND NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = u.user_id AND n.event_type = 'error'
+        AND (u.ts < n.ts OR (u.ts = n.ts AND u.event_id < n.event_id))
+        AND (n.ts < w.ts OR (n.ts = w.ts AND n.event_id < w.event_id)))""",
+    )
+    assert out != base  # the (w, x) bounds must have been rewritten
+    return out
+
+
 def _kleene_group_br_neg_oracle() -> str:
     w = int(_KLEENE_GROUP_BR_NEG_PAT.window.total_seconds())
     return f"""
@@ -1426,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_query
     out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_query
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_query
+    out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_query
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
@@ -1452,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_oracle()
     out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_oracle()
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_oracle()
+    out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_oracle()
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()

@@ -276,16 +276,21 @@ def _validate_group_inner(node: Kleene) -> None:
         # branch's events in order before the position completes.
         # Session 4: a Neg STRICTLY BETWEEN two branch leaves guards
         # that within-repetition gap, in exactly the repetitions that
-        # choose the branch (the bounded chain expansion's semantics).
-        # Leading/trailing Negs inside a branch stay rejected: their
-        # gap boundary is the neighbouring POSITION's bind, which a
-        # statically-attached spec cannot condition on the branch
-        # choice.
+        # choose the branch (the bounded chain expansion's semantics);
+        # a LEADING Neg guards the gap INTO the branch (previous
+        # position's event, or the part/repetition before for position
+        # 0 — enforced at the branch's entry bind, which only fires in
+        # repetitions choosing it; _collect rejects the one placement
+        # with no left boundary).  A TRAILING Neg stays rejected: its
+        # gap ends at the NEXT position's bind, and a statically-
+        # attached spec there cannot condition on the branch choice.
         if isinstance(b, Ev):
             return True
         if not (isinstance(b, Seq) and b.parts):
             return False
-        if not (isinstance(b.parts[0], Ev) and isinstance(b.parts[-1], Ev)):
+        if not isinstance(b.parts[-1], Ev):
+            return False
+        if not any(isinstance(x, Ev) for x in b.parts):
             return False
         if any(
             isinstance(x, Neg) and isinstance(y, Neg)
@@ -341,9 +346,11 @@ def _validate_group_inner(node: Kleene) -> None:
             "repetition gap attaches to the following part, or is "
             "window-bounded when the Kleene ends the pattern) — "
             "positions may be Or_ alternations whose branches are "
-            "leaves or Seqs of leaves (optionally with Negs strictly "
-            "BETWEEN two branch leaves — within-repetition gaps for "
-            "the repetitions that choose the branch) — or And_ of "
+            "leaves or Seqs of leaves (optionally with Negs BETWEEN "
+            "two branch leaves or LEADING the branch — gaps guarded "
+            "in exactly the repetitions that choose the branch; a "
+            "TRAILING Neg inside a branch has no branch-conditional "
+            "boundary and is rejected) — or And_ of "
             "plain event leaves "
             "(each repetition binds them in any arrival order, no Negs "
             "inside); deeper nesting inside the repetition requires "
@@ -597,11 +604,29 @@ def _collect(
                     for x in parts_b:
                         if isinstance(x, Neg):
                             # within-branch gap: guards (prev leaf, next
-                            # leaf) of the SAME repetition, re-checked on
-                            # every bind of the following sub-slot — i.e.
-                            # exactly the repetitions that chose this
-                            # branch (_validate_group_inner guarantees a
-                            # leaf on both sides)
+                            # leaf) of the SAME repetition — or, BEFORE
+                            # the first leaf, the gap INTO the branch
+                            # (previous position's event; previous
+                            # repetition's last event / the anchor for
+                            # position 0) — re-checked on every bind of
+                            # the following sub-slot, i.e. exactly the
+                            # repetitions that chose this branch
+                            # (_validate_group_inner guarantees a leaf
+                            # after every Neg)
+                            if k == 0 and j == 0 and not prereq:
+                                # LEADING the branch (no leaf bound yet)
+                                # at the first position of a pattern-
+                                # initial group: the first repetition
+                                # has no left boundary, and the window-
+                                # bounded edge treatment cannot be made
+                                # branch-conditional
+                                raise ValueError(
+                                    "a leading Neg inside an Or_ branch "
+                                    "at the FIRST group position needs "
+                                    "a positive part before the Kleene "
+                                    "(the first repetition's gap has no "
+                                    "left boundary otherwise)"
+                                )
                             br_neg = x
                             continue
                         ev = x

@@ -808,21 +808,34 @@ def test_or_in_group_rejects():
                 Ev("t", role="user")),
             window=timedelta(minutes=5),
         ))
-    # a Neg strictly BETWEEN two branch leaves is supported (session 4)
-    # — but LEADING or TRAILING a branch it has no in-branch boundary
-    # (the neighbouring position's bind can't carry a branch-conditional
-    # spec): both stay rejected
-    for shp in (Seq(Neg(Ev("n", role="user")), Ev("w", role="assistant"),
-                    Ev("y", role="user")),
-                Seq(Ev("w", role="assistant"), Ev("y", role="user"),
-                    Neg(Ev("n", role="user")))):
-        with pytest.raises(ValueError, match="Seq of plain event leaves"):
-            compile_pattern(Pattern(
-                Seq(Kleene(Seq(Ev("u", role="user"),
-                               Or_(shp, Ev("x", role="tool")))),
-                    Ev("t", role="user")),
-                window=timedelta(minutes=5),
-            ))
+    # a Neg BETWEEN two branch leaves or LEADING the branch is supported
+    # (session 4) — but TRAILING a branch its gap ends at the NEXT
+    # position's bind, which can't carry a branch-conditional spec:
+    # rejected
+    with pytest.raises(ValueError, match="Seq of plain event leaves"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Or_(Seq(Ev("w", role="assistant"),
+                                   Ev("y", role="user"),
+                                   Neg(Ev("n", role="user"))),
+                               Ev("x", role="tool")))),
+                Ev("t", role="user")),
+            window=timedelta(minutes=5),
+        ))
+    # ... and a LEADING branch Neg at the FIRST position of a
+    # pattern-initial group has no left boundary for the first
+    # repetition (the window-bounded edge treatment can't be made
+    # branch-conditional): rejected with a pointed error
+    with pytest.raises(ValueError, match="no left boundary"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Or_(Seq(Neg(Ev("n", role="user")),
+                                   Ev("w", role="assistant"),
+                                   Ev("x", role="tool")),
+                               Ev("y", role="assistant")),
+                           Ev("u", role="user"))),
+                Ev("t", role="user")),
+            window=timedelta(minutes=5),
+        ))
 
 
 def test_or_in_group_bounded_cap_counts_repetitions():
@@ -1070,6 +1083,37 @@ NEG_IN_BRANCH_PATTERNS = {
             Ev("t", role="user")),
         window=timedelta(minutes=5),
     ),
+    # LEADING Neg inside a branch: guards the gap INTO the branch
+    # (previous position's event) in exactly the repetitions choosing it
+    "br_lead_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Neg(Ev("n", role="user")),
+                               Ev("w", role="assistant"), Ev("x", role="tool")),
+                           Ev("y", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    # ... at position 0 WITH an anchor (gap = anchor -> w for rep 1,
+    # previous repetition's last event -> w at loop-backs)
+    "br_lead_neg_pos0": Pattern(
+        Seq(Ev("a", role="tool"),
+            Kleene(Seq(Or_(Seq(Neg(Ev("n", role="user")),
+                               Ev("w", role="assistant"), Ev("x", role="tool")),
+                           Ev("y", role="assistant")),
+                       Ev("u", role="user")))),
+        window=timedelta(minutes=5),
+    ),
+    # leading AND interior Neg in the same branch
+    "br_lead_mid_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Neg(Ev("n", role="user")),
+                               Ev("w", role="assistant"),
+                               Neg(Ev("m", role="tool")),
+                               Ev("x", role="tool")),
+                           Ev("y", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
     # neg condition referencing a NON-group scalar var (the anchor):
     # evaluable at the gap-closing bind
     "br_neg_cond": Pattern(
@@ -1138,3 +1182,38 @@ def test_bounded_neg_in_seq_branch_equals_chain_expansion():
         assert grp == sorted(set(folded)), f"trial {trial}\n{g}"
         nonzero += bool(grp)
     assert nonzero > 0 and mixed > 0  # mixed-branch repetitions exercised
+
+
+def test_bounded_lead_neg_in_seq_branch_equals_chain_expansion():
+    """Bounded: a LEADING branch Neg under the forced group lowering
+    must match the chain expansion (gap from the previous position's
+    event INTO the branch, only in repetitions that chose it)."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Neg(Ev("n", role="user")),
+                               Ev("w", role="assistant"),
+                               Ev("x", role="tool")),
+                           Ev("y", role="assistant"))), max_len=2),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+    rng = np.random.default_rng(0xB4A9C6)
+    nonzero = 0
+    for trial in range(80):
+        g = _gen_group(trial * 29 + 13, int(rng.integers(3, 12)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        grp = _canon_nfa(match_group_nfa(cp_group, gs))
+        folded = []
+        for _, b in match_group_nfa(cp_chain, gs):
+            fb = {"t": (b["t"],)}
+            for base in ("u", "w", "x", "y"):
+                el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                           if f"{base}__{j}" in b)
+                if el:
+                    fb[base] = el
+            folded.append((0, tuple(sorted(fb.items()))))
+        assert grp == sorted(set(folded)), f"trial {trial}\n{g}"
+        nonzero += bool(grp)
+    assert nonzero > 0

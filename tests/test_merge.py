@@ -300,15 +300,17 @@ def _suffix_part(draw):
                            Kleene(draw(_leaf()), max_len=2)),
                        max_len=None)]
     if kind == "group_br_neg":
-        # session 4: Neg between two branch leaves — the within-branch
-        # NegSpec (per_repeat gap on the mid sub-slot) joins the merged
-        # NegSpec table, so identical layouts share and a guarded
-        # branch never merges with an unguarded one
+        # session 4: Neg between two branch leaves (or leading the
+        # branch) — the within-branch NegSpec (per_repeat gap on the
+        # branch sub-slot) joins the merged NegSpec table, so identical
+        # layouts share and a guarded branch never merges with an
+        # unguarded one
         from cep_spark.pattern import Or_
-        return [Kleene(Seq(draw(_leaf()),
-                           Or_(Seq(draw(_leaf()), Neg(draw(_leaf())),
-                                   draw(_leaf())),
-                               draw(_leaf()))),
+        if draw(st.booleans()):
+            br = Seq(draw(_leaf()), Neg(draw(_leaf())), draw(_leaf()))
+        else:
+            br = Seq(Neg(draw(_leaf())), draw(_leaf()), draw(_leaf()))
+        return [Kleene(Seq(draw(_leaf()), Or_(br, draw(_leaf()))),
                        max_len=None)]
     return [draw(_leaf())]
 

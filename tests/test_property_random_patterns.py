@@ -106,14 +106,16 @@ def kleene_node(draw):
             max_len=None,
         )
     if shape == "group_br_neg":
-        # session 4: Neg strictly BETWEEN two leaves OF a Seq branch —
-        # the within-repetition gap, guarded in exactly the repetitions
-        # that chose the branch
+        # session 4: Neg BETWEEN two leaves OF a Seq branch, or LEADING
+        # the branch — the gap guarded in exactly the repetitions that
+        # chose the branch (a leading branch Neg at a no-anchor first
+        # position is compile-rejected: the test's except path)
+        if draw(st.booleans()):
+            br = Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf()))
+        else:
+            br = Seq(Neg(draw(leaf())), draw(leaf()), draw(leaf()))
         return Kleene(
-            Seq(draw(leaf()),
-                Or_(Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf())),
-                    draw(leaf()))),
-            max_len=None,
+            Seq(draw(leaf()), Or_(br, draw(leaf()))), max_len=None
         )
     if shape == "group_or_neg":
         return Kleene(

@@ -173,6 +173,15 @@ PATTERNS = {
                                                Ev("y", role="assistant")))),
                                 Ev("t", role="user")),
                             window=timedelta(seconds=180)),
+    # ... and LEADING the branch (gap INTO the branch, enforced at the
+    # branch's entry bind — only repetitions that chose it)
+    "group_br_lead_neg": Pattern(Seq(Kleene(Seq(Ev("u", role="user"),
+                                                Or_(Seq(Neg(Ev("n", role="user")),
+                                                        Ev("w", role="assistant"),
+                                                        Ev("x", role="tool")),
+                                                    Ev("y", role="assistant")))),
+                                     Ev("t", role="user")),
+                                 window=timedelta(seconds=180)),
 }
 
 
