@@ -1114,6 +1114,19 @@ NEG_IN_BRANCH_PATTERNS = {
             Ev("t", role="user")),
         window=timedelta(minutes=5),
     ),
+    # position-level gap Neg (guards EITHER branch's entry) + a
+    # branch-leading Neg (guards only branch 1's entry) on the SAME
+    # physical gap — both enforced at branch 1's entry bind, matching
+    # the chain expansion where both negs guard the gap
+    "br_lead_neg_plus_pos_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Neg(Ev("n", role="user")),
+                       Or_(Seq(Neg(Ev("m", role="tool")),
+                               Ev("w", role="assistant"), Ev("x", role="tool")),
+                           Ev("y", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
     # neg condition referencing a NON-group scalar var (the anchor):
     # evaluable at the gap-closing bind
     "br_neg_cond": Pattern(
