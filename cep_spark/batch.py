@@ -282,6 +282,39 @@ def _eval_kleene_cond(c, kref, store, partials, cur_var, cur_row, var_group=None
     return ok == total
 
 
+def _br_guard_applies(spec, partials):
+    """Branch gate for a trailing Neg inside an Or_ branch
+    (NegSpec.br_guard = (branch_last_leaf_var, *position_vars)): the
+    spec applies to a partial iff the latest bound position across ALL
+    of the position's sub-slot vars belongs to the guarded branch's
+    last leaf.  Strict repetition interleaving makes that latest bind
+    exactly the relevant repetition's bind at the position, so this
+    holds iff that repetition CHOSE the branch — the bounded chain
+    expansion's per-instance spec existence, evaluated dynamically."""
+    n = len(partials)
+
+    def lastel(v):
+        if v in partials.kleene:
+            return np.fromiter(
+                (t[-1] if len(t) else -1 for t in partials.kleene[v]),
+                dtype=np.int64, count=n,
+            )
+        if v in partials.scalar:
+            return partials.scalar[v]
+        return np.full(n, -1, dtype=np.int64)
+
+    bl = lastel(spec.br_guard[0])
+    mx = bl.copy()
+    for v in spec.br_guard[1:]:
+        if v != spec.br_guard[0]:
+            np.maximum(mx, lastel(v), out=mx)
+    # returns (applies, branch_last_element): the second is the gap's
+    # true left boundary wherever the guard applies — pre_vars may miss
+    # it when the position's own slots are the spec's post slots (a
+    # bare-Or_ group's loop-back)
+    return (bl >= 0) & (bl == mx), bl
+
+
 def _gap_ok(spec_positions, spec, store, partials, cur_var, cur_row, i):
     """For each partial: True if NO qualifying negative event lies strictly
     inside the gap ending at i.  The gap's left boundary is the latest
@@ -309,9 +342,14 @@ def _gap_ok(spec_positions, spec, store, partials, cur_var, cur_row, i):
                 np.maximum(left, lastel, out=left)
     else:
         left = partials.last_pos
+    if spec.br_guard:
+        applies, bl = _br_guard_applies(spec, partials)
+        left = np.maximum(left, bl)
     lo = np.searchsorted(np_pos, left, side="right")
     hi = int(np.searchsorted(np_pos, i, side="left"))
     counts = hi - lo
+    if spec.br_guard:
+        counts = np.where(applies, counts, 0)
     hot = np.nonzero(counts > 0)[0]
     if len(hot) == 0:
         return np.ones(n, dtype=bool)
@@ -416,6 +454,10 @@ def _edge_ok(spec_positions, spec, store, partials, ts_ns, w_ns, leading: bool):
         lo = np.searchsorted(np_pos, partials.last_pos, side="right")
         hi = np.searchsorted(neg_ts, partials.first_ts + w_ns, side="right")
     counts = np.maximum(hi - lo, 0)
+    if spec.br_guard:
+        # trailing Neg inside an Or_ branch: window-bounded look-ahead
+        # applies only when the FINAL repetition chose the branch
+        counts = np.where(_br_guard_applies(spec, partials)[0], counts, 0)
     if not spec.multi:
         return counts <= 0
     ok = np.ones(len(partials), dtype=bool)

@@ -123,6 +123,19 @@ class NegSpec:
     # gap runs between the Neg's structural neighbours and events bound
     # to OTHER variables of the match are not negation candidates.
     pre_vars: tuple = ()
+    # TRAILING Neg inside an Or_ BRANCH of an unbounded group (round 5,
+    # session 5): ``(branch_last_leaf_var, *all_position_vars)``.  The
+    # gap closes at a bind OUTSIDE the branch (the next position, the
+    # loop-back, or the part after the group), so the spec is attached
+    # there statically and gated DYNAMICALLY: it applies to a partial
+    # iff the max last-element position across all of the position's
+    # sub-slot vars belongs to the branch's last leaf — under strict
+    # repetition interleaving that max IS the relevant repetition's bind
+    # at the position, so the guard holds exactly when that repetition
+    # chose the branch (the bounded chain expansion's per-instance
+    # existence, made dynamic).  Empty = unconditional (every other
+    # spec kind).
+    br_guard: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -281,14 +294,16 @@ def _validate_group_inner(node: Kleene) -> None:
         # position's event, or the part/repetition before for position
         # 0 — enforced at the branch's entry bind, which only fires in
         # repetitions choosing it; _collect rejects the one placement
-        # with no left boundary).  A TRAILING Neg stays rejected: its
-        # gap ends at the NEXT position's bind, and a statically-
-        # attached spec there cannot condition on the branch choice.
+        # with no left boundary).  Session 5: a TRAILING Neg guards the
+        # gap OUT of the branch — to the next position's bind, the next
+        # repetition's entry, or the part after the group.  Those binds
+        # are outside the branch, so the spec is gated dynamically
+        # (NegSpec.br_guard): it applies iff the relevant repetition
+        # chose the branch, decided by which branch owns the latest
+        # bind at this position.
         if isinstance(b, Ev):
             return True
         if not (isinstance(b, Seq) and b.parts):
-            return False
-        if not isinstance(b.parts[-1], Ev):
             return False
         if not any(isinstance(x, Ev) for x in b.parts):
             return False
@@ -347,10 +362,9 @@ def _validate_group_inner(node: Kleene) -> None:
             "window-bounded when the Kleene ends the pattern) — "
             "positions may be Or_ alternations whose branches are "
             "leaves or Seqs of leaves (optionally with Negs BETWEEN "
-            "two branch leaves or LEADING the branch — gaps guarded "
-            "in exactly the repetitions that choose the branch; a "
-            "TRAILING Neg inside a branch has no branch-conditional "
-            "boundary and is rejected) — or And_ of "
+            "two branch leaves, LEADING, or TRAILING the branch — "
+            "gaps guarded in exactly the repetitions that choose the "
+            "branch) — or And_ of "
             "plain event leaves "
             "(each repetition binds them in any arrival order, no Negs "
             "inside); deeper nesting inside the repetition requires "
@@ -560,6 +574,12 @@ def _collect(
                 else node.inner.parts
             )
             lead_noanchor = False
+            # trailing Negs inside a branch of the PREVIOUS position:
+            # [(neg, branch_last_leaf_var)] awaiting the next position's
+            # entry sids (their gap closes there), plus the previous
+            # position's full var list for the NegSpec.br_guard
+            trail_prev: list = []
+            prev_pos_vars: list = []
             for part in inner_parts:
                 if isinstance(part, Neg):
                     if j == 0 and not prereq:
@@ -595,6 +615,7 @@ def _collect(
                 branches = part.parts if isinstance(part, Or_) else (part,)
                 new_sids = []
                 entry_sids = []
+                trail_here: list = []  # trailing (neg, last_leaf_var) per branch
                 for bi, brn in enumerate(branches):
                     parts_b = brn.parts if isinstance(brn, Seq) else (brn,)
                     evs = [x for x in parts_b if isinstance(x, Ev)]
@@ -645,6 +666,23 @@ def _collect(
                         new_sids.append(sid)
                         bhere = bhere | frozenset({sid})
                         k += 1
+                    if br_neg is not None:
+                        # TRAILING the branch (session 5): the gap runs
+                        # from this branch's last leaf to the next bind
+                        # OUTSIDE the branch — registered once the next
+                        # position's entry sids exist (or as loop-back +
+                        # bubbled specs when this position is last),
+                        # branch-gated via NegSpec.br_guard
+                        trail_here.append((br_neg, slots[sid].var))
+                if trail_prev:
+                    # trailing branch Negs of the PREVIOUS position: gap
+                    # closes at THIS position's entry bind, in exactly
+                    # the repetitions whose previous-position bind was
+                    # the guarded branch
+                    for t_ng, t_bvar in trail_prev:
+                        negs.append((t_ng, ("repeat", frozenset(entry_sids),
+                                            (t_bvar, *prev_pos_vars))))
+                    trail_prev = []
                 if open_neg is not None:
                     if lead_noanchor:
                         # pattern-initial leading Neg: window-bounded
@@ -667,9 +705,23 @@ def _collect(
                     open_neg = None
                 if j == 0:
                     pos0_sids = entry_sids
+                if trail_here:
+                    trail_prev = trail_here
+                    prev_pos_vars = [slots[sid].var for sid in new_sids]
                 sids.extend(new_sids)
                 here = prereq | frozenset(sids)
                 j += 1
+            for t_ng, t_bvar in trail_prev:
+                # trailing branch Neg at the LAST position: between
+                # repetitions the gap closes at the loop-back entry
+                # (repeat_lb, branch-gated on the PREVIOUS repetition's
+                # last-position bind); the FINAL repetition's gap
+                # bubbles to the enclosing Seq with the same guard
+                t_guard = (t_bvar, *prev_pos_vars)
+                negs.append(
+                    (t_ng, ("repeat_lb", frozenset(pos0_sids), t_guard))
+                )
+                pending_gap.append((t_ng, t_guard))
             if open_neg is not None:
                 # TRAILING Neg inside the repetition: between repetitions
                 # it guards (last leaf of rep j, first leaf of rep j+1) —
@@ -679,7 +731,7 @@ def _collect(
                 # to the next part, or window-bounded trailing at the
                 # pattern end).
                 negs.append((open_neg, ("repeat_lb", frozenset(pos0_sids))))
-                pending_gap.append(open_neg)
+                pending_gap.append((open_neg, None))
             return frozenset(sids)
         sid = len(slots)
         slots.append(
@@ -690,10 +742,13 @@ def _collect(
     if isinstance(node, Seq):
         acc = frozenset()
         here: frozenset = prereq
-        open_negs: list[Neg] = []
+        # (neg, br_guard_or_None) — explicit Neg parts are unguarded;
+        # trailing branch Negs bubbled out of an unbounded group carry
+        # their branch guard through
+        open_negs: list = []
         for part in node.parts:
             if isinstance(part, Neg):
-                open_negs.append(part)
+                open_negs.append((part, None))
                 continue
             # trailing Negs bubbled out of the PREVIOUS part (a nested
             # Seq or an unbounded group Kleene) guard the gap to THIS
@@ -711,8 +766,9 @@ def _collect(
                         raise ValueError(
                             "leading Neg without a preceding positive part is unsupported (v1)"
                         )
-                for ng in open_negs:
-                    negs.append((ng, ids))  # post_slots = first following part
+                for ng, gd in open_negs:
+                    # post_slots = first following part
+                    negs.append((ng, ids if gd is None else ("gap", ids, gd)))
                 open_negs = []
             acc |= ids
             here = prereq | acc
@@ -1029,16 +1085,19 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             initial_kleene = struct.parts[0]
         _collect(struct, frozenset(), slots, raw_negs, pending,
                  initial_kleene)
-        for ng in pending:
+        for ng, gd in pending:
             # a trailing Neg bubbled all the way to the pattern end (a
             # nested Seq's — or an unbounded group repetition's — last
             # part): window-bounded look-ahead, same as a root trailing
+            # (branch-gated when it bubbled out of an Or_ branch)
             if pat.window is None:
                 raise ValueError(
                     "leading/trailing negation requires a pattern window "
                     "(it bounds the forbidden interval)"
                 )
-            raw_negs.append((ng, "trailing"))
+            raw_negs.append(
+                (ng, "trailing" if gd is None else ("trailing", None, gd))
+            )
         raw_negs.extend(edge_negs)
         if not slots:
             raise ValueError("pattern has no positive event leaf")
@@ -1121,10 +1180,21 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                         f"variable (per-element negation scope is undefined)"
                     )
             per_repeat = repeat_only = False
-            if isinstance(post, tuple) and post[0] in ("repeat", "repeat_lb"):
-                per_repeat = True
-                repeat_only = post[0] == "repeat_lb"
-                post = post[1]
+            br_guard: tuple = ()
+            if isinstance(post, tuple) and isinstance(post[0], str):
+                tag = post[0]
+                if len(post) > 2 and post[2]:
+                    # branch-gated spec (trailing Neg inside an Or_
+                    # branch): (branch_last_leaf_var, *position_vars)
+                    br_guard = tuple(post[2])
+                if tag in ("repeat", "repeat_lb"):
+                    per_repeat = True
+                    repeat_only = tag == "repeat_lb"
+                    post = post[1]
+                elif tag == "gap":
+                    post = post[1]
+                elif tag == "trailing":
+                    post = "trailing"
             if post is None:
                 kind = "span"
             elif isinstance(post, str):
@@ -1163,7 +1233,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                 NegSpec(ng.name, u, tuple(extra), kind,
                         post if isinstance(post, frozenset) else frozenset(),
                         per_repeat=per_repeat, repeat_only=repeat_only,
-                        pre_vars=pre_vars)
+                        pre_vars=pre_vars, br_guard=br_guard)
             )
             note_cols(u)
             for c in extra:

@@ -369,6 +369,10 @@ def merge_compiled(cps) -> CompiledPattern:
                     tuple(sorted(msigs, key=str)),
                     tuple(sorted(m_slot[x].sid for x in spec.post_slots)),
                     tuple(sorted(cmap[v] for v in spec.pre_vars)),
+                    # branch gate of a trailing-in-branch Neg (round 5):
+                    # part of spec identity — two specs differing only
+                    # in the guarded branch must not merge
+                    tuple(cmap[v] for v in spec.br_guard),
                 )
                 neg_sig[ni] = nsig
                 mi = neg_of_sig.get(nsig)
@@ -388,6 +392,7 @@ def merge_compiled(cps) -> CompiledPattern:
                             per_repeat=spec.per_repeat,
                             repeat_only=spec.repeat_only,
                             pre_vars=tuple(sorted(cmap[v] for v in spec.pre_vars)),
+                            br_guard=tuple(cmap[v] for v in spec.br_guard),
                         )
                     )
                     neg_of_sig[nsig] = mi

@@ -1111,6 +1111,10 @@ def _pattern_fp(cp, w_ns):
              tuple(_cond_fp(c) for c in sp.multi), sp.kind,
              tuple(sorted(sp.post_slots)), sp.per_repeat, sp.repeat_only,
              tuple(sp.pre_vars))
+            # branch gate (round 5 trailing-in-branch Negs) — appended
+            # conditionally so fingerprints of guard-free families (all
+            # existing checkpoints) are unchanged
+            + ((tuple(sp.br_guard),) if sp.br_guard else ())
             for sp in alt.negs
         )
         alts.append((alt.alt_id, slots, negs, tuple(alt.var_order)))

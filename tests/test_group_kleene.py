@@ -774,9 +774,8 @@ def test_or_in_group_rejects():
     """Or_-in-group guard rails: a multi-var conjunct pairing a branch
     var with a same-group mate OUTSIDE its own branch has undefined
     per-repetition alignment and must be rejected loudly; branches
-    deeper than a Seq of leaves with interior Negs (UNBOUNDED nested
-    Kleene, LEADING/TRAILING Neg inside a branch, nested Or_) stay
-    rejected."""
+    deeper than a Seq of leaves with Negs (UNBOUNDED nested Kleene,
+    nested Or_, an anchor-less branch-leading Neg) stay rejected."""
     import pytest
 
     with pytest.raises(ValueError, match="same-group"):
@@ -808,21 +807,19 @@ def test_or_in_group_rejects():
                 Ev("t", role="user")),
             window=timedelta(minutes=5),
         ))
-    # a Neg BETWEEN two branch leaves or LEADING the branch is supported
-    # (session 4) — but TRAILING a branch its gap ends at the NEXT
-    # position's bind, which can't carry a branch-conditional spec:
-    # rejected
-    with pytest.raises(ValueError, match="Seq of plain event leaves"):
-        compile_pattern(Pattern(
-            Seq(Kleene(Seq(Ev("u", role="user"),
-                           Or_(Seq(Ev("w", role="assistant"),
-                                   Ev("y", role="user"),
-                                   Neg(Ev("n", role="user"))),
-                               Ev("x", role="tool")))),
-                Ev("t", role="user")),
-            window=timedelta(minutes=5),
-        ))
-    # ... and a LEADING branch Neg at the FIRST position of a
+    # a Neg BETWEEN two branch leaves, LEADING, or (session 5) TRAILING
+    # the branch is supported — the trailing gap closes at the next bind
+    # outside the branch and is gated dynamically (NegSpec.br_guard)
+    compile_pattern(Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"),
+                               Ev("y", role="user"),
+                               Neg(Ev("n", role="user"))),
+                           Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ))
+    # a LEADING branch Neg at the FIRST position of a
     # pattern-initial group has no left boundary for the first
     # repetition (the window-bounded edge treatment can't be made
     # branch-conditional): rejected with a pointed error
@@ -1230,3 +1227,190 @@ def test_bounded_lead_neg_in_seq_branch_equals_chain_expansion():
         assert grp == sorted(set(folded)), f"trial {trial}\n{g}"
         nonzero += bool(grp)
     assert nonzero > 0
+
+
+# --------------------------------------------------------------------------
+# session 5: Neg TRAILING a Seq branch (gap OUT of the branch, gated by
+# NegSpec.br_guard — applies in exactly the repetitions that chose it)
+
+
+TRAIL_NEG_IN_BRANCH_PATTERNS = {
+    # Or_ position NOT last: the gap closes at the next position's bind
+    "br_trail_nonlast": Pattern(
+        Seq(Kleene(Seq(Or_(Seq(Ev("w", role="assistant"),
+                               Neg(Ev("n", role="user"))),
+                           Ev("y", role="tool")),
+                       Ev("u", role="user"))),
+            Ev("t", role="assistant")),
+        window=timedelta(minutes=5),
+    ),
+    # Or_ position LAST: loop-back gap between repetitions + the final
+    # repetition's gap bubbles to the following part
+    "br_trail_last": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"),
+                               Neg(Ev("n", role="tool"))),
+                           Ev("y", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    # group ENDS the pattern: the final repetition's gap becomes a
+    # window-bounded trailing edge check, still branch-gated
+    "br_trail_end": Pattern(
+        Seq(Ev("s", role="tool"),
+            Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"),
+                               Neg(Ev("n", role="tool"))),
+                           Ev("y", role="tool"))))),
+        window=timedelta(minutes=5),
+    ),
+    # bare Or_ inner (single-position group): post slots ARE the
+    # position's entry slots — the branch's own last element is the
+    # gap's left boundary
+    "br_trail_bare_or": Pattern(
+        Seq(Ev("s", role="user"),
+            Kleene(Or_(Seq(Ev("w", role="assistant"),
+                           Neg(Ev("n", role="user"))),
+                       Ev("y", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    # 3-event branch with leading AND trailing Negs in the same branch
+    "br_lead_trail": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Neg(Ev("m", role="user")),
+                               Ev("w", role="assistant"),
+                               Neg(Ev("n", role="tool"))),
+                           Ev("y", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+    # trailing-neg condition referencing a NON-group scalar var
+    "br_trail_cond": Pattern(
+        Seq(Ev("a", role="tool"),
+            Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"),
+                               Neg(Ev("n", where=(attr("n", "role") == lit("tool"))
+                                   & (attr("n", "value") > attr("a", "value"))))),
+                           Ev("y", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TRAIL_NEG_IN_BRANCH_PATTERNS))
+def test_trail_neg_in_seq_branch_vs_replica(name):
+    """The gap OUT of a branch must be neg-free in exactly the
+    repetitions that chose the branch (replica = bounded chain
+    expansion, the semantics source of truth)."""
+    pat = TRAIL_NEG_IN_BRANCH_PATTERNS[name]
+    cp = compile_pattern(pat)
+    rng = np.random.default_rng(0xB5A9C4)
+    nonzero = 0
+    for trial in range(30):
+        g = _gen_group(trial * 17 + 3, int(rng.integers(2, 9)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        m = _canon_nfa(match_group_nfa(cp, gs))
+        o = _canon_rep(match_group(pat, g.copy()))
+        assert m == o, f"{name} trial {trial}\nnfa={m}\nrep={o}\n{g}"
+        nonzero += bool(m)
+    assert nonzero > 0
+
+
+@pytest.mark.parametrize("variant", ["nonlast", "last"])
+def test_bounded_trail_neg_in_seq_branch_equals_chain_expansion(variant):
+    """Bounded: the forced group lowering of a branch-TRAILING Neg must
+    match the default chain expansion, including repetitions that mix
+    branches (the chain's per-instance specs are the semantics the
+    dynamic br_guard reproduces)."""
+    if variant == "nonlast":
+        pat = Pattern(
+            Seq(Kleene(Seq(Or_(Seq(Ev("w", role="assistant"),
+                                   Neg(Ev("n", role="user"))),
+                               Ev("y", role="tool")),
+                           Ev("u", role="user")), max_len=2),
+                Ev("t", role="assistant")),
+            window=timedelta(minutes=5),
+        )
+    else:
+        pat = Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Or_(Seq(Ev("w", role="assistant"),
+                                   Neg(Ev("n", role="tool"))),
+                               Ev("y", role="tool"))), max_len=2),
+                Ev("t", role="user")),
+            window=timedelta(minutes=5),
+        )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+    rng = np.random.default_rng(0xB5A9C5)
+    nonzero = mixed = 0
+    for trial in range(80):
+        g = _gen_group(trial * 31 + 7, int(rng.integers(3, 12)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        grp = _canon_nfa(match_group_nfa(cp_group, gs))
+        folded = []
+        for _, b in match_group_nfa(cp_chain, gs):
+            fb = {"t": (b["t"],)}
+            for base in ("u", "w", "y"):
+                el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                           if f"{base}__{j}" in b)
+                if el:
+                    fb[base] = el
+            folded.append((0, tuple(sorted(fb.items()))))
+            mixed += ("w" in fb) and ("y" in fb)
+        assert grp == sorted(set(folded)), f"{variant} trial {trial}\n{g}"
+        nonzero += bool(grp)
+    assert nonzero > 0 and mixed > 0  # mixed-branch repetitions exercised
+
+
+def test_trail_neg_in_branch_discriminates():
+    """Deterministic pin of the branch gate itself: a neg event in the
+    gap kills the match when the repetition CHOSE the guarded branch,
+    and is ignored when the repetition chose the sibling — an
+    implementation that applies the spec unconditionally (no guard) or
+    never (dead guard) fails one of the two fixtures."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"),
+                               Neg(Ev("n", role="tool"))),
+                           Ev("y", role="sys")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=5),
+    )
+    cp = compile_pattern(pat)
+    ts0 = pd.Timestamp("2026-01-01")
+
+    def frame(roles):
+        return pd.DataFrame({
+            "conv_id": "c0",
+            "turn_idx": np.arange(len(roles), dtype=np.int32),
+            "role": roles,
+            "tool": "python",
+            "ts": ts0 + pd.to_timedelta(np.arange(len(roles)), unit="s"),
+            "value": 1.0,
+        })
+
+    # repetition chose branch w; a tool event sits in the gap w -> t
+    chosen = frame(["user", "assistant", "tool", "user"])
+    assert match_group_nfa(cp, chosen) == []
+    # same shape without the offending tool event: matches
+    clean = frame(["user", "assistant", "user"])
+    assert len(match_group_nfa(cp, clean)) == 1
+    # repetition chose the SIBLING branch y: the same tool event in the
+    # same physical gap must NOT kill the match
+    sibling = frame(["user", "sys", "tool", "user"])
+    ms = match_group_nfa(cp, sibling)
+    assert len(ms) == 1 and ms[0][1]["y"] == (1,)
+    # two repetitions, one per branch: the tool event after the
+    # w-repetition kills every match that BINDS w (matches skipping the
+    # assistant event entirely are unaffected); after the y-repetition
+    # a mixed w+y match survives
+    two_bad = frame(["user", "assistant", "tool", "user", "sys", "user"])
+    assert all("w" not in b for _, b in match_group_nfa(cp, two_bad))
+    two_ok = frame(["user", "sys", "tool", "user", "assistant", "user"])
+    # (u y) rep with tool inside its gap -> fine (sibling branch); the
+    # (u w) rep is clean -> the mixed-branch match survives
+    assert any("w" in b and "y" in b
+               for _, b in match_group_nfa(cp, two_ok))

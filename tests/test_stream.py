@@ -209,6 +209,70 @@ def test_parity_branch_neg_group(spark, events_pdf, tmp_path):
     assert got.count() == 108  # 116 without the in-branch Neg
 
 
+def _nn_rows(rows):  # None-safe sort: absent branch vars are NULL columns
+    return sorted(tuple((v is None, v) for v in r) for r in rows)
+
+
+def test_parity_branch_trail_neg_group(spark, events_pdf, tmp_path):
+    """Round 5, session 5: a Neg TRAILING a Seq branch — its gap closes
+    OUTSIDE the branch (loop-back between repetitions + bubbled gap to
+    the part after the group), branch-gated by NegSpec.br_guard —
+    through the REAL streaming state store.  48h window: the guarded
+    gap kills 46 of the 231 unguarded matches on sf0.001
+    (probe-pinned), so a no-op OR an unconditionally-applied gap check
+    fails this test."""
+    from cep_spark.pattern import Or_
+
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("u", event_type="view"),
+                       Or_(Seq(Ev("w", event_type="click"),
+                               Neg(Ev("n", event_type="error"))),
+                           Ev("y", event_type="error")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=48),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    # the flush must be PATTERN-RELEVANT (this pattern has no signup
+    # slot — a signup flush is dropped below the watermark node and the
+    # final purchases never seal; see _flush_row's docstring)
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf,
+                                                   event_type="purchase")],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_brtneg")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _nn_rows(got.collect()) == _nn_rows(batch.collect())
+    assert got.count() == 185  # 231 without the trailing branch Neg
+
+
+def test_parity_branch_trail_neg_group_pattern_end(spark, events_pdf, tmp_path):
+    """Same trailing-branch Neg with the group ENDING the pattern: the
+    final repetition's gap becomes a window-bounded trailing edge check
+    — matches PARK until first.ts + W and the parked re-verification
+    must apply the branch gate (24h window: 38 matches, 41 without the
+    Neg — probe-pinned)."""
+    from cep_spark.pattern import Or_
+
+    pat = _pat(
+        Seq(Ev("s", event_type="signup"),
+            Kleene(Seq(Ev("u", event_type="view"),
+                       Or_(Seq(Ev("w", event_type="click"),
+                               Neg(Ev("n", event_type="error"))),
+                           Ev("y", event_type="purchase"))))),
+        window=timedelta(hours=24),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_brtend")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _nn_rows(got.collect()) == _nn_rows(batch.collect())
+    assert got.count() == 38  # 41 without the trailing branch Neg
+
+
 def test_disorder_within_watermark(spark, events_pdf, tmp_path):
     """Arrival order shuffled within a bounded disorder window; watermark
     covers the disorder -> same matches as in-order batch."""
