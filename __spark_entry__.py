@@ -1127,6 +1127,118 @@ def _kleene_group_br_lead_neg_oracle() -> str:
     return out
 
 
+# ... and the TRAILING variant (session 5): the Neg guards the gap OUT
+# of the two-event branch — (x_j, next bind) must be 'error'-free in
+# exactly the repetitions that choose the branch (NegSpec.br_guard gates
+# the statically-attached spec on which branch owns the position's
+# latest bind).  The gap's right bound is OUTSIDE the repetition (the
+# next repetition's u, or p), so the oracle checks NOT EXISTS at the
+# CHAIN-EXTENSION join and the final p join, gated on a last_br flag
+# carried through the recursive CTE — the SQL mirror of the dynamic
+# guard.  Strict interleaving keeps both gaps free of bound events, so
+# the raw NOT EXISTS is exact.
+
+_KLEENE_GROUP_BR_TRAIL_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(Seq(Ev("w", event_type="click"),
+                           Ev("x", event_type="signup"),
+                           Neg(Ev("n", event_type="error"))),
+                       Ev("y", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=12),
+)
+
+
+def _kleene_group_br_trail_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_BR_TRAIL_NEG_PAT),
+                     mode="flat")
+
+
+def _kleene_group_br_trail_neg_oracle() -> str:
+    w = int(_KLEENE_GROUP_BR_TRAIL_NEG_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE reps AS (
+  SELECT u.user_id, u.event_id AS u_id, u.ts AS u_ts,
+         w.event_id AS w_id, x.event_id AS x_id,
+         CAST(NULL AS BIGINT) AS y_id,
+         x.event_id AS last_id, x.ts AS last_ts, 1 AS br
+  FROM events u
+  JOIN events w ON w.user_id = u.user_id
+  JOIN events x ON x.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND x.event_type = 'signup'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND (w.ts < x.ts OR (w.ts = x.ts AND w.event_id < x.event_id))
+    AND EPOCH(x.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), y.event_id,
+         y.event_id, y.ts, 0 AS br
+  FROM events u JOIN events y ON y.user_id = u.user_id
+  WHERE u.event_type = 'view' AND y.event_type = 'error'
+    AND (u.ts < y.ts OR (u.ts = y.ts AND u.event_id < y.event_id))
+    AND EPOCH(y.ts) - EPOCH(u.ts) <= {w}
+),
+chains AS (
+  SELECT user_id, u_id AS u_first, u_id AS u_last, u_ts AS first_ts,
+         1 AS r,
+         CASE WHEN w_id IS NOT NULL THEN 1 ELSE 0 END AS w_cnt,
+         w_id AS w_first, w_id AS w_last,
+         CASE WHEN x_id IS NOT NULL THEN 1 ELSE 0 END AS x_cnt,
+         x_id AS x_first, x_id AS x_last,
+         CASE WHEN y_id IS NOT NULL THEN 1 ELSE 0 END AS y_cnt,
+         y_id AS y_first, y_id AS y_last,
+         last_id, last_ts, br AS last_br
+  FROM reps
+  UNION ALL
+  SELECT s.user_id, s.u_first, t.u_id, s.first_ts, s.r + 1,
+         s.w_cnt + CASE WHEN t.w_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.w_first, t.w_id), COALESCE(t.w_id, s.w_last),
+         s.x_cnt + CASE WHEN t.x_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.x_first, t.x_id), COALESCE(t.x_id, s.x_last),
+         s.y_cnt + CASE WHEN t.y_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.y_first, t.y_id), COALESCE(t.y_id, s.y_last),
+         t.last_id, t.last_ts, t.br
+  FROM chains s JOIN reps t ON t.user_id = s.user_id
+  WHERE (s.last_ts < t.u_ts OR (s.last_ts = t.u_ts AND s.last_id < t.u_id))
+    AND EPOCH(t.last_ts) - EPOCH(s.first_ts) <= {w}
+    AND NOT (s.last_br = 1 AND EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = s.user_id AND n.event_type = 'error'
+        AND (s.last_ts < n.ts OR (s.last_ts = n.ts AND s.last_id < n.event_id))
+        AND (n.ts < t.u_ts OR (n.ts = t.u_ts AND n.event_id < t.u_id))))
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CASE WHEN s.w_cnt > 0 THEN CAST(s.w_cnt AS BIGINT) END AS w_len,
+       CAST(s.w_first AS BIGINT) AS w_first,
+       CAST(s.w_last AS BIGINT) AS w_last,
+       CASE WHEN s.x_cnt > 0 THEN CAST(s.x_cnt AS BIGINT) END AS x_len,
+       CAST(s.x_first AS BIGINT) AS x_first,
+       CAST(s.x_last AS BIGINT) AS x_last,
+       CASE WHEN s.y_cnt > 0 THEN CAST(s.y_cnt AS BIGINT) END AS y_len,
+       CAST(s.y_first AS BIGINT) AS y_first,
+       CAST(s.y_last AS BIGINT) AS y_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+  AND NOT (s.last_br = 1 AND EXISTS (
+    SELECT 1 FROM events n
+    WHERE n.user_id = s.user_id AND n.event_type = 'error'
+      AND (s.last_ts < n.ts OR (s.last_ts = n.ts AND s.last_id < n.event_id))
+      AND (n.ts < p.ts OR (n.ts = p.ts AND n.event_id < p.event_id))))
+"""
+
+
 def _kleene_group_br_neg_oracle() -> str:
     w = int(_KLEENE_GROUP_BR_NEG_PAT.window.total_seconds())
     return f"""
@@ -1473,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_query
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_query
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_query
+    out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_query
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
@@ -1500,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_oracle()
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_oracle()
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_oracle()
+    out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_oracle()
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()

@@ -304,12 +304,16 @@ def _suffix_part(draw):
         # branch) — the within-branch NegSpec (per_repeat gap on the
         # branch sub-slot) joins the merged NegSpec table, so identical
         # layouts share and a guarded branch never merges with an
-        # unguarded one
+        # unguarded one.  Session 5: TRAILING the branch — the
+        # br_guard tuple is part of the neg signature too.
         from cep_spark.pattern import Or_
-        if draw(st.booleans()):
+        placement = draw(st.sampled_from(["mid", "lead", "trail"]))
+        if placement == "mid":
             br = Seq(draw(_leaf()), Neg(draw(_leaf())), draw(_leaf()))
-        else:
+        elif placement == "lead":
             br = Seq(Neg(draw(_leaf())), draw(_leaf()), draw(_leaf()))
+        else:
+            br = Seq(draw(_leaf()), draw(_leaf()), Neg(draw(_leaf())))
         return [Kleene(Seq(draw(_leaf()), Or_(br, draw(_leaf()))),
                        max_len=None)]
     return [draw(_leaf())]

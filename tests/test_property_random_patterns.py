@@ -109,13 +109,24 @@ def kleene_node(draw):
         # session 4: Neg BETWEEN two leaves OF a Seq branch, or LEADING
         # the branch — the gap guarded in exactly the repetitions that
         # chose the branch (a leading branch Neg at a no-anchor first
-        # position is compile-rejected: the test's except path)
-        if draw(st.booleans()):
+        # position is compile-rejected: the test's except path);
+        # session 5: TRAILING the branch (gap OUT of the branch, gated
+        # by NegSpec.br_guard on which branch owns the latest bind)
+        placement = draw(st.sampled_from(["mid", "lead", "trail"]))
+        if placement == "mid":
             br = Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf()))
-        else:
+        elif placement == "lead":
             br = Seq(Neg(draw(leaf())), draw(leaf()), draw(leaf()))
+        else:
+            br = Seq(draw(leaf()), draw(leaf()), Neg(draw(leaf())))
+        # the branch position sometimes LAST (loop-back + bubbled gap)
+        # and sometimes not (gap to the next position's bind)
+        if draw(st.booleans()):
+            return Kleene(
+                Seq(draw(leaf()), Or_(br, draw(leaf()))), max_len=None
+            )
         return Kleene(
-            Seq(draw(leaf()), Or_(br, draw(leaf()))), max_len=None
+            Seq(Or_(br, draw(leaf())), draw(leaf())), max_len=None
         )
     if shape == "group_or_neg":
         return Kleene(

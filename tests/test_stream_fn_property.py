@@ -182,6 +182,25 @@ PATTERNS = {
                                                     Ev("y", role="assistant")))),
                                      Ev("t", role="user")),
                                  window=timedelta(seconds=180)),
+    # session 5: Neg TRAILING the branch — the loop-back + bubbled gap
+    # specs are branch-gated (NegSpec.br_guard) and must see the same
+    # argmax state across micro-batch cuts
+    "group_br_trail_neg": Pattern(Seq(Kleene(Seq(Ev("u", role="user"),
+                                                 Or_(Seq(Ev("w", role="assistant"),
+                                                         Ev("x", role="tool"),
+                                                         Neg(Ev("n", role="user"))),
+                                                     Ev("y", role="assistant")))),
+                                      Ev("t", role="user")),
+                                  window=timedelta(seconds=180)),
+    # ... with the group ENDING the pattern: the final repetition's gap
+    # is a branch-gated window-trailing edge check — matches PARK and
+    # the parked re-verification must apply the gate
+    "group_br_trail_parked": Pattern(Seq(Ev("s", role="tool"),
+                                         Kleene(Seq(Ev("u", role="user"),
+                                                    Or_(Seq(Ev("w", role="assistant"),
+                                                            Neg(Ev("n", role="user"))),
+                                                        Ev("y", role="assistant"))))),
+                                     window=timedelta(seconds=120)),
 }
 
 
