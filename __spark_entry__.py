@@ -1239,6 +1239,102 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# ... and with the group ENDING the pattern (session 5): the final
+# repetition's trailing branch Neg becomes a WINDOW-BOUNDED look-ahead
+# (kind="trailing"), still gated by br_guard — streaming PARKS these
+# matches until first.ts + W and re-verifies them against freshly-
+# sealed candidates with the same gate.  Oracle: last_br-gated NOT
+# EXISTS at the loop-back extension (between-repetition gaps) AND a
+# window-bounded one in the final select (n.ts - s.ts <= W, no right
+# event bound).
+
+_KLEENE_GROUP_BR_TRAIL_EDGE_PAT = _p(
+    Seq(
+        Ev("s", event_type="signup"),
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(Seq(Ev("w", event_type="click"),
+                           Neg(Ev("n", event_type="error"))),
+                       Ev("y", event_type="purchase")))),
+    ),
+    window=timedelta(hours=24),
+)
+
+
+def _kleene_group_br_trail_edge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_GROUP_BR_TRAIL_EDGE_PAT),
+                     mode="flat")
+
+
+def _kleene_group_br_trail_edge_oracle() -> str:
+    w = int(_KLEENE_GROUP_BR_TRAIL_EDGE_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE reps AS (
+  SELECT u.user_id, u.event_id AS u_id, u.ts AS u_ts,
+         b.event_id AS w_id, CAST(NULL AS BIGINT) AS y_id,
+         b.event_id AS last_id, b.ts AS last_ts, 1 AS br
+  FROM events u JOIN events b ON b.user_id = u.user_id
+  WHERE u.event_type = 'view' AND b.event_type = 'click'
+    AND (u.ts < b.ts OR (u.ts = b.ts AND u.event_id < b.event_id))
+    AND EPOCH(b.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), y.event_id, y.event_id, y.ts, 0 AS br
+  FROM events u JOIN events y ON y.user_id = u.user_id
+  WHERE u.event_type = 'view' AND y.event_type = 'purchase'
+    AND (u.ts < y.ts OR (u.ts = y.ts AND u.event_id < y.event_id))
+    AND EPOCH(y.ts) - EPOCH(u.ts) <= {w}
+),
+chains AS (
+  SELECT user_id, u_id AS u_first, u_id AS u_last,
+         u_ts AS u1_ts, u_id AS u1_id, 1 AS r,
+         CASE WHEN w_id IS NOT NULL THEN 1 ELSE 0 END AS w_cnt,
+         w_id AS w_first, w_id AS w_last,
+         CASE WHEN y_id IS NOT NULL THEN 1 ELSE 0 END AS y_cnt,
+         y_id AS y_first, y_id AS y_last,
+         last_id, last_ts, br AS last_br
+  FROM reps
+  UNION ALL
+  SELECT c.user_id, c.u_first, t.u_id, c.u1_ts, c.u1_id, c.r + 1,
+         c.w_cnt + CASE WHEN t.w_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(c.w_first, t.w_id), COALESCE(t.w_id, c.w_last),
+         c.y_cnt + CASE WHEN t.y_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(c.y_first, t.y_id), COALESCE(t.y_id, c.y_last),
+         t.last_id, t.last_ts, t.br
+  FROM chains c JOIN reps t ON t.user_id = c.user_id
+  WHERE (c.last_ts < t.u_ts OR (c.last_ts = t.u_ts AND c.last_id < t.u_id))
+    AND EPOCH(t.last_ts) - EPOCH(c.u1_ts) <= {w}
+    AND NOT (c.last_br = 1 AND EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = c.user_id AND n.event_type = 'error'
+        AND (c.last_ts < n.ts OR (c.last_ts = n.ts AND c.last_id < n.event_id))
+        AND (n.ts < t.u_ts OR (n.ts = t.u_ts AND n.event_id < t.u_id))))
+)
+SELECT a.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(a.event_id AS BIGINT) AS s_event_id,
+       CAST(c.r AS BIGINT) AS u_len,
+       CAST(c.u_first AS BIGINT) AS u_first,
+       CAST(c.u_last AS BIGINT) AS u_last,
+       CASE WHEN c.w_cnt > 0 THEN CAST(c.w_cnt AS BIGINT) END AS w_len,
+       CAST(c.w_first AS BIGINT) AS w_first,
+       CAST(c.w_last AS BIGINT) AS w_last,
+       CASE WHEN c.y_cnt > 0 THEN CAST(c.y_cnt AS BIGINT) END AS y_len,
+       CAST(c.y_first AS BIGINT) AS y_first,
+       CAST(c.y_last AS BIGINT) AS y_last
+FROM events a JOIN chains c ON c.user_id = a.user_id
+WHERE a.event_type = 'signup'
+  AND (a.ts < c.u1_ts OR (a.ts = c.u1_ts AND a.event_id < c.u1_id))
+  AND EPOCH(c.last_ts) - EPOCH(a.ts) <= {w}
+  AND NOT (c.last_br = 1 AND EXISTS (
+    SELECT 1 FROM events n
+    WHERE n.user_id = a.user_id AND n.event_type = 'error'
+      AND (c.last_ts < n.ts OR (c.last_ts = n.ts AND c.last_id < n.event_id))
+      AND EPOCH(n.ts) - EPOCH(a.ts) <= {w}))
+"""
+
+
 def _kleene_group_br_neg_oracle() -> str:
     w = int(_KLEENE_GROUP_BR_NEG_PAT.window.total_seconds())
     return f"""
@@ -1586,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_query
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_query
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_query
+    out["cep_kleene_group_br_trail_edge"] = _kleene_group_br_trail_edge_query
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
@@ -1614,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_oracle()
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_oracle()
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_oracle()
+    out["cep_kleene_group_br_trail_edge"] = _kleene_group_br_trail_edge_oracle()
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
