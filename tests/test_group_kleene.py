@@ -1285,6 +1285,19 @@ TRAIL_NEG_IN_BRANCH_PATTERNS = {
             Ev("t", role="user")),
         window=timedelta(minutes=5),
     ),
+    # trailing br Neg + an unconditional between-positions Neg guarding
+    # the SAME physical gap (one branch-gated, one not — both attach at
+    # the next position's entry binds)
+    "br_trail_plus_pos_neg": Pattern(
+        Seq(Ev("s", role="user"),
+            Kleene(Seq(Or_(Seq(Ev("w", role="assistant"),
+                               Neg(Ev("x", role="tool"))),
+                           Ev("c", role="user")),
+                       Neg(Ev("z", role="assistant")),
+                       Ev("d", role="tool"))),
+            Ev("t", role="assistant")),
+        window=timedelta(minutes=5),
+    ),
     # trailing-neg condition referencing a NON-group scalar var
     "br_trail_cond": Pattern(
         Seq(Ev("a", role="tool"),
