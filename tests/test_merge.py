@@ -244,6 +244,35 @@ def test_group_neg_and_andgroup_merge_parity():
     _assert_parity(mixed, _group(9, n=24))
 
 
+def test_branch_trail_neg_guard_in_merge_signature():
+    """Round 5, session 5: two patterns identical except for WHICH
+    branch carries the trailing Neg must keep their gap specs apart
+    (br_guard is part of the neg signature) and stay observationally
+    per-pattern through the merged automaton."""
+    from cep_spark.merge import merge_compiled
+    from cep_spark.pattern import Or_
+
+    def fam(trail_first: bool, pid):
+        b1 = [Ev("w", role="assistant"), Ev("x", role="tool")]
+        b2 = [Ev("y", role="assistant"), Ev("v", role="tool")]
+        (b1 if trail_first else b2).append(Neg(Ev("n", role="user")))
+        return _pat(
+            Seq(Ev("s", role="user"),
+                Kleene(Seq(Ev("u", role="user"), Or_(Seq(*b1), Seq(*b2))),
+                       max_len=None),
+                Ev("z", role="tool")),
+            pid=pid,
+        )
+
+    pats = [fam(True, 0), fam(False, 1)]
+    merged = _assert_parity(pats, _group(10, n=24))
+    (alt,) = merged.alternatives
+    # the two guarded gap specs differ ONLY in br_guard: they must not
+    # have merged into one
+    guarded = [sp for sp in alt.negs if sp.br_guard]
+    assert len({sp.br_guard for sp in guarded}) >= 2, guarded
+
+
 # ---------------------------------------------------------------------------
 # hypothesis sweep — prefix-sharing families + unrelated mixtures
 
@@ -500,6 +529,17 @@ def _mergeable_stream_family(mixed_windows=False, with_group=False):
                                   Ev("x", role="tool")))),
                    Neg(Ev("m", role="assistant"))),
                "p_grp", ws[1])
+        )
+        # ... and a branch-TRAILING Neg whose guarded specs (repeat_lb
+        # loop-back + window-trailing parked path) ride the MULTI
+        # executor (round 5, session 5)
+        fam.append(
+            mk(Seq(Ev("s2", role="tool"),
+                   Kleene(Seq(Ev("u2", role="user"),
+                              Or_(Seq(Ev("w2", role="assistant"),
+                                      Neg(Ev("n2", role="user"))),
+                                  Ev("y2", role="assistant"))))),
+               "p_grp_tr", ws[2])
         )
     return fam
 
