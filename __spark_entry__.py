@@ -1049,6 +1049,93 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 6): an And_ at one POSITION of the repetition —
+# every repetition binds a 'view' u_j, then a 'click' w_j AND a
+# 'signup' x_j in ANY arrival order (conjunctive sub-slots at one
+# grp_idx, pos_all=True; the automaton's mid holds the bound-member
+# set), with the next repetition's u strictly after BOTH.  The oracle's
+# recursive CTE joins each repetition's (w, x) pair with no order
+# constraint between them and carries the pair's (ts, id)-max as the
+# next repetition's strict lower bound — the conjunctive analogue of
+# cep_kleene_and_group, inside a multi-position Seq repetition.
+
+_KLEENE_AND_POS_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("a", event_type="view"),
+                   And_(Ev("w", event_type="click"),
+                        Ev("x", event_type="signup")))),
+        Ev("p", event_type="purchase"),
+    ),
+    # 48h (vs the family's usual 12h): at the harness data's per-user
+    # event density this is the smallest window where multi-repetition
+    # matches exist — the conjunctive loop-back is load-bearing for the
+    # row set, not just the r=1 join shape
+    window=timedelta(hours=48),
+)
+
+
+def _kleene_and_pos_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_AND_POS_PAT), mode="flat")
+
+
+def _kleene_and_pos_oracle() -> str:
+    w = int(_KLEENE_AND_POS_PAT.window.total_seconds())
+    w_lt_x = "(w.ts < x.ts OR (w.ts = x.ts AND w.event_id < x.event_id))"
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT a.user_id,
+         a.event_id AS a_first, a.event_id AS a_last,
+         w.event_id AS w_first, w.event_id AS w_last,
+         x.event_id AS x_first, x.event_id AS x_last,
+         1 AS r, a.ts AS first_ts,
+         GREATEST(w.ts, x.ts) AS last_ts,
+         CASE WHEN {w_lt_x} THEN x.event_id ELSE w.event_id END AS last_id
+  FROM events a
+  JOIN events w ON w.user_id = a.user_id
+  JOIN events x ON x.user_id = a.user_id
+  WHERE a.event_type = 'view' AND w.event_type = 'click'
+    AND x.event_type = 'signup'
+    AND (a.ts < w.ts OR (a.ts = w.ts AND a.event_id < w.event_id))
+    AND (a.ts < x.ts OR (a.ts = x.ts AND a.event_id < x.event_id))
+    AND EPOCH(GREATEST(w.ts, x.ts)) - EPOCH(a.ts) <= {w}
+  UNION ALL
+  SELECT c.user_id, c.a_first, a.event_id,
+         c.w_first, w.event_id, c.x_first, x.event_id,
+         c.r + 1, c.first_ts,
+         GREATEST(w.ts, x.ts),
+         CASE WHEN {w_lt_x} THEN x.event_id ELSE w.event_id END
+  FROM chains c
+  JOIN events a ON a.user_id = c.user_id
+  JOIN events w ON w.user_id = c.user_id
+  JOIN events x ON x.user_id = c.user_id
+  WHERE a.event_type = 'view' AND w.event_type = 'click'
+    AND x.event_type = 'signup'
+    AND (c.last_ts < a.ts OR (c.last_ts = a.ts AND c.last_id < a.event_id))
+    AND (a.ts < w.ts OR (a.ts = w.ts AND a.event_id < w.event_id))
+    AND (a.ts < x.ts OR (a.ts = x.ts AND a.event_id < x.event_id))
+    AND EPOCH(GREATEST(w.ts, x.ts)) - EPOCH(c.first_ts) <= {w}
+)
+SELECT c.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(c.r AS BIGINT) AS a_len,
+       CAST(c.a_first AS BIGINT) AS a_first,
+       CAST(c.a_last AS BIGINT) AS a_last,
+       CAST(c.r AS BIGINT) AS w_len,
+       CAST(c.w_first AS BIGINT) AS w_first,
+       CAST(c.w_last AS BIGINT) AS w_last,
+       CAST(c.r AS BIGINT) AS x_len,
+       CAST(c.x_first AS BIGINT) AS x_first,
+       CAST(c.x_last AS BIGINT) AS x_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains c JOIN events p ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase'
+  AND (c.last_ts < p.ts OR (c.last_ts = p.ts AND c.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(c.first_ts) <= {w}
+"""
+
+
 # round 5 (session 4): a Neg strictly BETWEEN two leaves of a Seq
 # branch — the within-repetition gap (w_j, x_j) must be 'error'-free in
 # exactly the repetitions that CHOSE the (click, signup) branch;
@@ -1684,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_query
     out["cep_kleene_group_br_trail_edge"] = _kleene_group_br_trail_edge_query
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_query
+    out["cep_kleene_and_pos"] = _kleene_and_pos_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
@@ -1713,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_oracle()
     out["cep_kleene_group_br_trail_edge"] = _kleene_group_br_trail_edge_oracle()
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_oracle()
+    out["cep_kleene_and_pos"] = _kleene_and_pos_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()

@@ -80,6 +80,16 @@ class Slot:
     br: int = 0
     br_idx: int = 0
     br_len: int = 1
+    # And_ at one group position of a "seq" group (round 5, session 6):
+    # the repetition binds EVERY member of the position once, in ANY
+    # arrival order, all strictly after the previous position's bind and
+    # before the next position's (position interleaving is preserved
+    # position-wise).  Members reuse `br` as the member index (br_idx=0,
+    # br_len=1) with pos_all=True; the automaton's mid entry holds
+    # ``(grp_idx, frozenset(bound member brs))`` while the position is
+    # in progress.  Unlike Or_ branches, members bind in every
+    # repetition — they are ordinary zip-aligned group mates.
+    pos_all: bool = False
 
 
 @dataclass(frozen=True)
@@ -315,19 +325,25 @@ def _validate_group_inner(node: Kleene) -> None:
         return all(isinstance(x, (Ev, Neg)) for x in b.parts)
 
     def _seq_part_ok(p):
-        # a position is a plain leaf, a Neg guarding a gap, or (round 5)
+        # a position is a plain leaf, a Neg guarding a gap, (round 5)
         # an Or_ of leaf-or-Seq branches — the repetition binds ONE
         # branch per iteration (alternative sub-slots at the same
-        # position)
+        # position) — or (session 6) an And_ of plain leaves: the
+        # repetition binds EVERY member once in any arrival order,
+        # between the neighbouring positions' binds
         return isinstance(p, (Ev, Neg)) or (
             isinstance(p, Or_)
             and len(p.parts) >= 2
             and all(_branch_ok(b) for b in p.parts)
+        ) or (
+            isinstance(p, And_)
+            and len(p.parts) >= 2
+            and all(isinstance(x, Ev) for x in p.parts)
         )
 
     ok = (
         isinstance(inner, Seq)
-        and sum(isinstance(p, (Ev, Or_)) for p in inner.parts) >= 2
+        and sum(isinstance(p, (Ev, Or_, And_)) for p in inner.parts) >= 2
         and all(_seq_part_ok(p) for p in inner.parts)
         # no two adjacent Negs (each Neg guards exactly one leaf gap)
         and not any(
@@ -364,11 +380,13 @@ def _validate_group_inner(node: Kleene) -> None:
             "leaves or Seqs of leaves (optionally with Negs BETWEEN "
             "two branch leaves, LEADING, or TRAILING the branch — "
             "gaps guarded in exactly the repetitions that choose the "
-            "branch) — or And_ of "
-            "plain event leaves "
-            "(each repetition binds them in any arrival order, no Negs "
-            "inside); deeper nesting inside the repetition requires "
-            "max_len — those expand to fixed chains at compile time"
+            "branch), or And_ of plain event leaves (the repetition "
+            "binds every member once in any arrival order between the "
+            "neighbouring positions' binds, no Negs inside the And_); "
+            "the whole body may also be a bare And_ of leaves "
+            "(unordered repetitions); deeper nesting inside the "
+            "repetition requires max_len — those expand to fixed "
+            "chains at compile time"
         )
 
 
@@ -616,6 +634,32 @@ def _collect(
                 new_sids = []
                 entry_sids = []
                 trail_here: list = []  # trailing (neg, last_leaf_var) per branch
+                if isinstance(part, And_):
+                    # conjunctive position (round 5, session 6): one
+                    # sub-slot per member at the SAME grp_idx with
+                    # pos_all=True — the repetition binds EVERY member
+                    # once, in ANY arrival order, strictly between the
+                    # neighbouring positions' binds (_successors tracks
+                    # the bound-member set in the mid pointer).  Members
+                    # bind in every repetition, so they are ordinary
+                    # zip-aligned group mates (NOT branch vars); the
+                    # repetition count uses member 0 only.  An adjacent
+                    # Neg's gap closes at the repetition's FIRST member
+                    # bind — the chain expansion's min-over-members —
+                    # so every member sid is an entry sid and the
+                    # transition builder gates per-repeat gap specs on
+                    # pos_all slots to position-ENTRY binds.
+                    for bi, ev in enumerate(part.parts):
+                        sid = len(slots)
+                        slots.append(
+                            Slot(sid, ev.name, ev.where, kleene=True,
+                                 kleene_max=node.max_len, prereq=here,
+                                 group=gid, grp_idx=j, br=bi,
+                                 pos_all=True)
+                        )
+                        new_sids.append(sid)
+                    entry_sids = list(new_sids)
+                    branches = ()  # skip the Or_-branch loop below
                 for bi, brn in enumerate(branches):
                     parts_b = brn.parts if isinstance(brn, Seq) else (brn,)
                     evs = [x for x in parts_b if isinstance(x, Ev)]
@@ -890,7 +934,27 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
             else:
                 # seq-group mid value: int j = waiting for position j's
                 # entry bind; tuple (j, br, k) = inside a multi-event
-                # branch of position j, waiting for its br_idx-k event
+                # branch of position j, waiting for its br_idx-k event;
+                # (j, frozenset) = inside a conjunctive (And_) position,
+                # the set holding the member brs bound this repetition
+                if (isinstance(cur, tuple) and len(cur) == 2
+                        and isinstance(cur[1], frozenset)):
+                    jj, done = cur
+                    if s.grp_idx != jj or not s.pos_all or s.br in done:
+                        continue
+                    ndone = done | {s.br}
+                    if len(ndone) == len(pos_sids[(s.group, jj)]):
+                        if jj == npos - 1:
+                            del nm[s.group]
+                        else:
+                            nm[s.group] = jj + 1
+                    else:
+                        nm[s.group] = (jj, ndone)
+                    out.append(
+                        (s, bound | {s.sid}, frozenset(nm.items()),
+                         s.sid in bound, False)
+                    )
+                    continue
                 if isinstance(cur, tuple):
                     jj, bb, kk = cur
                     if s.grp_idx != jj or s.br != bb or s.br_idx != kk:
@@ -899,7 +963,11 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                     if cur != s.grp_idx or s.br_idx != 0:
                         continue
                     jj = cur
-                if s.br_idx < s.br_len - 1:
+                if s.pos_all:
+                    # entry into a conjunctive position (>= 2 members):
+                    # hold the mid at (j, {first member}) until all bind
+                    nm[s.group] = (jj, frozenset({s.br}))
+                elif s.br_idx < s.br_len - 1:
                     nm[s.group] = (jj, s.br, s.br_idx + 1)
                 elif jj == npos - 1:
                     del nm[s.group]
@@ -916,6 +984,10 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
         if unordered:
             if npos > 1:
                 nm[s.group] = frozenset({s.grp_idx})
+        elif s.pos_all:
+            # conjunctive position 0: any member may start the
+            # repetition; the rest bind through the in-mid path
+            nm[s.group] = (0, frozenset({s.br}))
         elif s.br_len > 1:
             nm[s.group] = (0, s.br, 1)
         elif npos > 1:
@@ -958,6 +1030,11 @@ def _complete_bound(bound: frozenset, slots: list, groups: dict) -> bool:
     for gs in groups.values():
         seen = {x.grp_idx for x in gs if x.sid in bound}
         if len(seen) != gs[-1].grp_idx + 1:
+            return False
+        # conjunctive (And_) positions additionally need EVERY member
+        # bound (guaranteed by the mid-pointer mechanics once a
+        # repetition completes — kept as a defensive invariant)
+        if any(x.pos_all and x.sid not in bound for x in gs):
             return False
     return True
 
@@ -1123,7 +1200,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             slot_list.append(
                 Slot(s.sid, s.var, u, s.kleene, s.kleene_max, s.prereq,
                      s.adjacent, s.group, s.grp_idx, s.grp_kind,
-                     s.br, s.br_idx, s.br_len)
+                     s.br, s.br_idx, s.br_len, s.pos_all)
             )
             if s.adjacent is not None:
                 # {var}__prev reads the same physical columns as {var}
@@ -1139,7 +1216,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             slot_list = [
                 Slot(s.sid, s.var, FALSE, s.kleene, s.kleene_max, s.prereq,
                      s.adjacent, s.group, s.grp_idx, s.grp_kind,
-                     s.br, s.br_idx, s.br_len)
+                     s.br, s.br_idx, s.br_len, s.pos_all)
                 for s in slot_list
             ]
             multi = []
@@ -1275,7 +1352,11 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                 )
         branch_vars = {
             s.var: s.group for s in slots
-            if s.group is not None and pos_count[(s.group, s.grp_idx)] > 1
+            # conjunctive (And_) position members share a position but
+            # bind in EVERY repetition — ordinary zip-aligned group
+            # mates, not branch vars
+            if s.group is not None and not s.pos_all
+            and pos_count[(s.group, s.grp_idx)] > 1
         }
         if branch_vars:
             gvars = {}
@@ -1350,6 +1431,38 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                         and (c.vars() & gvars)
                         and c.vars() <= bound_vars
                     )
+                elif s.pos_all:
+                    # conjunctive (And_) position repetition bind: which
+                    # member binds last varies per partial, so conjuncts
+                    # touching ANY member of the position attach at the
+                    # bind that COMPLETES the position (every member's
+                    # tuple then ends with this repetition's element —
+                    # the aligned evaluation pairs them correctly);
+                    # non-completing binds carry none.  Conjuncts also
+                    # referencing a LATER position defer to that
+                    # position's own repetition bind, as usual.
+                    cur_g = dict(nm).get(s.group)
+                    pos_complete = not (
+                        isinstance(cur_g, tuple) and len(cur_g) == 2
+                        and isinstance(cur_g[1], frozenset)
+                        and cur_g[0] == s.grp_idx
+                    )
+                    pos_vars = frozenset(
+                        x.var for x in groups[s.group]
+                        if x.grp_idx == s.grp_idx
+                    )
+                    later = frozenset(
+                        x.var for x in groups[s.group]
+                        if x.grp_idx > s.grp_idx
+                    )
+                    conds = tuple(
+                        c
+                        for c in multi
+                        if pos_complete
+                        and (c.vars() & pos_vars)
+                        and c.vars() <= bound_vars
+                        and not (c.vars() & later)
+                    )
                 else:
                     # repetition bind: re-check every conjunct the new
                     # element participates in — EXCEPT those also
@@ -1371,10 +1484,22 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                         and c.vars() <= bound_vars
                         and not (c.vars() & later)
                     )
+                # a gap ending at a conjunctive (And_) position closes
+                # at the repetition's FIRST member bind (the chain
+                # expansion's min-over-members boundary) — mid-position
+                # member binds must not re-check it with a later end
+                pos_entry = True
+                if s.pos_all:
+                    cur_src = dict(st.mid).get(s.group)
+                    pos_entry = not (
+                        isinstance(cur_src, tuple) and len(cur_src) == 2
+                        and isinstance(cur_src[1], frozenset)
+                    )
                 gnegs = tuple(
                     gi
                     for gi in gap_idx
                     if s.sid in neg_specs[gi].post_slots
+                    and pos_entry
                     # loop-back-only gaps (trailing Neg in a group, or a
                     # pattern-initial leading Neg's later repetitions):
                     # the first repetition's entry bind has no

@@ -297,6 +297,7 @@ def merge_compiled(cps) -> CompiledPattern:
                     s.br,
                     s.br_idx,
                     s.br_len,
+                    s.pos_all,
                     tuple(sorted(s.prereq)),
                 )
 
@@ -347,6 +348,7 @@ def merge_compiled(cps) -> CompiledPattern:
                         s.br,
                         s.br_idx,
                         s.br_len,
+                        s.pos_all,
                     )
                     m_slots.append(ms)
                     slot_of_sig[sig] = ms

@@ -1104,6 +1104,10 @@ def _pattern_fp(cp, w_ns):
             # branch-free families (all existing checkpoints) are
             # unchanged
             + ((s.br, s.br_idx, s.br_len) if s.br_len > 1 else ())
+            # conjunctive (And_) position members (round 5, session 6)
+            # — appended conditionally so fingerprints of pos_all-free
+            # families (all existing checkpoints) are unchanged
+            + ((("A", s.br),) if s.pos_all else ())
             for s in alt.slots
         )
         negs = tuple(

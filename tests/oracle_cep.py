@@ -41,6 +41,10 @@ def _unbounded_group_names(node) -> list:
             for p in positions:
                 if isinstance(p, Ev):
                     names.append(p.name)
+                elif isinstance(p, And_):
+                    # conjunctive position (session 6): every member
+                    # binds each repetition — all are aligned names
+                    names.extend(x.name for x in p.parts)
                 elif isinstance(p, Or_):
                     for b in p.parts:
                         if isinstance(b, Seq):
@@ -70,7 +74,9 @@ def _bound_groups(node, n: int):
             # one event per Ev / per Or_ position; Negs consume none);
             # a bare Or_ inner is ONE position
             arity = 1 if isinstance(inner, Or_) else sum(
-                isinstance(p, (Ev, Or_)) for p in inner.parts
+                len(p.parts) if isinstance(p, And_)
+                else int(isinstance(p, (Ev, Or_)))
+                for p in inner.parts
             )
             return Kleene(inner, max_len=max(1, n // max(arity, 1)))
         return Kleene(inner, max_len=node.max_len, adjacent=node.adjacent)

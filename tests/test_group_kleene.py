@@ -303,6 +303,69 @@ PATTERNS = {
             Ev("t", role="user")),
         window=timedelta(minutes=5),
     ),
+    # session 6: And_ at one POSITION of a Seq repetition — every
+    # repetition binds EVERY member once, in any arrival order, all
+    # strictly between the neighbouring positions' binds (conjunctive
+    # sub-slots share a grp_idx; mid tracks the bound-member set)
+    "and_pos_in_group": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Ev("w", role="assistant"), Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_first": Pattern(
+        Seq(Kleene(Seq(And_(Ev("w", role="assistant"), Ev("x", role="tool")),
+                       Ev("u", role="user"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    # members are ordinary zip-aligned group mates: same-position,
+    # cross-position, and member-vs-outer conjuncts all per repetition
+    "and_pos_mate_cond": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Ev("w", role="assistant"), Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        where=attr("w", "value") > attr("x", "value"),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_outer_cond": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Ev("w", role="assistant"), Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        where=attr("x", "value") < attr("t", "value"),
+        window=timedelta(minutes=8),
+    ),
+    # a gap Neg INTO the And_ position closes at the repetition's FIRST
+    # member bind (chain min-over-members); OUT of it, at the next
+    # position's bind with the LAST member as left boundary
+    "neg_before_and_pos": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Neg(Ev("n", tool="sql")),
+                       And_(Ev("w", role="assistant"), Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    "neg_after_and_pos": Pattern(
+        Seq(Kleene(Seq(And_(Ev("w", role="assistant"), Ev("x", role="tool")),
+                       Neg(Ev("n", tool="sql")), Ev("u", role="user"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    # trailing Neg with the And_ position LAST in the repetition:
+    # loop-back gap + bubbled final gap, left boundary = last member
+    "trail_neg_and_pos_last": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Ev("w", role="assistant"), Ev("x", role="tool")),
+                       Neg(Ev("n", tool="sql")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    # Or_ position and And_ position in ONE repetition
+    "or_and_mix_pos": Pattern(
+        Seq(Kleene(Seq(Or_(Ev("a", role="user"), Ev("b", role="tool")),
+                       And_(Ev("w", role="assistant"), Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
 }
 
 
@@ -1427,3 +1490,206 @@ def test_trail_neg_in_branch_discriminates():
     # (u w) rep is clean -> the mixed-branch match survives
     assert any("w" in b and "y" in b
                for _, b in match_group_nfa(cp, two_ok))
+
+
+# --------------------------------------------------------------------------
+# session 6: And_ at one POSITION of a Seq repetition (conjunctive
+# sub-slots — every repetition binds every member, in any arrival order)
+
+
+def test_bounded_and_pos_group_equals_chain_expansion():
+    """The bounded chain expansion (which compiles And_-in-Seq
+    repetitions natively via prereq sets) is the source of truth: the
+    forced group lowering must reproduce its match set exactly,
+    including multi-repetition interleavings and both within-position
+    arrival orders."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Ev("w", role="assistant"), Ev("x", role="tool"))),
+                   max_len=2),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+
+    def fold(res):
+        folded = []
+        for _, b in res:
+            fb = {"t": (b["t"],)}
+            for base in ("u", "w", "x"):
+                el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                           if f"{base}__{j}" in b)
+                if el:
+                    fb[base] = el
+            folded.append((0, tuple(sorted(fb.items()))))
+        return sorted(set(folded))
+
+    # deterministic two-repetition fixture with the second position's
+    # members arriving in BOTH orders (w x in rep 1, x w in rep 2)
+    ts0 = pd.Timestamp("2026-01-01")
+    roles = ["user", "assistant", "tool", "user", "tool", "assistant",
+             "user"]
+    g = pd.DataFrame({
+        "conv_id": "c0", "turn_idx": np.arange(len(roles), dtype=np.int32),
+        "role": roles, "tool": "python",
+        "ts": ts0 + pd.to_timedelta(np.arange(len(roles)) * 5, unit="s"),
+        "value": np.arange(float(len(roles))),
+    })
+    grp = _canon_nfa(match_group_nfa(cp_group, g))
+    assert grp == fold(match_group_nfa(cp_chain, g))
+    # the two-repetition mixed-order match is present
+    assert any(len(dict(t)["u"]) == 2 for _, t in grp)
+
+    rng = np.random.default_rng(46)
+    nonzero = multirep = 0
+    for trial in range(80):
+        gg = _gen_group(trial * 23 + 9, int(rng.integers(3, 13)))
+        gs = gg.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        got = _canon_nfa(match_group_nfa(cp_group, gs))
+        assert got == fold(match_group_nfa(cp_chain, gs)), f"trial {trial}\n{gg}"
+        nonzero += bool(got)
+        multirep += any(len(dict(t)["u"]) > 1 for _, t in got)
+    assert nonzero > 0 and multirep > 0
+
+
+def test_and_pos_interleaving_fixture():
+    """Hand-computed pins of the conjunctive-position mechanics: the
+    next position may not bind while the And_ is in progress, members
+    bind in either order, and each member binds exactly once per
+    repetition."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Ev("w", role="assistant"), Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    )
+    cp = compile_pattern(pat)
+    ts0 = pd.Timestamp("2026-01-01")
+
+    def frame(roles):
+        return pd.DataFrame({
+            "conv_id": "c0",
+            "turn_idx": np.arange(len(roles), dtype=np.int32),
+            "role": roles,
+            "tool": "python",
+            "ts": ts0 + pd.to_timedelta(np.arange(len(roles)) * 5, unit="s"),
+            "value": 1.0,
+        })
+
+    # both member orders complete the repetition
+    for roles in (["user", "assistant", "tool", "user"],
+                  ["user", "tool", "assistant", "user"]):
+        ms = match_group_nfa(cp, frame(roles))
+        assert any(b["u"] == (0,) and b["w"] != () and b["x"] != ()
+                   for _, b in ms), roles
+
+    # the final 't' may NOT bind while the position is mid (w bound,
+    # x missing): no match binds u without both members
+    ms = match_group_nfa(cp, frame(["user", "assistant", "user"]))
+    assert all(len(b["u"]) == len(b["w"]) == len(b["x"]) for _, b in ms)
+    assert not any(len(b["u"]) == 1 and b["w"] == (1,) for _, b in ms
+                   if len(b["x"]) == 0)
+
+    # a second repetition's u may not start before rep 1's members
+    # finish: u(0) w(1) u(2) x(3) ... the 2-rep reading is illegal
+    ms = match_group_nfa(
+        cp, frame(["user", "assistant", "user", "tool", "assistant",
+                   "tool", "user"]))
+    for _, b in ms:
+        if len(b["u"]) == 2:
+            # strict position interleaving: max(w1,x1) < u2
+            w1, x1 = b["w"][0], b["x"][0]
+            assert max(w1, x1) < b["u"][1]
+
+
+def test_and_pos_bounded_cap_counts_repetitions():
+    """Under the forced group lowering the bounded cap counts
+    repetitions via member 0 of a conjunctive position ONLY — counting
+    every member would halve the allowed repetitions."""
+    pat = Pattern(
+        Seq(Kleene(Seq(And_(Ev("a", role="user"), Ev("b", role="assistant")),
+                       Ev("w", role="tool")), max_len=2),
+            Ev("t", role="user")),
+        window=timedelta(minutes=10),
+    )
+    cp = compile_pattern(pat, composite="group")
+    ts0 = pd.Timestamp("2026-01-01")
+    roles = ["user", "assistant", "tool",
+             "assistant", "user", "tool",
+             "user", "assistant", "tool", "user"]
+    g = pd.DataFrame({
+        "conv_id": "c0", "turn_idx": np.arange(len(roles), dtype=np.int32),
+        "role": roles, "tool": "x",
+        "ts": ts0 + pd.to_timedelta(np.arange(len(roles)) * 5, unit="s"),
+        "value": np.arange(float(len(roles))),
+    })
+    res = match_group_nfa(cp, g)
+    assert res, "fixture must match"
+    # two full repetitions ARE allowed (cap counts repetitions, not
+    # member binds) ...
+    assert any(len(b["a"]) == 2 for _, b in res)
+    # ... and a third is not
+    assert all(len(b["a"]) <= 2 for _, b in res)
+    # chain expansion agrees on the full match set
+    cp_chain = compile_pattern(pat)
+    folded = []
+    for _, b in match_group_nfa(cp_chain, g):
+        fb = {"t": (b["t"],)}
+        for base in ("a", "b", "w"):
+            el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                       if f"{base}__{j}" in b)
+            if el:
+                fb[base] = el
+        folded.append((0, tuple(sorted(fb.items()))))
+    assert _canon_nfa(res) == sorted(set(folded))
+
+
+def test_and_pos_rejects():
+    """Guard rails: structures deeper than plain leaves inside the And_
+    position (Negs, nested Kleene, nested Or_) reject loudly, and a
+    conjunct pairing an Or_-branch var with an And_-position member of
+    the same group is still an undefined alignment."""
+    import pytest
+
+    W = timedelta(minutes=5)
+    # Neg inside the And_ position: no defined gap in an unordered bind
+    with pytest.raises(ValueError, match="And_ of plain event leaves"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           And_(Ev("w", role="assistant"),
+                                Neg(Ev("n", role="tool")),
+                                Ev("x", role="tool")))),
+                Ev("t", role="user")),
+            window=W,
+        ))
+    # bounded Kleene nested inside the And_ position
+    with pytest.raises(ValueError, match="And_ of plain event leaves"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           And_(Ev("w", role="assistant"),
+                                Kleene(Ev("k", role="tool"), max_len=2)))),
+                Ev("t", role="user")),
+            window=W,
+        ))
+    # Or_ nested inside the And_ position
+    with pytest.raises(ValueError, match="And_ of plain event leaves"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           And_(Ev("w", role="assistant"),
+                                Or_(Ev("x", role="tool"),
+                                    Ev("y", role="user"))))),
+                Ev("t", role="user")),
+            window=W,
+        ))
+    # branch var x same-group pairing with And_ member w: the branch
+    # binds only in repetitions that chose it — alignment undefined
+    with pytest.raises(ValueError, match="same-group"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Or_(Ev("a", role="user"), Ev("b", role="sys")),
+                           And_(Ev("w", role="assistant"),
+                                Ev("x", role="tool")))),
+                Ev("t", role="user")),
+            where=attr("a", "value") > attr("w", "value"),
+            window=W,
+        ))

@@ -294,7 +294,7 @@ def _suffix_part(draw):
     kind = draw(st.sampled_from(["leaf", "leaf", "kleene", "neg_then_leaf",
                                  "group", "group_or", "bare_or",
                                  "group_seq_or", "group_nested_k",
-                                 "group_br_neg"]))
+                                 "group_br_neg", "group_and_pos"]))
     if kind == "kleene":
         return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
     if kind == "neg_then_leaf":
@@ -344,6 +344,14 @@ def _suffix_part(draw):
         else:
             br = Seq(draw(_leaf()), draw(_leaf()), Neg(draw(_leaf())))
         return [Kleene(Seq(draw(_leaf()), Or_(br, draw(_leaf()))),
+                       max_len=None)]
+    if kind == "group_and_pos":
+        # session 6: conjunctive (And_) position — pos_all joins the
+        # slot signature, so an And_ position never merges with an Or_
+        # position of the same member layout (completion semantics
+        # differ: ALL members vs ONE branch)
+        return [Kleene(Seq(draw(_leaf()),
+                           And_(draw(_leaf()), draw(_leaf()))),
                        max_len=None)]
     return [draw(_leaf())]
 
@@ -540,6 +548,17 @@ def _mergeable_stream_family(mixed_windows=False, with_group=False):
                                       Neg(Ev("n2", role="user"))),
                                   Ev("y2", role="assistant"))))),
                "p_grp_tr", ws[2])
+        )
+        # ... and an And_ POSITION (session 6): the conjunctive mid
+        # pointer + entry-gated gap Neg through the MULTI executor's
+        # persisted merged-state tables
+        fam.append(
+            mk(Seq(Kleene(Seq(Ev("u3", role="user"),
+                              Neg(Ev("n3", role="tool")),
+                              And_(Ev("w3", role="assistant"),
+                                   Ev("x3", role="tool")))),
+                   Ev("t3", role="user")),
+               "p_grp_and", ws[3])
         )
     return fam
 

@@ -70,7 +70,8 @@ def kleene_node(draw):
         ["leaf", "leaf", "adjacent", "composite", "group",
          "group_neg", "group_lead_neg", "group_trail_neg", "and_group",
          "group_or", "group_or_neg", "group_bare_or", "group_seq_or",
-         "group_seq_or_neg", "group_br_neg"]
+         "group_seq_or_neg", "group_br_neg", "group_and_pos",
+         "group_and_pos_neg"]
     ))
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
@@ -132,6 +133,35 @@ def kleene_node(draw):
         return Kleene(
             Seq(draw(leaf()), Neg(draw(leaf())),
                 Or_(draw(leaf()), draw(leaf()))),
+            max_len=None,
+        )
+    if shape == "group_and_pos":
+        # session 6: And_ at a repetition position — every repetition
+        # binds EVERY member, in any arrival order, between the
+        # neighbouring positions' binds; the position sometimes FIRST
+        # (conjunctive loop-back entry through any member)
+        if draw(st.booleans()):
+            return Kleene(
+                Seq(draw(leaf()), And_(draw(leaf()), draw(leaf()))),
+                max_len=None,
+            )
+        return Kleene(
+            Seq(And_(draw(leaf()), draw(leaf())), draw(leaf())),
+            max_len=None,
+        )
+    if shape == "group_and_pos_neg":
+        # ... with a gap Neg before or after the position (the entry
+        # gate closes the INTO-gap at the repetition's first member
+        # bind; the OUT-gap's left boundary is the last member)
+        if draw(st.booleans()):
+            return Kleene(
+                Seq(draw(leaf()), Neg(draw(leaf())),
+                    And_(draw(leaf()), draw(leaf()))),
+                max_len=None,
+            )
+        return Kleene(
+            Seq(And_(draw(leaf()), draw(leaf())), Neg(draw(leaf())),
+                draw(leaf())),
             max_len=None,
         )
     if shape == "group_neg":

@@ -20,7 +20,7 @@ import pytest
 
 from cep_spark.batch import match_group_nfa, run_batch
 from cep_spark.compiler import compile_pattern
-from cep_spark.pattern import Ev, Kleene, Neg, Pattern, Seq
+from cep_spark.pattern import And_, Ev, Kleene, Neg, Pattern, Seq
 from cep_spark.sink import ExactlyOnceParquetSink
 from cep_spark.stream import run_stream
 
@@ -271,6 +271,34 @@ def test_parity_branch_trail_neg_group_pattern_end(spark, events_pdf, tmp_path):
     batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
     assert _nn_rows(got.collect()) == _nn_rows(batch.collect())
     assert got.count() == 38  # 41 without the trailing branch Neg
+
+
+def test_parity_and_pos_group(spark, events_pdf, tmp_path):
+    """Round 5, session 6: an And_ POSITION inside an unbounded Seq
+    repetition through the REAL streaming state store — the conjunctive
+    mid pointer (grp_idx, bound-member set) and the member partial
+    tables must survive pickled state roundtrips across micro-batch
+    cuts, with members arriving in either order.  The entry-gated gap
+    Neg INTO the position kills 13 of the 43 unguarded matches on
+    sf0.001 at 48h (probe-pinned), so a gap check applied at every
+    member bind — or at none — fails one of the two counts."""
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("a", event_type="view"),
+                       Neg(Ev("n", event_type="error")),
+                       And_(Ev("w", event_type="click"),
+                            Ev("x", event_type="signup")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=48),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_andpos")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    assert got.count() == 30  # 43 without the Neg into the position
 
 
 def test_disorder_within_watermark(spark, events_pdf, tmp_path):

@@ -201,6 +201,24 @@ PATTERNS = {
                                                             Neg(Ev("n", role="user"))),
                                                         Ev("y", role="assistant"))))),
                                      window=timedelta(seconds=120)),
+    # session 6: And_ at one POSITION of a Seq repetition — the
+    # conjunctive mid pointer (bound-member set) must survive the
+    # incremental executor's persisted partial tables across
+    # micro-batch cuts, in both arrival orders
+    "group_and_pos": Pattern(Seq(Kleene(Seq(Ev("u", role="user"),
+                                            And_(Ev("w", role="assistant"),
+                                                 Ev("x", role="tool")))),
+                                 Ev("t", role="user")),
+                             window=timedelta(seconds=180)),
+    # ... with a gap Neg INTO the position (closes at the repetition's
+    # FIRST member bind — entry-gated across batch cuts) and a
+    # pattern-trailing Neg that PARKS matches carrying member tuples
+    "group_and_pos_neg": Pattern(Seq(Kleene(Seq(Ev("u", role="user"),
+                                                Neg(Ev("n", role="tool")),
+                                                And_(Ev("w", role="assistant"),
+                                                     Ev("x", role="tool")))),
+                                     Neg(Ev("m", role="assistant"))),
+                                 window=timedelta(seconds=120)),
 }
 
 
