@@ -1136,6 +1136,101 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 7): a Seq-of-leaves MEMBER inside the And_ position
+# — every repetition binds a 'view' a_j, then a 'click'→'view' pair
+# (w_j strictly before v_j: the member's own order) AND a 'signup' x_j
+# interleaving freely with the pair, all before the next repetition.
+# The oracle's recursive CTE orders w < v inside the repetition unit,
+# leaves x unordered against them, and carries max(v, x) by (ts, id)
+# as the next repetition's strict lower bound.  The member order is
+# load-bearing: the order-free all-leaf reading matches a different
+# row set (pinned in tests/test_stream.py::test_parity_and_pos_seq_member).
+
+_KLEENE_AND_POS_SEQ_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("a", event_type="view"),
+                   And_(Seq(Ev("w", event_type="click"),
+                            Ev("v", event_type="view")),
+                        Ev("x", event_type="signup")))),
+        Ev("p", event_type="purchase"),
+    ),
+    # 96h: the smallest window where the harness data yields
+    # multi-repetition matches for this 4-events-per-repetition shape —
+    # the conjunctive loop-back with per-member progress is
+    # load-bearing for the row set
+    window=timedelta(hours=96),
+)
+
+
+def _kleene_and_pos_seq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_AND_POS_SEQ_PAT), mode="flat")
+
+
+def _kleene_and_pos_seq_oracle() -> str:
+    w = int(_KLEENE_AND_POS_SEQ_PAT.window.total_seconds())
+    v_lt_x = "(v.ts < x.ts OR (v.ts = x.ts AND v.event_id < x.event_id))"
+    unit = f"""
+    a.event_type = 'view' AND w.event_type = 'click'
+    AND v.event_type = 'view' AND x.event_type = 'signup'
+    AND (a.ts < w.ts OR (a.ts = w.ts AND a.event_id < w.event_id))
+    AND (w.ts < v.ts OR (w.ts = v.ts AND w.event_id < v.event_id))
+    AND (a.ts < x.ts OR (a.ts = x.ts AND a.event_id < x.event_id))"""
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT a.user_id,
+         a.event_id AS a_first, a.event_id AS a_last,
+         w.event_id AS w_first, w.event_id AS w_last,
+         v.event_id AS v_first, v.event_id AS v_last,
+         x.event_id AS x_first, x.event_id AS x_last,
+         1 AS r, a.ts AS first_ts,
+         GREATEST(v.ts, x.ts) AS last_ts,
+         CASE WHEN {v_lt_x} THEN x.event_id ELSE v.event_id END AS last_id
+  FROM events a
+  JOIN events w ON w.user_id = a.user_id
+  JOIN events v ON v.user_id = a.user_id
+  JOIN events x ON x.user_id = a.user_id
+  WHERE {unit}
+    AND EPOCH(GREATEST(v.ts, x.ts)) - EPOCH(a.ts) <= {w}
+  UNION ALL
+  SELECT c.user_id, c.a_first, a.event_id,
+         c.w_first, w.event_id, c.v_first, v.event_id,
+         c.x_first, x.event_id,
+         c.r + 1, c.first_ts,
+         GREATEST(v.ts, x.ts),
+         CASE WHEN {v_lt_x} THEN x.event_id ELSE v.event_id END
+  FROM chains c
+  JOIN events a ON a.user_id = c.user_id
+  JOIN events w ON w.user_id = c.user_id
+  JOIN events v ON v.user_id = c.user_id
+  JOIN events x ON x.user_id = c.user_id
+  WHERE {unit}
+    AND (c.last_ts < a.ts OR (c.last_ts = a.ts AND c.last_id < a.event_id))
+    AND EPOCH(GREATEST(v.ts, x.ts)) - EPOCH(c.first_ts) <= {w}
+)
+SELECT c.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(c.r AS BIGINT) AS a_len,
+       CAST(c.a_first AS BIGINT) AS a_first,
+       CAST(c.a_last AS BIGINT) AS a_last,
+       CAST(c.r AS BIGINT) AS w_len,
+       CAST(c.w_first AS BIGINT) AS w_first,
+       CAST(c.w_last AS BIGINT) AS w_last,
+       CAST(c.r AS BIGINT) AS v_len,
+       CAST(c.v_first AS BIGINT) AS v_first,
+       CAST(c.v_last AS BIGINT) AS v_last,
+       CAST(c.r AS BIGINT) AS x_len,
+       CAST(c.x_first AS BIGINT) AS x_first,
+       CAST(c.x_last AS BIGINT) AS x_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains c JOIN events p ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase'
+  AND (c.last_ts < p.ts OR (c.last_ts = p.ts AND c.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(c.first_ts) <= {w}
+"""
+
+
 # round 5 (session 4): a Neg strictly BETWEEN two leaves of a Seq
 # branch — the within-repetition gap (w_j, x_j) must be 'error'-free in
 # exactly the repetitions that CHOSE the (click, signup) branch;
@@ -1772,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_br_trail_edge"] = _kleene_group_br_trail_edge_query
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_query
     out["cep_kleene_and_pos"] = _kleene_and_pos_query
+    out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
@@ -1802,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_br_trail_edge"] = _kleene_group_br_trail_edge_oracle()
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_oracle()
     out["cep_kleene_and_pos"] = _kleene_and_pos_oracle()
+    out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()

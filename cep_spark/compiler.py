@@ -328,9 +328,20 @@ def _validate_group_inner(node: Kleene) -> None:
         # a position is a plain leaf, a Neg guarding a gap, (round 5)
         # an Or_ of leaf-or-Seq branches — the repetition binds ONE
         # branch per iteration (alternative sub-slots at the same
-        # position) — or (session 6) an And_ of plain leaves: the
-        # repetition binds EVERY member once in any arrival order,
-        # between the neighbouring positions' binds
+        # position) — or (sessions 6–7) an And_ of leaf-or-Seq
+        # members: the repetition binds EVERY member once; a Seq
+        # member's events bind in order, members interleave freely
+        # with each other, and the whole position sits strictly
+        # between the neighbouring positions' binds (no Negs inside —
+        # a member-interior gap would need per-member boundary
+        # machinery; the bounded chain expansion covers those)
+        def _mem_ok(m):
+            return isinstance(m, Ev) or (
+                isinstance(m, Seq)
+                and len(m.parts) >= 2
+                and all(isinstance(y, Ev) for y in m.parts)
+            )
+
         return isinstance(p, (Ev, Neg)) or (
             isinstance(p, Or_)
             and len(p.parts) >= 2
@@ -338,7 +349,7 @@ def _validate_group_inner(node: Kleene) -> None:
         ) or (
             isinstance(p, And_)
             and len(p.parts) >= 2
-            and all(isinstance(x, Ev) for x in p.parts)
+            and all(_mem_ok(x) for x in p.parts)
         )
 
     ok = (
@@ -380,8 +391,9 @@ def _validate_group_inner(node: Kleene) -> None:
             "leaves or Seqs of leaves (optionally with Negs BETWEEN "
             "two branch leaves, LEADING, or TRAILING the branch — "
             "gaps guarded in exactly the repetitions that choose the "
-            "branch), or And_ of plain event leaves (the repetition "
-            "binds every member once in any arrival order between the "
+            "branch), or And_ of leaf-or-Seq-of-leaves members (the "
+            "repetition binds every member once — Seq members' events "
+            "in order, members interleaving freely — between the "
             "neighbouring positions' binds, no Negs inside the And_); "
             "the whole body may also be a bare And_ of leaves "
             "(unordered repetitions); deeper nesting inside the "
@@ -635,30 +647,39 @@ def _collect(
                 entry_sids = []
                 trail_here: list = []  # trailing (neg, last_leaf_var) per branch
                 if isinstance(part, And_):
-                    # conjunctive position (round 5, session 6): one
-                    # sub-slot per member at the SAME grp_idx with
-                    # pos_all=True — the repetition binds EVERY member
-                    # once, in ANY arrival order, strictly between the
-                    # neighbouring positions' binds (_successors tracks
-                    # the bound-member set in the mid pointer).  Members
-                    # bind in every repetition, so they are ordinary
-                    # zip-aligned group mates (NOT branch vars); the
-                    # repetition count uses member 0 only.  An adjacent
-                    # Neg's gap closes at the repetition's FIRST member
+                    # conjunctive position (round 5, sessions 6–7): one
+                    # sub-slot per member EVENT at the SAME grp_idx with
+                    # pos_all=True (br = member index, br_idx = event
+                    # index within a Seq member) — the repetition binds
+                    # EVERY member once, members in ANY interleaving, a
+                    # Seq member's own events in br_idx order, all
+                    # strictly between the neighbouring positions' binds
+                    # (_successors tracks per-member progress in the mid
+                    # pointer).  Members bind in every repetition, so
+                    # their vars are ordinary zip-aligned group mates
+                    # (NOT branch vars); the repetition count uses
+                    # member 0's entry event only.  An adjacent Neg's
+                    # gap closes at the repetition's FIRST member-entry
                     # bind — the chain expansion's min-over-members —
-                    # so every member sid is an entry sid and the
-                    # transition builder gates per-repeat gap specs on
-                    # pos_all slots to position-ENTRY binds.
-                    for bi, ev in enumerate(part.parts):
-                        sid = len(slots)
-                        slots.append(
-                            Slot(sid, ev.name, ev.where, kleene=True,
-                                 kleene_max=node.max_len, prereq=here,
-                                 group=gid, grp_idx=j, br=bi,
-                                 pos_all=True)
-                        )
-                        new_sids.append(sid)
-                    entry_sids = list(new_sids)
+                    # so every member's br_idx-0 sid is an entry sid and
+                    # the transition builder gates per-repeat gap specs
+                    # on pos_all slots to position-ENTRY binds.
+                    for bi, mem in enumerate(part.parts):
+                        mparts = mem.parts if isinstance(mem, Seq) else (mem,)
+                        mhere = here
+                        for k, ev in enumerate(mparts):
+                            sid = len(slots)
+                            slots.append(
+                                Slot(sid, ev.name, ev.where, kleene=True,
+                                     kleene_max=node.max_len, prereq=mhere,
+                                     group=gid, grp_idx=j, br=bi,
+                                     br_idx=k, br_len=len(mparts),
+                                     pos_all=True)
+                            )
+                            if k == 0:
+                                entry_sids.append(sid)
+                            new_sids.append(sid)
+                            mhere = mhere | frozenset({sid})
                     branches = ()  # skip the Or_-branch loop below
                 for bi, brn in enumerate(branches):
                     parts_b = brn.parts if isinstance(brn, Seq) else (brn,)
@@ -935,21 +956,33 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                 # seq-group mid value: int j = waiting for position j's
                 # entry bind; tuple (j, br, k) = inside a multi-event
                 # branch of position j, waiting for its br_idx-k event;
-                # (j, frozenset) = inside a conjunctive (And_) position,
-                # the set holding the member brs bound this repetition
+                # (j, frozenset of (br, cnt)) = inside a conjunctive
+                # (And_) position, cnt = events bound so far for member
+                # br this repetition (absent ⇒ 0; complete ⇒ br_len)
                 if (isinstance(cur, tuple) and len(cur) == 2
                         and isinstance(cur[1], frozenset)):
-                    jj, done = cur
-                    if s.grp_idx != jj or not s.pos_all or s.br in done:
+                    jj, prog = cur
+                    if s.grp_idx != jj or not s.pos_all:
                         continue
-                    ndone = done | {s.br}
-                    if len(ndone) == len(pos_sids[(s.group, jj)]):
+                    cnt = next((c for b, c in prog if b == s.br), 0)
+                    if s.br_idx != cnt:
+                        continue  # wrong next event for this member
+                        # (cnt == br_len ⇒ member complete: no slot has
+                        # br_idx == br_len, so complete members never
+                        # re-bind this repetition)
+                    nprog = frozenset(
+                        (b, c) for b, c in prog if b != s.br
+                    ) | {(s.br, cnt + 1)}
+                    if sum(c for _, c in nprog) == len(pos_sids[(s.group, jj)]):
+                        # every member fully bound (counts are capped at
+                        # br_len by the br_idx gate, so the sum reaches
+                        # the position's slot count only when all do)
                         if jj == npos - 1:
                             del nm[s.group]
                         else:
                             nm[s.group] = jj + 1
                     else:
-                        nm[s.group] = (jj, ndone)
+                        nm[s.group] = (jj, nprog)
                     out.append(
                         (s, bound | {s.sid}, frozenset(nm.items()),
                          s.sid in bound, False)
@@ -965,8 +998,9 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                     jj = cur
                 if s.pos_all:
                     # entry into a conjunctive position (>= 2 members):
-                    # hold the mid at (j, {first member}) until all bind
-                    nm[s.group] = (jj, frozenset({s.br}))
+                    # hold the mid at (j, {(first member, 1 event)})
+                    # until every member is fully bound
+                    nm[s.group] = (jj, frozenset({(s.br, 1)}))
                 elif s.br_idx < s.br_len - 1:
                     nm[s.group] = (jj, s.br, s.br_idx + 1)
                 elif jj == npos - 1:
@@ -985,9 +1019,10 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
             if npos > 1:
                 nm[s.group] = frozenset({s.grp_idx})
         elif s.pos_all:
-            # conjunctive position 0: any member may start the
-            # repetition; the rest bind through the in-mid path
-            nm[s.group] = (0, frozenset({s.br}))
+            # conjunctive position 0: any member's ENTRY event may start
+            # the repetition (the br_idx != 0 gate above holds the
+            # others); the rest bind through the in-mid path
+            nm[s.group] = (0, frozenset({(s.br, 1)}))
         elif s.br_len > 1:
             nm[s.group] = (0, s.br, 1)
         elif npos > 1:

@@ -43,8 +43,13 @@ def _unbounded_group_names(node) -> list:
                     names.append(p.name)
                 elif isinstance(p, And_):
                     # conjunctive position (session 6): every member
-                    # binds each repetition — all are aligned names
-                    names.extend(x.name for x in p.parts)
+                    # binds each repetition — all are aligned names;
+                    # a Seq member (session 7) contributes every event
+                    names.extend(
+                        y.name
+                        for x in p.parts
+                        for y in (x.parts if isinstance(x, Seq) else (x,))
+                    )
                 elif isinstance(p, Or_):
                     for b in p.parts:
                         if isinstance(b, Seq):
@@ -70,11 +75,15 @@ def _bound_groups(node, n: int):
     if isinstance(node, Kleene):
         inner = _bound_groups(node.inner, n)
         if not isinstance(inner, Ev) and node.max_len is None:
-            # arity counts positive POSITIONS only (a repetition consumes
-            # one event per Ev / per Or_ position; Negs consume none);
-            # a bare Or_ inner is ONE position
+            # arity = MIN events one repetition consumes (gives the max
+            # possible repetition count): one per Ev / per Or_ position
+            # (its cheapest branch is a single leaf at minimum — the
+            # 1-event floor is a safe under-estimate); an And_ position
+            # consumes EVERY member — Seq members count all their events
             arity = 1 if isinstance(inner, Or_) else sum(
-                len(p.parts) if isinstance(p, And_)
+                sum(len(m.parts) if isinstance(m, Seq) else 1
+                    for m in p.parts)
+                if isinstance(p, And_)
                 else int(isinstance(p, (Ev, Or_)))
                 for p in inner.parts
             )

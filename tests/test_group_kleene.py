@@ -366,6 +366,52 @@ PATTERNS = {
             Ev("t", role="user")),
         window=timedelta(minutes=8),
     ),
+    # session 7: a Seq-of-leaves MEMBER inside the And_ position — its
+    # events bind in br_idx order, interleaving freely with siblings,
+    # the whole position strictly between the neighbouring positions
+    "and_pos_seq_member": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_seq_member_first": Pattern(
+        Seq(Kleene(Seq(And_(Seq(Ev("w", role="assistant"),
+                                Ev("v", role="tool")),
+                            Ev("x", role="user")),
+                       Ev("u", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_seq_member_cond": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        where=(attr("v", "value") > attr("w", "value"))
+        & (attr("x", "value") > attr("u", "value")),
+        window=timedelta(minutes=8),
+    ),
+    "neg_around_seq_member_pos": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Neg(Ev("n", tool="sql")),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool")),
+                       Neg(Ev("m", tool="sql")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    "or_and_seqmem_mix": Pattern(
+        Seq(Kleene(Seq(Or_(Ev("a", role="user"), Ev("b", role="tool")),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
 }
 
 
@@ -788,7 +834,7 @@ def test_and_group_permutations_and_rejects():
     res = sorted((b["a"], b["b"]) for _, b in match_group_nfa(cp, g))
     assert res == [((1,), (2,)), ((2,), (1,))]
 
-    with pytest.raises(ValueError, match="And_ of plain event leaves"):
+    with pytest.raises(ValueError, match="And_ of leaf"):
         compile_pattern(Pattern(
             Seq(Kleene(And_(Ev("u", role="user"), Neg(Ev("n", role="tool")),
                             Ev("w", role="assistant"))),
@@ -1654,7 +1700,7 @@ def test_and_pos_rejects():
 
     W = timedelta(minutes=5)
     # Neg inside the And_ position: no defined gap in an unordered bind
-    with pytest.raises(ValueError, match="And_ of plain event leaves"):
+    with pytest.raises(ValueError, match="And_ of leaf"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("u", role="user"),
                            And_(Ev("w", role="assistant"),
@@ -1664,7 +1710,7 @@ def test_and_pos_rejects():
             window=W,
         ))
     # bounded Kleene nested inside the And_ position
-    with pytest.raises(ValueError, match="And_ of plain event leaves"):
+    with pytest.raises(ValueError, match="And_ of leaf"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("u", role="user"),
                            And_(Ev("w", role="assistant"),
@@ -1673,7 +1719,7 @@ def test_and_pos_rejects():
             window=W,
         ))
     # Or_ nested inside the And_ position
-    with pytest.raises(ValueError, match="And_ of plain event leaves"):
+    with pytest.raises(ValueError, match="And_ of leaf"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("u", role="user"),
                            And_(Ev("w", role="assistant"),
@@ -1693,3 +1739,199 @@ def test_and_pos_rejects():
             where=attr("a", "value") > attr("w", "value"),
             window=W,
         ))
+
+
+def test_bounded_and_pos_seq_member_equals_chain_expansion():
+    """Session 7: a Seq-of-leaves MEMBER inside a conjunctive (And_)
+    position — its events bind in order, interleaving freely with the
+    sibling members, all strictly between the neighbouring positions.
+    The bounded chain expansion (And_-of-Seqs compiles natively via
+    prereq sets) is the source of truth."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool"))),
+                   max_len=2),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+
+    def fold(res):
+        folded = []
+        for _, b in res:
+            fb = {"t": (b["t"],)}
+            for base in ("u", "w", "v", "x"):
+                el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                           if f"{base}__{j}" in b)
+                if el:
+                    fb[base] = el
+            folded.append((0, tuple(sorted(fb.items()))))
+        return sorted(set(folded))
+
+    # deterministic fixture: rep 1 interleaves the leaf member INSIDE
+    # the Seq member's gap (w x v), rep 2 binds it after (w v x)
+    ts0 = pd.Timestamp("2026-01-01")
+    roles = ["user", "assistant", "tool", "assistant",       # u1 w1 x1 v1
+             "user", "assistant", "assistant", "tool",       # u2 w2 v2 x2
+             "user"]                                         # t
+    g = pd.DataFrame({
+        "conv_id": "c0", "turn_idx": np.arange(len(roles), dtype=np.int32),
+        "role": roles, "tool": "python",
+        "ts": ts0 + pd.to_timedelta(np.arange(len(roles)) * 5, unit="s"),
+        "value": np.arange(float(len(roles))),
+    })
+    grp = _canon_nfa(match_group_nfa(cp_group, g))
+    assert grp == fold(match_group_nfa(cp_chain, g))
+    assert any(len(dict(t)["u"]) == 2 for _, t in grp)
+
+    rng = np.random.default_rng(47)
+    nonzero = multirep = interleaved = 0
+    for _, t in grp:  # the fixture pins both coverage axes too
+        b = dict(t)
+        multirep += len(b["u"]) > 1
+        interleaved += any(w < x < v for w, v, x in
+                           zip(b["w"], b["v"], b["x"]))
+    for trial in range(80):
+        gg = _gen_group(trial * 29 + 11, int(rng.integers(8, 20)))
+        gs = gg.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        got = _canon_nfa(match_group_nfa(cp_group, gs))
+        assert got == fold(match_group_nfa(cp_chain, gs)), \
+            f"trial {trial}\n{gg}"
+        nonzero += bool(got)
+        for _, t in got:
+            b = dict(t)
+            multirep += len(b["u"]) > 1
+            # x strictly between the same repetition's w and v
+            interleaved += any(w < x < v for w, v, x in
+                               zip(b["w"], b["v"], b["x"]))
+    assert nonzero > 0 and multirep > 0 and interleaved > 0
+
+
+def test_and_pos_seq_member_mechanics_fixture():
+    """Hand-computed pins: a Seq member's events bind in ORDER (w < v),
+    a sibling leaf may land inside the member's own gap, the next
+    position cannot bind while ANY member is incomplete, and the next
+    repetition starts strictly after the whole position."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    )
+    cp = compile_pattern(pat)
+    ts0 = pd.Timestamp("2026-01-01")
+
+    def frame(roles):
+        return pd.DataFrame({
+            "conv_id": "c0",
+            "turn_idx": np.arange(len(roles), dtype=np.int32),
+            "role": roles,
+            "tool": "python",
+            "ts": ts0 + pd.to_timedelta(np.arange(len(roles)) * 5, unit="s"),
+            "value": 1.0,
+        })
+
+    # x inside the (w, v) gap AND x after v both complete the position
+    for roles in (["user", "assistant", "tool", "assistant", "user"],
+                  ["user", "assistant", "assistant", "tool", "user"],
+                  ["user", "tool", "assistant", "assistant", "user"]):
+        ms = match_group_nfa(cp, frame(roles))
+        assert any(b["u"] == (0,) for _, b in ms), roles
+        for _, b in ms:
+            assert b["w"][0] < b["v"][0]  # member order
+
+    # two assistants BEFORE the tool with only one (w, v) reading that
+    # respects order: w=1 v=2 — never v before w
+    ms = match_group_nfa(cp, frame(["user", "assistant", "assistant",
+                                    "tool", "user"]))
+    assert ms and all(b["w"] == (1,) and b["v"] == (2,) for _, b in ms)
+
+    # t may NOT bind while the Seq member is incomplete (w bound, v
+    # missing): no match at all
+    assert not match_group_nfa(
+        cp, frame(["user", "assistant", "tool", "user"]))
+
+    # strict position interleaving across repetitions: every event of
+    # repetition 1's position precedes u2
+    ms = match_group_nfa(
+        cp, frame(["user", "assistant", "tool", "assistant",
+                   "user", "tool", "assistant", "assistant", "user"]))
+    for _, b in ms:
+        if len(b["u"]) == 2:
+            assert max(b["w"][0], b["v"][0], b["x"][0]) < b["u"][1]
+
+
+def test_and_pos_seq_member_conds():
+    """Conjuncts over Seq-member events: same-member pairs zip-align
+    per repetition; member × outer-anchor conds evaluate per element."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool"))),
+                   max_len=2),
+            Ev("t", role="user")),
+        where=(attr("v", "value") > attr("w", "value"))
+        & (attr("x", "value") > attr("u", "value")),
+        window=timedelta(minutes=8),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+
+    def fold(res):
+        folded = []
+        for _, b in res:
+            fb = {"t": (b["t"],)}
+            for base in ("u", "w", "v", "x"):
+                el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                           if f"{base}__{j}" in b)
+                if el:
+                    fb[base] = el
+            folded.append((0, tuple(sorted(fb.items()))))
+        return sorted(set(folded))
+
+    rng = np.random.default_rng(48)
+    nonzero = discriminated = 0
+    for trial in range(80):
+        gg = _gen_group(trial * 31 + 13, int(rng.integers(4, 14)))
+        gs = gg.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        got = _canon_nfa(match_group_nfa(cp_group, gs))
+        assert got == fold(match_group_nfa(cp_chain, gs)), \
+            f"trial {trial}\n{gg}"
+        nonzero += bool(got)
+        for _, t in got:
+            b = dict(t)
+            vals = gs["value"].to_numpy()
+            assert all(vals[v] > vals[w] for w, v in zip(b["w"], b["v"]))
+            assert all(vals[x] > vals[u] for u, x in zip(b["u"], b["x"]))
+        discriminated += bool(got)
+    assert nonzero > 0
+
+
+def test_and_pos_seq_member_rejects():
+    """A Neg inside a Seq member (leading, interior, or trailing) has a
+    member-scoped gap the static spec machinery does not carry —
+    rejected loudly; single-event 'Seq' members are not a thing."""
+    import pytest
+
+    W = timedelta(minutes=8)
+    for mem in (
+        Seq(Ev("w", role="assistant"), Neg(Ev("n", role="tool")),
+            Ev("v", role="assistant")),
+        Seq(Neg(Ev("n", role="tool")), Ev("w", role="assistant"),
+            Ev("v", role="assistant")),
+        Seq(Ev("w", role="assistant"), Ev("v", role="assistant"),
+            Neg(Ev("n", role="tool"))),
+    ):
+        with pytest.raises(ValueError, match="And_ of leaf"):
+            compile_pattern(Pattern(
+                Seq(Kleene(Seq(Ev("u", role="user"),
+                               And_(mem, Ev("x", role="tool")))),
+                    Ev("t", role="user")),
+                window=W,
+            ))

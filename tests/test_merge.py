@@ -294,7 +294,8 @@ def _suffix_part(draw):
     kind = draw(st.sampled_from(["leaf", "leaf", "kleene", "neg_then_leaf",
                                  "group", "group_or", "bare_or",
                                  "group_seq_or", "group_nested_k",
-                                 "group_br_neg", "group_and_pos"]))
+                                 "group_br_neg", "group_and_pos",
+                                 "group_and_pos_seqmem"]))
     if kind == "kleene":
         return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
     if kind == "neg_then_leaf":
@@ -352,6 +353,14 @@ def _suffix_part(draw):
         # differ: ALL members vs ONE branch)
         return [Kleene(Seq(draw(_leaf()),
                            And_(draw(_leaf()), draw(_leaf()))),
+                       max_len=None)]
+    if kind == "group_and_pos_seqmem":
+        # session 7: a Seq-of-leaves member inside the And_ position —
+        # br/br_idx/br_len join the slot signature alongside pos_all,
+        # so a 2-event member never merges with two leaf members
+        return [Kleene(Seq(draw(_leaf()),
+                           And_(Seq(draw(_leaf()), draw(_leaf())),
+                                draw(_leaf()))),
                        max_len=None)]
     return [draw(_leaf())]
 

@@ -71,7 +71,7 @@ def kleene_node(draw):
          "group_neg", "group_lead_neg", "group_trail_neg", "and_group",
          "group_or", "group_or_neg", "group_bare_or", "group_seq_or",
          "group_seq_or_neg", "group_br_neg", "group_and_pos",
-         "group_and_pos_neg"]
+         "group_and_pos_neg", "group_and_pos_seqmem"]
     ))
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
@@ -148,6 +148,20 @@ def kleene_node(draw):
         return Kleene(
             Seq(And_(draw(leaf()), draw(leaf())), draw(leaf())),
             max_len=None,
+        )
+    if shape == "group_and_pos_seqmem":
+        # session 7: a Seq-of-leaves MEMBER inside the And_ position —
+        # its events bind in order, interleaving freely with siblings;
+        # sometimes with a gap Neg on either side of the position
+        mem = Seq(draw(leaf()), draw(leaf()))
+        pos = And_(mem, draw(leaf()))
+        variant = draw(st.sampled_from(["plain", "first", "neg"]))
+        if variant == "plain":
+            return Kleene(Seq(draw(leaf()), pos), max_len=None)
+        if variant == "first":
+            return Kleene(Seq(pos, draw(leaf())), max_len=None)
+        return Kleene(
+            Seq(draw(leaf()), Neg(draw(leaf())), pos), max_len=None
         )
     if shape == "group_and_pos_neg":
         # ... with a gap Neg before or after the position (the entry

@@ -301,6 +301,35 @@ def test_parity_and_pos_group(spark, events_pdf, tmp_path):
     assert got.count() == 30  # 43 without the Neg into the position
 
 
+def test_parity_and_pos_seq_member(spark, events_pdf, tmp_path):
+    """Round 5, session 7: a Seq-of-leaves MEMBER inside the And_
+    position through the REAL streaming state store — the per-member
+    progress mid pointer ((br, cnt) pairs) must survive pickled state
+    roundtrips across micro-batch cuts.  96h is the smallest window
+    where sf0.001 yields multi-repetition matches (208 rows, 6 of them
+    2-repetition), so the conjunctive loop-back is load-bearing; the
+    member ORDER (click before the second view) is too — the order-free
+    all-leaf reading matches a different set."""
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("a", event_type="view"),
+                       And_(Seq(Ev("w", event_type="click"),
+                                Ev("v", event_type="view")),
+                            Ev("x", event_type="signup")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=96),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_apseq")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    assert got.count() == 208
+    assert batch.where("a_len = 2").count() == 6  # loop-back exercised
+
+
 def test_disorder_within_watermark(spark, events_pdf, tmp_path):
     """Arrival order shuffled within a bounded disorder window; watermark
     covers the disorder -> same matches as in-order batch."""

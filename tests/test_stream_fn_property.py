@@ -219,6 +219,17 @@ PATTERNS = {
                                                      Ev("x", role="tool")))),
                                      Neg(Ev("m", role="assistant"))),
                                  window=timedelta(seconds=120)),
+    # session 7: a Seq-of-leaves MEMBER inside the And_ position — the
+    # per-member progress mid pointer ((br, cnt) pairs) must survive
+    # persisted partial tables across micro-batch cuts, with the sibling
+    # leaf landing inside the member's own (w, v) gap in some orders
+    "group_and_pos_seqmem": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=180)),
 }
 
 
