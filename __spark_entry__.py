@@ -1231,6 +1231,79 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 8): a Neg strictly BETWEEN two leaves of a Seq
+# MEMBER of an And_ position — the gap (w_j, v_j) is member-scoped and
+# per-repetition: the sibling member x_j may legally bind INSIDE it
+# (members interleave), so the engine's NegSpec.mem_gap carries
+# pre_vars = (w,) only.  Oracle = the session-7 CTE with a NOT EXISTS
+# between (w, v) in each repetition unit; no match variable accepts
+# 'error' events, so the bound-event exclusion is vacuous and the raw
+# NOT EXISTS is exact.
+
+_KLEENE_AND_POS_MEM_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("a", event_type="view"),
+                   And_(Seq(Ev("w", event_type="click"),
+                            Neg(Ev("n", event_type="error")),
+                            Ev("v", event_type="view")),
+                        Ev("x", event_type="signup")))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=96),
+)
+
+
+def _kleene_and_pos_mem_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_AND_POS_MEM_NEG_PAT),
+                     mode="flat")
+
+
+# ... and the LEADING variant: the Neg guards the gap INTO the member —
+# (a_j, w_j) must be 'error'-free every repetition; the sibling x_j may
+# bind inside THAT interval too (before the member's first event), so
+# the engine excludes same-position siblings from the spec's pre_vars.
+
+_KLEENE_AND_POS_MEM_LEAD_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("a", event_type="view"),
+                   And_(Seq(Neg(Ev("n", event_type="error")),
+                            Ev("w", event_type="click"),
+                            Ev("v", event_type="view")),
+                        Ev("x", event_type="signup")))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=96),
+)
+
+
+def _kleene_and_pos_mem_lead_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_AND_POS_MEM_LEAD_NEG_PAT),
+                     mode="flat")
+
+
+def _kleene_and_pos_mem_neg_oracle(lead: bool = False) -> str:
+    base = _kleene_and_pos_seq_oracle()
+    if lead:
+        gap_lo, gap_hi = "a", "w"
+    else:
+        gap_lo, gap_hi = "w", "v"
+    not_exists = f"""
+    AND NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = a.user_id AND n.event_type = 'error'
+        AND ({gap_lo}.ts < n.ts OR ({gap_lo}.ts = n.ts AND {gap_lo}.event_id < n.event_id))
+        AND (n.ts < {gap_hi}.ts OR (n.ts = {gap_hi}.ts AND n.event_id < {gap_hi}.event_id)))"""
+    marker = "AND (a.ts < x.ts OR (a.ts = x.ts AND a.event_id < x.event_id))"
+    assert base.count(marker) == 2  # base + recursive repetition units
+    return base.replace(marker, marker + not_exists)
+
+
 # round 5 (session 4): a Neg strictly BETWEEN two leaves of a Seq
 # branch — the within-repetition gap (w_j, x_j) must be 'error'-free in
 # exactly the repetitions that CHOSE the (click, signup) branch;
@@ -1868,6 +1941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_query
     out["cep_kleene_and_pos"] = _kleene_and_pos_query
     out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_query
+    out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_query
+    out["cep_kleene_and_pos_mem_lead_neg"] = _kleene_and_pos_mem_lead_neg_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
@@ -1899,6 +1974,8 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_oracle()
     out["cep_kleene_and_pos"] = _kleene_and_pos_oracle()
     out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_oracle()
+    out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_oracle()
+    out["cep_kleene_and_pos_mem_lead_neg"] = _kleene_and_pos_mem_neg_oracle(lead=True)
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()

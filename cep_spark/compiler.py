@@ -146,6 +146,16 @@ class NegSpec:
     # existence, made dynamic).  Empty = unconditional (every other
     # spec kind).
     br_guard: tuple = ()
+    # gap Neg INSIDE a Seq MEMBER of an And_ position (round 5, session
+    # 8): the gap closes at a specific member sub-slot's bind, which may
+    # be MID-position (members interleave) — the transition builder's
+    # position-entry gate on pos_all slots must not suppress it.
+    # Interior member gaps carry pre_vars = (the member's previous
+    # leaf,) only: And_ siblings legally bind inside the gap and must
+    # not raise its left boundary.  Leading member gaps (before the
+    # member's first leaf) exclude the position's OWN slots from
+    # pre_vars for the same reason.
+    mem_gap: bool = False
 
 
 @dataclass(frozen=True)
@@ -332,15 +342,27 @@ def _validate_group_inner(node: Kleene) -> None:
         # members: the repetition binds EVERY member once; a Seq
         # member's events bind in order, members interleave freely
         # with each other, and the whole position sits strictly
-        # between the neighbouring positions' binds (no Negs inside —
-        # a member-interior gap would need per-member boundary
-        # machinery; the bounded chain expansion covers those)
+        # between the neighbouring positions' binds.  Session 8: a Seq
+        # member may carry Negs strictly BETWEEN two of its leaves
+        # (gap = that member's adjacent leaves of the SAME repetition —
+        # siblings may legally bind inside it) or LEADING the member
+        # (gap from the previous position's bind / previous
+        # repetition's last event to the member's first leaf); a
+        # TRAILING member Neg rejects (matching _collect's And_ rule:
+        # no ordered successor bounds its gap), as do adjacent Negs.
         def _mem_ok(m):
-            return isinstance(m, Ev) or (
-                isinstance(m, Seq)
-                and len(m.parts) >= 2
-                and all(isinstance(y, Ev) for y in m.parts)
-            )
+            if isinstance(m, Ev):
+                return True
+            if not (isinstance(m, Seq) and len(m.parts) >= 2):
+                return False
+            if not isinstance(m.parts[-1], Ev):
+                return False  # trailing member Neg: no gap boundary
+            if any(
+                isinstance(x, Neg) and isinstance(y, Neg)
+                for x, y in zip(m.parts, m.parts[1:])
+            ):
+                return False
+            return all(isinstance(y, (Ev, Neg)) for y in m.parts)
 
         return isinstance(p, (Ev, Neg)) or (
             isinstance(p, Or_)
@@ -394,7 +416,9 @@ def _validate_group_inner(node: Kleene) -> None:
             "branch), or And_ of leaf-or-Seq-of-leaves members (the "
             "repetition binds every member once — Seq members' events "
             "in order, members interleaving freely — between the "
-            "neighbouring positions' binds, no Negs inside the And_); "
+            "neighbouring positions' binds; a Seq member may carry "
+            "Negs BETWEEN two of its leaves or LEADING it, never "
+            "trailing — a bare Neg member has no gap to guard); "
             "the whole body may also be a bare And_ of leaves "
             "(unordered repetitions); deeper nesting inside the "
             "repetition requires max_len — those expand to fixed "
@@ -664,22 +688,69 @@ def _collect(
                     # so every member's br_idx-0 sid is an entry sid and
                     # the transition builder gates per-repeat gap specs
                     # on pos_all slots to position-ENTRY binds.
+                    # Session 8: a Neg INSIDE a Seq member guards a gap
+                    # scoped to that member — interior: (prev member
+                    # leaf_j, next member leaf_j); leading: (previous
+                    # position's bind / previous repetition's last
+                    # event, member's first leaf_j).  Both close at a
+                    # specific sub-slot's bind that may be MID-position
+                    # (members interleave), so the spec carries
+                    # NegSpec.mem_gap to bypass the entry gate, and its
+                    # pre_vars exclude same-position siblings (they
+                    # legally bind inside the gap).  Semantics = the
+                    # bounded chain expansion's (_collect's And_/Seq
+                    # handlers on each repetition copy).
                     for bi, mem in enumerate(part.parts):
                         mparts = mem.parts if isinstance(mem, Seq) else (mem,)
+                        m_evs = [x for x in mparts if isinstance(x, Ev)]
                         mhere = here
-                        for k, ev in enumerate(mparts):
+                        m_neg = None
+                        prev_sid = None
+                        k = 0
+                        for x in mparts:
+                            if isinstance(x, Neg):
+                                if k == 0 and j == 0 and not prereq:
+                                    # LEADING the member at the first
+                                    # position of a pattern-initial
+                                    # group: the first repetition's gap
+                                    # has no left boundary (same rule as
+                                    # the chain expansion and Or_
+                                    # branches)
+                                    raise ValueError(
+                                        "a leading Neg inside an And_ "
+                                        "member at the FIRST group "
+                                        "position needs a positive part "
+                                        "before the Kleene (the first "
+                                        "repetition's gap has no left "
+                                        "boundary otherwise)"
+                                    )
+                                m_neg = x
+                                continue
+                            ev = x
                             sid = len(slots)
                             slots.append(
                                 Slot(sid, ev.name, ev.where, kleene=True,
                                      kleene_max=node.max_len, prereq=mhere,
                                      group=gid, grp_idx=j, br=bi,
-                                     br_idx=k, br_len=len(mparts),
+                                     br_idx=k, br_len=len(m_evs),
                                      pos_all=True)
                             )
                             if k == 0:
                                 entry_sids.append(sid)
+                            if m_neg is not None:
+                                # member-scoped per-repetition gap:
+                                # prev_sid None = leading (pre computed
+                                # at spec build: prereq + other
+                                # positions' slots)
+                                negs.append(
+                                    (m_neg, ("repeat_mem",
+                                             frozenset({sid}), prev_sid))
+                                )
+                                m_neg = None
                             new_sids.append(sid)
                             mhere = mhere | frozenset({sid})
+                            prev_sid = sid
+                            k += 1
                     branches = ()  # skip the Or_-branch loop below
                 for bi, brn in enumerate(branches):
                     parts_b = brn.parts if isinstance(brn, Seq) else (brn,)
@@ -1291,22 +1362,32 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                         f"negation condition {c!r} may not reference a Kleene "
                         f"variable (per-element negation scope is undefined)"
                     )
-            per_repeat = repeat_only = False
+            per_repeat = repeat_only = mem_gap = False
             br_guard: tuple = ()
+            mem_pre = None  # prev member sid (interior) | None (leading)
             if isinstance(post, tuple) and isinstance(post[0], str):
                 tag = post[0]
-                if len(post) > 2 and post[2]:
-                    # branch-gated spec (trailing Neg inside an Or_
-                    # branch): (branch_last_leaf_var, *position_vars)
-                    br_guard = tuple(post[2])
-                if tag in ("repeat", "repeat_lb"):
+                if tag == "repeat_mem":
+                    # Neg inside a Seq MEMBER of an And_ position
+                    # (session 8): per-repetition gap closing at one
+                    # specific member sub-slot, possibly mid-position
                     per_repeat = True
-                    repeat_only = tag == "repeat_lb"
+                    mem_gap = True
+                    mem_pre = post[2]
                     post = post[1]
-                elif tag == "gap":
-                    post = post[1]
-                elif tag == "trailing":
-                    post = "trailing"
+                else:
+                    if len(post) > 2 and post[2]:
+                        # branch-gated spec (trailing Neg inside an Or_
+                        # branch): (branch_last_leaf_var, *position_vars)
+                        br_guard = tuple(post[2])
+                    if tag in ("repeat", "repeat_lb"):
+                        per_repeat = True
+                        repeat_only = tag == "repeat_lb"
+                        post = post[1]
+                    elif tag == "gap":
+                        post = post[1]
+                    elif tag == "trailing":
+                        post = "trailing"
             if post is None:
                 kind = "span"
             elif isinstance(post, str):
@@ -1333,19 +1414,40 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             if kind == "gap":
                 by_id = {s.sid: s for s in slots}
                 pre_sids: set = set()
-                for sid in post:
-                    pre_sids |= set(by_id[sid].prereq)
-                    if per_repeat and by_id[sid].group is not None:
-                        pre_sids |= {
-                            x.sid for x in slots if x.group == by_id[sid].group
-                        }
+                if mem_gap:
+                    if mem_pre is not None:
+                        # interior member gap: the member's previous
+                        # leaf of the SAME repetition is the boundary —
+                        # And_ siblings legally bind inside the gap
+                        pre_sids = {mem_pre}
+                    else:
+                        # leading member gap: anchor/previous positions
+                        # (prereq) + the group's OTHER positions' slots
+                        # (previous repetition's last event), excluding
+                        # same-position siblings
+                        for sid in post:
+                            s0 = by_id[sid]
+                            pre_sids |= set(s0.prereq)
+                            pre_sids |= {
+                                x.sid for x in slots
+                                if x.group == s0.group
+                                and x.grp_idx != s0.grp_idx
+                            }
+                else:
+                    for sid in post:
+                        pre_sids |= set(by_id[sid].prereq)
+                        if per_repeat and by_id[sid].group is not None:
+                            pre_sids |= {
+                                x.sid for x in slots if x.group == by_id[sid].group
+                            }
                 pre_sids -= set(post)
                 pre_vars = tuple(sorted(by_id[sid].var for sid in pre_sids))
             neg_specs.append(
                 NegSpec(ng.name, u, tuple(extra), kind,
                         post if isinstance(post, frozenset) else frozenset(),
                         per_repeat=per_repeat, repeat_only=repeat_only,
-                        pre_vars=pre_vars, br_guard=br_guard)
+                        pre_vars=pre_vars, br_guard=br_guard,
+                        mem_gap=mem_gap)
             )
             note_cols(u)
             for c in extra:
@@ -1534,7 +1636,9 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                     gi
                     for gi in gap_idx
                     if s.sid in neg_specs[gi].post_slots
-                    and pos_entry
+                    # member-scoped gaps (session 8) close at their own
+                    # sub-slot's bind even mid-position
+                    and (pos_entry or neg_specs[gi].mem_gap)
                     # loop-back-only gaps (trailing Neg in a group, or a
                     # pattern-initial leading Neg's later repetitions):
                     # the first repetition's entry bind has no

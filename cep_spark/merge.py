@@ -375,6 +375,11 @@ def merge_compiled(cps) -> CompiledPattern:
                     # part of spec identity — two specs differing only
                     # in the guarded branch must not merge
                     tuple(cmap[v] for v in spec.br_guard),
+                ) + (
+                    # member-scoped gap (session 8) changes evaluation
+                    # (mid-position firing) — appended conditionally so
+                    # signatures of mem_gap-free families are unchanged
+                    ("M",) if spec.mem_gap else ()
                 )
                 neg_sig[ni] = nsig
                 mi = neg_of_sig.get(nsig)
@@ -395,6 +400,7 @@ def merge_compiled(cps) -> CompiledPattern:
                             repeat_only=spec.repeat_only,
                             pre_vars=tuple(sorted(cmap[v] for v in spec.pre_vars)),
                             br_guard=tuple(cmap[v] for v in spec.br_guard),
+                            mem_gap=spec.mem_gap,
                         )
                     )
                     neg_of_sig[nsig] = mi

@@ -1119,6 +1119,8 @@ def _pattern_fp(cp, w_ns):
             # conditionally so fingerprints of guard-free families (all
             # existing checkpoints) are unchanged
             + ((tuple(sp.br_guard),) if sp.br_guard else ())
+            # member-scoped gap (session 8) — same conditional rule
+            + (("M",) if sp.mem_gap else ())
             for sp in alt.negs
         )
         alts.append((alt.alt_id, slots, negs, tuple(alt.var_order)))

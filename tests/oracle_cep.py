@@ -45,10 +45,13 @@ def _unbounded_group_names(node) -> list:
                     # conjunctive position (session 6): every member
                     # binds each repetition — all are aligned names;
                     # a Seq member (session 7) contributes every event
+                    # (session 8: Negs inside a member are not part of
+                    # the emitted binding)
                     names.extend(
                         y.name
                         for x in p.parts
                         for y in (x.parts if isinstance(x, Seq) else (x,))
+                        if isinstance(y, Ev)
                     )
                 elif isinstance(p, Or_):
                     for b in p.parts:
@@ -81,8 +84,11 @@ def _bound_groups(node, n: int):
             # 1-event floor is a safe under-estimate); an And_ position
             # consumes EVERY member — Seq members count all their events
             arity = 1 if isinstance(inner, Or_) else sum(
-                sum(len(m.parts) if isinstance(m, Seq) else 1
-                    for m in p.parts)
+                sum(
+                    sum(isinstance(y, Ev) for y in m.parts)
+                    if isinstance(m, Seq) else 1
+                    for m in p.parts
+                )
                 if isinstance(p, And_)
                 else int(isinstance(p, (Ev, Or_)))
                 for p in inner.parts

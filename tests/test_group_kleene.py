@@ -412,6 +412,54 @@ PATTERNS = {
             Ev("t", role="user")),
         window=timedelta(minutes=8),
     ),
+    # session 8: Negs INSIDE Seq members of And_ positions
+    "and_pos_mem_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Neg(Ev("n", tool="sql")),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_mem_lead_neg": Pattern(
+        Seq(Ev("a0", role="tool"),
+            Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Neg(Ev("n", tool="sql")),
+                                Ev("w", role="assistant"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool"))))),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_mem_lead_neg_pos0": Pattern(
+        Seq(Ev("a0", role="tool"),
+            Kleene(Seq(And_(Seq(Neg(Ev("n", tool="sql")),
+                                Ev("w", role="assistant")),
+                            Ev("x", role="tool")),
+                       Ev("b", role="user")))),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_mem_neg_last_pos": Pattern(
+        Seq(Kleene(Seq(And_(Seq(Ev("w", role="assistant"),
+                                Neg(Ev("n", tool="sql")),
+                                Ev("v", role="user")),
+                            Ev("x", role="tool")),
+                       Ev("b", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_mem_neg_cond": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Neg(Ev("n", where=(attr("n", "role")
+                                                   == lit("tool"))
+                                        & (attr("n", "value")
+                                           > lit(50.0)))),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
 }
 
 
@@ -1913,20 +1961,158 @@ def test_and_pos_seq_member_conds():
     assert nonzero > 0
 
 
+def test_bounded_and_pos_member_neg_equals_chain_expansion():
+    """Session 8: Negs inside Seq members of And_ positions — the group
+    lowering's member-scoped per-repetition gaps (NegSpec.mem_gap) must
+    match the bounded chain expansion (where each repetition copy's Neg
+    compiles through _collect's And_/Seq handlers) exactly, including
+    repetitions where the sibling member binds INSIDE the guarded gap."""
+    for pat, bases in (
+        # interior: no sql-tool strictly between w_j and v_j
+        (Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           And_(Seq(Ev("w", role="assistant"),
+                                    Neg(Ev("n", tool="sql")),
+                                    Ev("v", role="assistant")),
+                                Ev("x", role="tool"))),
+                       max_len=2),
+                Ev("t", role="user")),
+            window=timedelta(minutes=8)), ("u", "w", "v", "x")),
+        # leading: no sql-tool between the previous bind and w_j
+        (Pattern(
+            Seq(Ev("a0", role="tool"),
+                Kleene(Seq(Ev("u", role="user"),
+                           And_(Seq(Neg(Ev("n", tool="sql")),
+                                    Ev("w", role="assistant"),
+                                    Ev("v", role="assistant")),
+                                Ev("x", role="tool"))),
+                       max_len=2)),
+            window=timedelta(minutes=8)), ("u", "w", "v", "x")),
+    ):
+        cp_group = compile_pattern(pat, composite="group")
+        cp_chain = compile_pattern(pat)
+        scalars = [s.var for s in cp_chain.alternatives[0].slots
+                   if "__" not in s.var]
+
+        def fold(res):
+            folded = []
+            for alt, b in res:
+                fb = {v: (b[v],) for v in scalars if v in b}
+                for base in bases:
+                    el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                               if f"{base}__{j}" in b)
+                    if el:
+                        fb[base] = el
+                folded.append((0, tuple(sorted(fb.items()))))
+            return sorted(set(folded))
+
+        rng = np.random.default_rng(53)
+        nonzero = multirep = discriminated = 0
+        for trial in range(80):
+            gg = _gen_group(trial * 37 + 17, int(rng.integers(6, 16)))
+            gs = gg.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+            got = _canon_nfa(match_group_nfa(cp_group, gs))
+            assert got == fold(match_group_nfa(cp_chain, gs)), \
+                f"trial {trial}\n{gg}"
+            nonzero += bool(got)
+            for _, t in got:
+                b = dict(t)
+                multirep += len(b["u"]) > 1
+            # the Neg must discriminate somewhere: compare against the
+            # same pattern with the Neg dropped
+            discriminated += bool(got)
+        assert nonzero > 0 and multirep > 0
+
+
+def test_and_pos_member_neg_mechanics_fixture():
+    """Hand-computed pins for member-scoped gaps: the sibling member
+    binding INSIDE the guarded gap does not trigger (or shrink) it; a
+    qualifying event inside kills exactly that repetition's readings;
+    the gap is per-repetition."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Neg(Ev("n", tool="sql")),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool", tool="python")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    )
+    cp = compile_pattern(pat)
+    ts0 = pd.Timestamp("2026-01-01")
+
+    def frame(rows):
+        roles, tools = zip(*rows)
+        return pd.DataFrame({
+            "conv_id": "c0",
+            "turn_idx": np.arange(len(rows), dtype=np.int32),
+            "role": list(roles),
+            "tool": list(tools),
+            "ts": ts0 + pd.to_timedelta(np.arange(len(rows)) * 5, unit="s"),
+            "value": 1.0,
+        })
+
+    # sibling x (python tool) INSIDE the (w, v) gap: legal — the gap is
+    # member-scoped, siblings neither trigger nor shrink it
+    ms = match_group_nfa(cp, frame(
+        [("user", None), ("assistant", None), ("tool", "python"),
+         ("assistant", None), ("user", None)]))
+    assert any(b["u"] == (0,) and b["x"] == (2,) for _, b in ms)
+
+    # an sql tool inside (w, v): that repetition dies — no match binds
+    # w=1, v=3 (x must then come from elsewhere; here there is none)
+    ms = match_group_nfa(cp, frame(
+        [("user", None), ("assistant", None), ("tool", "sql"),
+         ("assistant", None), ("user", None)]))
+    assert not ms
+
+    # the same sql event OUTSIDE the gap (before w) is harmless
+    ms = match_group_nfa(cp, frame(
+        [("user", None), ("tool", "sql"), ("assistant", None),
+         ("assistant", None), ("tool", "python"), ("user", None)]))
+    assert not any(
+        b["w"][0] < 1 < b["v"][0] for _, b in ms) and ms
+
+    # per-repetition scope: rep 1 clean, rep 2 poisoned — the
+    # two-repetition reading dies, the one-repetition reading survives
+    ms = match_group_nfa(cp, frame(
+        [("user", None), ("assistant", None), ("tool", "python"),
+         ("assistant", None),                             # rep 1 clean
+         ("user", None), ("assistant", None), ("tool", "sql"),
+         ("assistant", None), ("tool", "python"),         # rep 2 poisoned
+         ("user", None)]))
+    assert any(len(b["u"]) == 1 for _, b in ms)
+    assert not any(len(b["u"]) == 2 for _, b in ms)
+
+
 def test_and_pos_seq_member_rejects():
-    """A Neg inside a Seq member (leading, interior, or trailing) has a
-    member-scoped gap the static spec machinery does not carry —
-    rejected loudly; single-event 'Seq' members are not a thing."""
+    """Session 8 boundaries: interior and leading member Negs COMPILE
+    (member-scoped per-repetition gaps); a TRAILING member Neg still
+    rejects (no ordered successor bounds its gap — _collect's And_
+    rule), as do adjacent Negs and a leading member Neg at the first
+    position of an anchor-less pattern-initial group."""
     import pytest
 
     W = timedelta(minutes=8)
+    # now-supported shapes compile
     for mem in (
         Seq(Ev("w", role="assistant"), Neg(Ev("n", role="tool")),
             Ev("v", role="assistant")),
         Seq(Neg(Ev("n", role="tool")), Ev("w", role="assistant"),
             Ev("v", role="assistant")),
+    ):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           And_(mem, Ev("x", role="tool")))),
+                Ev("t", role="user")),
+            window=W,
+        ))
+    # trailing member Neg / adjacent Negs still reject
+    for mem in (
         Seq(Ev("w", role="assistant"), Ev("v", role="assistant"),
             Neg(Ev("n", role="tool"))),
+        Seq(Ev("w", role="assistant"), Neg(Ev("n", role="tool")),
+            Neg(Ev("m", role="user")), Ev("v", role="assistant")),
     ):
         with pytest.raises(ValueError, match="And_ of leaf"):
             compile_pattern(Pattern(
@@ -1935,3 +2121,15 @@ def test_and_pos_seq_member_rejects():
                     Ev("t", role="user")),
                 window=W,
             ))
+    # leading member Neg at the FIRST position of a pattern-initial
+    # group: the first repetition's gap has no left boundary
+    with pytest.raises(ValueError, match="no left boundary"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(And_(Seq(Neg(Ev("n", role="tool")),
+                                    Ev("w", role="assistant"),
+                                    Ev("v", role="assistant")),
+                                Ev("x", role="tool")),
+                           Ev("u", role="user"))),
+                Ev("t", role="user")),
+            window=W,
+        ))

@@ -295,7 +295,8 @@ def _suffix_part(draw):
                                  "group", "group_or", "bare_or",
                                  "group_seq_or", "group_nested_k",
                                  "group_br_neg", "group_and_pos",
-                                 "group_and_pos_seqmem"]))
+                                 "group_and_pos_seqmem",
+                                 "group_and_pos_mem_neg"]))
     if kind == "kleene":
         return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
     if kind == "neg_then_leaf":
@@ -361,6 +362,19 @@ def _suffix_part(draw):
         return [Kleene(Seq(draw(_leaf()),
                            And_(Seq(draw(_leaf()), draw(_leaf())),
                                 draw(_leaf()))),
+                       max_len=None)]
+    if kind == "group_and_pos_mem_neg":
+        # session 8: a Neg INSIDE a Seq member — the member-scoped
+        # NegSpec (mem_gap) joins the neg signature, so a guarded
+        # member never merges with an unguarded one and interior never
+        # merges with leading (different pre_vars/post)
+        placement = draw(st.sampled_from(["interior", "lead"]))
+        if placement == "interior":
+            mem = Seq(draw(_leaf()), Neg(draw(_leaf())), draw(_leaf()))
+        else:
+            mem = Seq(Neg(draw(_leaf())), draw(_leaf()), draw(_leaf()))
+        return [Kleene(Seq(draw(_leaf()),
+                           And_(mem, draw(_leaf()))),
                        max_len=None)]
     return [draw(_leaf())]
 

@@ -71,7 +71,8 @@ def kleene_node(draw):
          "group_neg", "group_lead_neg", "group_trail_neg", "and_group",
          "group_or", "group_or_neg", "group_bare_or", "group_seq_or",
          "group_seq_or_neg", "group_br_neg", "group_and_pos",
-         "group_and_pos_neg", "group_and_pos_seqmem"]
+         "group_and_pos_neg", "group_and_pos_seqmem",
+         "group_and_pos_mem_neg"]
     ))
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
@@ -163,6 +164,20 @@ def kleene_node(draw):
         return Kleene(
             Seq(draw(leaf()), Neg(draw(leaf())), pos), max_len=None
         )
+    if shape == "group_and_pos_mem_neg":
+        # session 8: a Neg INSIDE the Seq member — interior (between
+        # the member's leaves) or leading (gap into the member);
+        # sometimes at the FIRST position (the anchor-less initial
+        # placement exercises the reject path)
+        variant = draw(st.sampled_from(["interior", "lead", "lead_first"]))
+        if variant == "interior":
+            mem = Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf()))
+        else:
+            mem = Seq(Neg(draw(leaf())), draw(leaf()), draw(leaf()))
+        pos = And_(mem, draw(leaf()))
+        if variant == "lead_first":
+            return Kleene(Seq(pos, draw(leaf())), max_len=None)
+        return Kleene(Seq(draw(leaf()), pos), max_len=None)
     if shape == "group_and_pos_neg":
         # ... with a gap Neg before or after the position (the entry
         # gate closes the INTO-gap at the repetition's first member

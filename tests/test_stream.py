@@ -330,6 +330,35 @@ def test_parity_and_pos_seq_member(spark, events_pdf, tmp_path):
     assert batch.where("a_len = 2").count() == 6  # loop-back exercised
 
 
+def test_parity_and_pos_member_neg(spark, events_pdf, tmp_path):
+    """Round 5, session 8: a Neg INSIDE the Seq member of an And_
+    position through the REAL streaming state store — the member-scoped
+    gap (NegSpec.mem_gap, fires at a MID-position bind with pre_vars =
+    the member's previous leaf only) must hold when the guarded (w, v)
+    interval spans micro-batch cuts and when the sibling x binds inside
+    it.  The Neg kills 109 of the 208 unguarded sf0.001 matches at 96h
+    (probe-pinned), so a gap evaluated at the wrong bind — or with the
+    sibling raising its left boundary — fails the count."""
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("a", event_type="view"),
+                       And_(Seq(Ev("w", event_type="click"),
+                                Neg(Ev("n", event_type="error")),
+                                Ev("v", event_type="view")),
+                            Ev("x", event_type="signup")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=96),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_apmneg")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    assert got.count() == 99  # 208 without the member-interior Neg
+
+
 def test_disorder_within_watermark(spark, events_pdf, tmp_path):
     """Arrival order shuffled within a bounded disorder window; watermark
     covers the disorder -> same matches as in-order batch."""

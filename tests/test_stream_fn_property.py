@@ -230,6 +230,27 @@ PATTERNS = {
                             Ev("x", role="tool")))),
             Ev("t", role="user")),
         window=timedelta(seconds=180)),
+    # session 8: a Neg INSIDE the Seq member — the member-scoped gap
+    # (mem_gap spec, fires at a mid-position bind) must hold across
+    # micro-batch cuts where the guarded (w, v) interval spans batches
+    "group_and_pos_mem_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Neg(Ev("n", role="tool")),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool", tool="python")))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=180)),
+    # ... leading the member (gap into the member from the previous
+    # position's bind), with the sibling legally inside the gap
+    "group_and_pos_mem_lead_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Neg(Ev("n", tool="sql")),
+                                Ev("w", role="assistant"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool", tool="python")))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=180)),
 }
 
 
@@ -290,6 +311,9 @@ def scenario(draw):
             "conv_id": "k0",
             "turn_idx": np.arange(n, dtype=np.int32),
             "role": rng.choice(ROLES, n),
+            # session-8 pool entries discriminate member-scoped Negs
+            # on the tool column
+            "tool": rng.choice(["python", "sql"], n),
             "ts": (ts0 + pd.to_timedelta(np.cumsum(gaps), unit="s")).astype("datetime64[us]"),
             "value": rng.uniform(0, 100, n).round(1),
         }
