@@ -1304,6 +1304,109 @@ def _kleene_and_pos_mem_neg_oracle(lead: bool = False) -> str:
     return base.replace(marker, marker + not_exists)
 
 
+# round 5 (session 9): an Or_ MEMBER of an And_ position — each
+# repetition binds ONE branch of the member (click OR error) AND the
+# sibling member (signup), both strictly after the repetition's anchor
+# and in any mutual order.  The engine lowers each branch to a UNIT
+# (Slot.mem = the member index; exactly one unit of a member binds per
+# repetition); the oracle mirrors the Or_-position CTE's sparse-branch
+# CASE/COALESCE columns with an extra unordered member join.
+
+_KLEENE_AND_POS_OR_MEM_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("a", event_type="view"),
+                   And_(Or_(Ev("b", event_type="click"),
+                            Ev("c", event_type="error")),
+                        Ev("x", event_type="signup")))),
+        Ev("p", event_type="purchase"),
+    ),
+    # 96h: the smallest window where the harness data yields
+    # multi-repetition matches (incl. repetitions choosing DIFFERENT
+    # branches) — the branch-unit loop-back is load-bearing
+    window=timedelta(hours=96),
+)
+
+
+def _kleene_and_pos_or_mem_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_AND_POS_OR_MEM_PAT),
+                     mode="flat")
+
+
+def _kleene_and_pos_or_mem_oracle() -> str:
+    w = int(_KLEENE_AND_POS_OR_MEM_PAT.window.total_seconds())
+    y_lt_x = "(y.ts < x.ts OR (y.ts = x.ts AND y.event_id < x.event_id))"
+    unit = f"""
+    a.event_type = 'view' AND y.event_type IN ('click', 'error')
+    AND x.event_type = 'signup'
+    AND (a.ts < y.ts OR (a.ts = y.ts AND a.event_id < y.event_id))
+    AND (a.ts < x.ts OR (a.ts = x.ts AND a.event_id < x.event_id))"""
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT a.user_id,
+         a.event_id AS a_first, a.event_id AS a_last,
+         CASE WHEN y.event_type = 'click' THEN 1 ELSE 0 END AS b_cnt,
+         CASE WHEN y.event_type = 'click' THEN y.event_id END AS b_first,
+         CASE WHEN y.event_type = 'click' THEN y.event_id END AS b_last,
+         CASE WHEN y.event_type = 'error' THEN 1 ELSE 0 END AS c_cnt,
+         CASE WHEN y.event_type = 'error' THEN y.event_id END AS c_first,
+         CASE WHEN y.event_type = 'error' THEN y.event_id END AS c_last,
+         x.event_id AS x_first, x.event_id AS x_last,
+         1 AS r, a.ts AS first_ts,
+         GREATEST(y.ts, x.ts) AS last_ts,
+         CASE WHEN {y_lt_x} THEN x.event_id ELSE y.event_id END AS last_id
+  FROM events a
+  JOIN events y ON y.user_id = a.user_id
+  JOIN events x ON x.user_id = a.user_id
+  WHERE {unit}
+    AND EPOCH(GREATEST(y.ts, x.ts)) - EPOCH(a.ts) <= {w}
+  UNION ALL
+  SELECT s.user_id, s.a_first, a.event_id,
+         s.b_cnt + CASE WHEN y.event_type = 'click' THEN 1 ELSE 0 END,
+         COALESCE(s.b_first,
+                  CASE WHEN y.event_type = 'click' THEN y.event_id END),
+         COALESCE(CASE WHEN y.event_type = 'click' THEN y.event_id END,
+                  s.b_last),
+         s.c_cnt + CASE WHEN y.event_type = 'error' THEN 1 ELSE 0 END,
+         COALESCE(s.c_first,
+                  CASE WHEN y.event_type = 'error' THEN y.event_id END),
+         COALESCE(CASE WHEN y.event_type = 'error' THEN y.event_id END,
+                  s.c_last),
+         s.x_first, x.event_id,
+         s.r + 1, s.first_ts,
+         GREATEST(y.ts, x.ts),
+         CASE WHEN {y_lt_x} THEN x.event_id ELSE y.event_id END
+  FROM chains s
+  JOIN events a ON a.user_id = s.user_id
+  JOIN events y ON y.user_id = s.user_id
+  JOIN events x ON x.user_id = s.user_id
+  WHERE {unit}
+    AND (s.last_ts < a.ts OR (s.last_ts = a.ts AND s.last_id < a.event_id))
+    AND EPOCH(GREATEST(y.ts, x.ts)) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS a_len,
+       CAST(s.a_first AS BIGINT) AS a_first,
+       CAST(s.a_last AS BIGINT) AS a_last,
+       CASE WHEN s.b_cnt > 0 THEN CAST(s.b_cnt AS BIGINT) END AS b_len,
+       CAST(s.b_first AS BIGINT) AS b_first,
+       CAST(s.b_last AS BIGINT) AS b_last,
+       CASE WHEN s.c_cnt > 0 THEN CAST(s.c_cnt AS BIGINT) END AS c_len,
+       CAST(s.c_first AS BIGINT) AS c_first,
+       CAST(s.c_last AS BIGINT) AS c_last,
+       CAST(s.r AS BIGINT) AS x_len,
+       CAST(s.x_first AS BIGINT) AS x_first,
+       CAST(s.x_last AS BIGINT) AS x_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
 # round 5 (session 4): a Neg strictly BETWEEN two leaves of a Seq
 # branch — the within-repetition gap (w_j, x_j) must be 'error'-free in
 # exactly the repetitions that CHOSE the (click, signup) branch;
@@ -1943,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_query
     out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_query
     out["cep_kleene_and_pos_mem_lead_neg"] = _kleene_and_pos_mem_lead_neg_query
+    out["cep_kleene_and_pos_or_mem"] = _kleene_and_pos_or_mem_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
@@ -1976,6 +2080,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_oracle()
     out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_oracle()
     out["cep_kleene_and_pos_mem_lead_neg"] = _kleene_and_pos_mem_neg_oracle(lead=True)
+    out["cep_kleene_and_pos_or_mem"] = _kleene_and_pos_or_mem_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()

@@ -663,11 +663,14 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
         for s in alt.slots:
             if (s.group is not None and s.grp_kind != "and"
                     and s.grp_idx == 0 and s.br_idx == 0
-                    and (not s.pos_all or s.br == 0)):
+                    and (not s.pos_all or s.br == 0 or s.mem == 0)):
                 # entry sub-slots only: a multi-event (Seq) branch binds
                 # once per repetition at its br_idx-0 event; a
                 # conjunctive (And_) position binds EVERY member each
-                # repetition, so count member 0 alone
+                # repetition, so count member 0 alone — when member 0
+                # is an Or_ (session 9), exactly one of its units binds
+                # per repetition, so summing across them stays one per
+                # repetition
                 grp_pos0_vars.setdefault(s.group, []).append(s.var)
 
         def _accept_negs(sub, neg_indices, edge_w=None):

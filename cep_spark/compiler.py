@@ -90,6 +90,15 @@ class Slot:
     # in progress.  Unlike Or_ branches, members bind in every
     # repetition — they are ordinary zip-aligned group mates.
     pos_all: bool = False
+    # An Or_ MEMBER of an And_ position (round 5, session 9): each of
+    # its branches becomes a distinct UNIT (its own `br` value, br_idx/
+    # br_len indexing the branch's events) and `mem` records which
+    # member the unit belongs to — each repetition binds exactly ONE
+    # unit of the member (plus every other member).  `mem` stays None
+    # for plain members (their member identity is `br` itself); Or_-
+    # member unit vars are branch vars (sparse element tuples, like Or_
+    # position branches).
+    mem: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -353,6 +362,21 @@ def _validate_group_inner(node: Kleene) -> None:
         def _mem_ok(m):
             if isinstance(m, Ev):
                 return True
+            if isinstance(m, Or_):
+                # session 9: an Or_ MEMBER — each repetition binds ONE
+                # branch of it (plus every other member).  Branches are
+                # plain leaves or Seqs of plain leaves; Negs inside a
+                # member branch reject (the gap would be both branch-
+                # and member-scoped — the bounded chain expansion
+                # covers those shapes)
+                return len(m.parts) >= 2 and all(
+                    isinstance(b, Ev) or (
+                        isinstance(b, Seq)
+                        and len(b.parts) >= 2
+                        and all(isinstance(y, Ev) for y in b.parts)
+                    )
+                    for b in m.parts
+                )
             if not (isinstance(m, Seq) and len(m.parts) >= 2):
                 return False
             if not isinstance(m.parts[-1], Ev):
@@ -418,7 +442,10 @@ def _validate_group_inner(node: Kleene) -> None:
             "in order, members interleaving freely — between the "
             "neighbouring positions' binds; a Seq member may carry "
             "Negs BETWEEN two of its leaves or LEADING it, never "
-            "trailing — a bare Neg member has no gap to guard); "
+            "trailing — a bare Neg member has no gap to guard; a "
+            "member may also be an Or_ of leaf-or-Seq-of-leaves "
+            "branches — the repetition binds ONE branch of it, no "
+            "Negs inside those branches); "
             "the whole body may also be a bare And_ of leaves "
             "(unordered repetitions); deeper nesting inside the "
             "repetition requires max_len — those expand to fixed "
@@ -700,7 +727,36 @@ def _collect(
                     # legally bind inside the gap).  Semantics = the
                     # bounded chain expansion's (_collect's And_/Seq
                     # handlers on each repetition copy).
+                    # session 9: `br` is a UNIT counter — one unit per
+                    # plain member (mem=None), one per BRANCH of an Or_
+                    # member (mem = the member's index; each repetition
+                    # binds exactly one unit of that member).  With no
+                    # Or_ members, units == members (br = member index,
+                    # as in sessions 6–8).
+                    unit = 0
                     for bi, mem in enumerate(part.parts):
+                        if isinstance(mem, Or_):
+                            for brn in mem.parts:
+                                bparts = (brn.parts if isinstance(brn, Seq)
+                                          else (brn,))
+                                bhere2 = here
+                                for k2, ev in enumerate(bparts):
+                                    sid = len(slots)
+                                    slots.append(
+                                        Slot(sid, ev.name, ev.where,
+                                             kleene=True,
+                                             kleene_max=node.max_len,
+                                             prereq=bhere2,
+                                             group=gid, grp_idx=j, br=unit,
+                                             br_idx=k2, br_len=len(bparts),
+                                             pos_all=True, mem=bi)
+                                    )
+                                    if k2 == 0:
+                                        entry_sids.append(sid)
+                                    new_sids.append(sid)
+                                    bhere2 = bhere2 | frozenset({sid})
+                                unit += 1
+                            continue
                         mparts = mem.parts if isinstance(mem, Seq) else (mem,)
                         m_evs = [x for x in mparts if isinstance(x, Ev)]
                         mhere = here
@@ -731,7 +787,7 @@ def _collect(
                             slots.append(
                                 Slot(sid, ev.name, ev.where, kleene=True,
                                      kleene_max=node.max_len, prereq=mhere,
-                                     group=gid, grp_idx=j, br=bi,
+                                     group=gid, grp_idx=j, br=unit,
                                      br_idx=k, br_len=len(m_evs),
                                      pos_all=True)
                             )
@@ -751,6 +807,7 @@ def _collect(
                             mhere = mhere | frozenset({sid})
                             prev_sid = sid
                             k += 1
+                        unit += 1
                     branches = ()  # skip the Or_-branch loop below
                 for bi, brn in enumerate(branches):
                     parts_b = brn.parts if isinstance(brn, Seq) else (brn,)
@@ -975,6 +1032,32 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
         if x.group is not None:
             pos_sids.setdefault((x.group, x.grp_idx), []).append(x.sid)
 
+    def _pos_units(gid, jj):
+        # conjunctive position layout: unit br -> (member key, br_len).
+        # A plain member is its own unit (key = its br); an Or_ member's
+        # branches are sibling units sharing key ("m", mem) — exactly
+        # one of them binds per repetition (session 9).
+        out: dict = {}
+        for sid2 in pos_sids[(gid, jj)]:
+            x = by_sid[sid2]
+            key = ("m", x.mem) if x.mem is not None else ("u", x.br)
+            prev = out.get(x.br)
+            out[x.br] = (key, max(x.br_idx + 1, prev[1] if prev else 0))
+        return out
+
+    def _pos_done(nprog, units):
+        # the position completes when EVERY member has one unit fully
+        # bound (cnt == the unit's br_len); for Or_-free positions this
+        # equals the old slot-count sum
+        cnts = dict(nprog)
+        mems: dict = {}
+        for b, (mk, bl) in units.items():
+            mems.setdefault(mk, []).append((b, bl))
+        return all(
+            any(cnts.get(b, 0) == bl for b, bl in us)
+            for us in mems.values()
+        )
+
     def prereq_ok(s):
         # group-owned prereq sids are satisfied POSITION-wise: any bound
         # branch of the position counts (non-branch groups reduce to the
@@ -1037,17 +1120,22 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                         continue
                     cnt = next((c for b, c in prog if b == s.br), 0)
                     if s.br_idx != cnt:
-                        continue  # wrong next event for this member
-                        # (cnt == br_len ⇒ member complete: no slot has
-                        # br_idx == br_len, so complete members never
+                        continue  # wrong next event for this unit
+                        # (cnt == br_len ⇒ unit complete: no slot has
+                        # br_idx == br_len, so complete units never
                         # re-bind this repetition)
+                    units = _pos_units(s.group, jj)
+                    if s.mem is not None and any(
+                        c > 0 and b != s.br
+                        and units[b][0] == ("m", s.mem)
+                        for b, c in prog
+                    ):
+                        continue  # another branch of this Or_ member
+                        # already chose this repetition (session 9)
                     nprog = frozenset(
                         (b, c) for b, c in prog if b != s.br
                     ) | {(s.br, cnt + 1)}
-                    if sum(c for _, c in nprog) == len(pos_sids[(s.group, jj)]):
-                        # every member fully bound (counts are capped at
-                        # br_len by the br_idx gate, so the sum reaches
-                        # the position's slot count only when all do)
+                    if _pos_done(nprog, units):
                         if jj == npos - 1:
                             del nm[s.group]
                         else:
@@ -1138,10 +1226,24 @@ def _complete_bound(bound: frozenset, slots: list, groups: dict) -> bool:
         if len(seen) != gs[-1].grp_idx + 1:
             return False
         # conjunctive (And_) positions additionally need EVERY member
-        # bound (guaranteed by the mid-pointer mechanics once a
-        # repetition completes — kept as a defensive invariant)
-        if any(x.pos_all and x.sid not in bound for x in gs):
-            return False
+        # bound — for an Or_ member, one fully bound unit (session 9)
+        # (guaranteed by the mid-pointer mechanics once a repetition
+        # completes — kept as a defensive invariant)
+        by_pos: dict = {}
+        for x in gs:
+            if x.pos_all:
+                by_pos.setdefault(x.grp_idx, []).append(x)
+        for xs in by_pos.values():
+            mems: dict = {}
+            for x in xs:
+                key = ("m", x.mem) if x.mem is not None else ("u", x.br)
+                mems.setdefault(key, {}).setdefault(x.br, []).append(x)
+            for units in mems.values():
+                if not any(
+                    all(u.sid in bound for u in us)
+                    for us in units.values()
+                ):
+                    return False
     return True
 
 
@@ -1306,7 +1408,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             slot_list.append(
                 Slot(s.sid, s.var, u, s.kleene, s.kleene_max, s.prereq,
                      s.adjacent, s.group, s.grp_idx, s.grp_kind,
-                     s.br, s.br_idx, s.br_len, s.pos_all)
+                     s.br, s.br_idx, s.br_len, s.pos_all, s.mem)
             )
             if s.adjacent is not None:
                 # {var}__prev reads the same physical columns as {var}
@@ -1322,7 +1424,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             slot_list = [
                 Slot(s.sid, s.var, FALSE, s.kleene, s.kleene_max, s.prereq,
                      s.adjacent, s.group, s.grp_idx, s.grp_kind,
-                     s.br, s.br_idx, s.br_len, s.pos_all)
+                     s.br, s.br_idx, s.br_len, s.pos_all, s.mem)
                 for s in slot_list
             ]
             multi = []
@@ -1491,9 +1593,13 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             s.var: s.group for s in slots
             # conjunctive (And_) position members share a position but
             # bind in EVERY repetition — ordinary zip-aligned group
-            # mates, not branch vars
-            if s.group is not None and not s.pos_all
-            and pos_count[(s.group, s.grp_idx)] > 1
+            # mates, not branch vars.  Units of an Or_ MEMBER (session
+            # 9, mem set) bind sparsely like Or_ position branches and
+            # ARE branch vars.
+            if s.group is not None and (
+                (not s.pos_all and pos_count[(s.group, s.grp_idx)] > 1)
+                or (s.pos_all and s.mem is not None)
+            )
         }
         if branch_vars:
             gvars = {}

@@ -298,6 +298,10 @@ def merge_compiled(cps) -> CompiledPattern:
                     s.br_idx,
                     s.br_len,
                     s.pos_all,
+                    # Or_-member unit ownership (session 9): a branch
+                    # unit of member m must not merge with a plain
+                    # member of the same event layout
+                    s.mem,
                     tuple(sorted(s.prereq)),
                 )
 
@@ -349,6 +353,7 @@ def merge_compiled(cps) -> CompiledPattern:
                         s.br_idx,
                         s.br_len,
                         s.pos_all,
+                        s.mem,
                     )
                     m_slots.append(ms)
                     slot_of_sig[sig] = ms

@@ -1108,6 +1108,9 @@ def _pattern_fp(cp, w_ns):
             # — appended conditionally so fingerprints of pos_all-free
             # families (all existing checkpoints) are unchanged
             + ((("A", s.br),) if s.pos_all else ())
+            # Or_-member unit ownership (session 9) — same conditional
+            # rule: mem-free families keep their fingerprints
+            + ((("O", s.mem),) if s.mem is not None else ())
             for s in alt.slots
         )
         negs = tuple(

@@ -46,13 +46,23 @@ def _unbounded_group_names(node) -> list:
                     # binds each repetition — all are aligned names;
                     # a Seq member (session 7) contributes every event
                     # (session 8: Negs inside a member are not part of
-                    # the emitted binding)
-                    names.extend(
-                        y.name
-                        for x in p.parts
-                        for y in (x.parts if isinstance(x, Seq) else (x,))
-                        if isinstance(y, Ev)
-                    )
+                    # the emitted binding; session 9: an Or_ member
+                    # contributes every branch event name — sparse like
+                    # Or_ position branches)
+                    for x in p.parts:
+                        if isinstance(x, Or_):
+                            for b in x.parts:
+                                names.extend(
+                                    y.name for y in
+                                    (b.parts if isinstance(b, Seq) else (b,))
+                                    if isinstance(y, Ev)
+                                )
+                        else:
+                            names.extend(
+                                y.name for y in
+                                (x.parts if isinstance(x, Seq) else (x,))
+                                if isinstance(y, Ev)
+                            )
                 elif isinstance(p, Or_):
                     for b in p.parts:
                         if isinstance(b, Seq):
@@ -85,8 +95,8 @@ def _bound_groups(node, n: int):
             # consumes EVERY member — Seq members count all their events
             arity = 1 if isinstance(inner, Or_) else sum(
                 sum(
-                    sum(isinstance(y, Ev) for y in m.parts)
-                    if isinstance(m, Seq) else 1
+                    1 if isinstance(m, (Ev, Or_))  # Or_ member: cheapest branch >= 1 event
+                    else sum(isinstance(y, Ev) for y in m.parts)
                     for m in p.parts
                 )
                 if isinstance(p, And_)
@@ -377,6 +387,16 @@ def _has_or_outside_groups(node) -> bool:
                 if isinstance(p, Or_):
                     if any(_has_or(b) for b in p.parts):
                         return True  # nested Or_ in a branch (invalid anyway)
+                elif isinstance(p, And_):
+                    # an Or_ MEMBER of an And_ position folds per
+                    # branch (session 9); nested Or_ inside its
+                    # branches does not (invalid anyway)
+                    for m in p.parts:
+                        if isinstance(m, Or_):
+                            if any(_has_or(b) for b in m.parts):
+                                return True
+                        elif _has_or_outside_groups(m):
+                            return True
                 elif _has_or_outside_groups(p):
                     return True
             return False

@@ -448,6 +448,61 @@ PATTERNS = {
             Ev("t", role="tool")),
         window=timedelta(minutes=8),
     ),
+    # session 9: Or_ MEMBERS inside And_ positions (one branch of the
+    # member binds per repetition, plus every other member)
+    "and_pos_or_mem": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Or_(Ev("b", role="assistant"),
+                                Ev("c", role="tool")),
+                            Ev("x", role="user")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_or_mem_seqbr": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Or_(Seq(Ev("b", role="assistant"),
+                                    Ev("c", role="assistant")),
+                                Ev("d", role="tool")),
+                            Ev("x", role="user")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_or_mem_first": Pattern(
+        Seq(Kleene(Seq(And_(Or_(Ev("b", role="assistant"),
+                                Ev("c", role="tool")),
+                            Ev("x", role="user")),
+                       Ev("a", role="assistant"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_two_or_mem": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Or_(Ev("b", role="assistant"),
+                                Ev("c", role="tool")),
+                            Or_(Ev("d", role="user"),
+                                Ev("e", role="assistant"))))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
+    "and_pos_or_mem_seq_mate": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Or_(Ev("b", role="assistant"),
+                                Ev("c", role="tool")),
+                            Seq(Ev("w", role="assistant"),
+                                Ev("v", role="user"))))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
+    "and_pos_or_mem_neg_mate": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Or_(Ev("b", role="assistant"),
+                                Ev("c", role="tool")),
+                            Seq(Ev("w", role="assistant"),
+                                Neg(Ev("n", tool="sql")),
+                                Ev("v", role="user"))))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
     "and_pos_mem_neg_cond": Pattern(
         Seq(Kleene(Seq(Ev("u", role="user"),
                        And_(Seq(Ev("w", role="assistant"),
@@ -1959,6 +2014,159 @@ def test_and_pos_seq_member_conds():
             assert all(vals[x] > vals[u] for u, x in zip(b["u"], b["x"]))
         discriminated += bool(got)
     assert nonzero > 0
+
+
+def test_bounded_and_pos_or_member_equals_chain_expansion():
+    """Session 9: an Or_ MEMBER of an And_ position — each repetition
+    binds exactly ONE branch of it (plus every other member).  The
+    group lowering (branch UNITS sharing a member key in the
+    conjunctive mid pointer) must match the bounded chain expansion
+    (where _expand_or multiplies per-repetition branch choices into
+    alternatives) exactly, including the repetition CAP counting
+    member-0 units and repetitions choosing DIFFERENT branches."""
+    pat = Pattern(
+        Seq(Kleene(Seq(And_(Or_(Ev("b", role="assistant"),
+                                Ev("c", role="tool")),
+                            Ev("x", role="user")),
+                       Ev("a", role="assistant")), max_len=2),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+
+    def fold(res):
+        folded = []
+        for _, b in res:
+            fb = {"t": (b["t"],)}
+            for base in ("a", "b", "c", "x"):
+                el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                           if f"{base}__{j}" in b)
+                if el:
+                    fb[base] = el
+            folded.append((0, tuple(sorted(fb.items()))))
+        return sorted(set(folded))
+
+    rng = np.random.default_rng(61)
+    nonzero = multirep = mixed = 0
+    for trial in range(120):
+        gg = _gen_group(trial * 41 + 19, int(rng.integers(4, 14)))
+        gs = gg.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        got = _canon_nfa(match_group_nfa(cp_group, gs))
+        assert got == fold(match_group_nfa(cp_chain, gs)), \
+            f"trial {trial}\n{gg}"
+        nonzero += bool(got)
+        for _, tup in got:
+            d = dict(tup)
+            multirep += len(d["a"]) > 1
+            mixed += ("b" in d and "c" in d)
+    # coverage: multi-repetition matches AND matches whose repetitions
+    # chose DIFFERENT branches both occur
+    assert nonzero > 0 and multirep > 0 and mixed > 0
+
+
+def test_and_pos_or_member_mechanics_fixture():
+    """Hand-computed pins for Or_ members: exactly one branch binds per
+    repetition (an event matching the other branch within the same
+    position must bind elsewhere or nowhere), different repetitions may
+    choose different branches, and a Seq branch's events stay in order
+    while the sibling member interleaves freely."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Or_(Ev("b", role="assistant"),
+                                Ev("c", role="tool")),
+                            Ev("x", role="user")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    )
+    cp = compile_pattern(pat)
+    ts0 = pd.Timestamp("2026-01-01")
+
+    def frame(roles):
+        return pd.DataFrame({
+            "conv_id": "c0",
+            "turn_idx": np.arange(len(roles), dtype=np.int32),
+            "role": roles,
+            "tool": "python",
+            "ts": ts0 + pd.to_timedelta(np.arange(len(roles)) * 5, unit="s"),
+            "value": 1.0,
+        })
+
+    # rep 1 chooses the assistant branch, rep 2 the tool branch
+    ms = match_group_nfa(cp, frame(
+        ["user", "assistant", "user",          # a1 b1 x1
+         "user", "tool", "user",               # a2 c2 x2
+         "tool"]))                             # t
+    two = [b for _, b in ms if len(b["a"]) == 2]
+    assert any("b" in b and "c" in b for b in two)
+
+    # both branch candidates inside ONE position: only one binds as the
+    # member — the other may serve as... nothing here (no other slot
+    # accepts it), so matches bind exactly one of (assistant, tool)
+    ms = match_group_nfa(cp, frame(
+        ["user", "assistant", "tool", "user", "tool"]))
+    for _, b in ms:
+        assert not ("b" in b and "c" in b and len(b["a"]) == 1)
+
+    # member interleaving: x may bind between a Seq branch's two events
+    pat2 = Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Or_(Seq(Ev("b", role="assistant"),
+                                    Ev("c", role="assistant")),
+                                Ev("d", role="tool")),
+                            Ev("x", role="user")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    )
+    cp2 = compile_pattern(pat2)
+    ms = match_group_nfa(cp2, frame(
+        ["user", "assistant", "user", "assistant", "tool"]))
+    assert any(
+        "b" in b and b["b"][0] < b["x"][0] < b["c"][0] for _, b in ms)
+    # ... but the Seq branch's own events stay ordered (b < c)
+    for _, b in ms:
+        if "b" in b:
+            assert b["b"][0] < b["c"][0]
+
+
+def test_and_pos_or_member_rejects():
+    """Session 9 guard rails: Negs inside an Or_-member branch reject;
+    a conjunct pairing an Or_-member unit var with a same-group mate
+    rejects (sparse binding makes per-repetition alignment undefined);
+    unit vars with OUTER vars are fine (per-element)."""
+    import pytest
+
+    W = timedelta(minutes=8)
+    with pytest.raises(ValueError, match="And_ of leaf"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("a", role="user"),
+                           And_(Or_(Seq(Ev("b", role="assistant"),
+                                        Neg(Ev("n", role="tool")),
+                                        Ev("c", role="assistant")),
+                                    Ev("d", role="tool")),
+                                Ev("x", role="user")))),
+                Ev("t", role="tool")),
+            window=W,
+        ))
+    with pytest.raises(ValueError, match="same-group"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("a", role="user"),
+                           And_(Or_(Ev("b", role="assistant"),
+                                    Ev("c", role="tool")),
+                                Ev("x", role="user")))),
+                Ev("t", role="tool")),
+            where=attr("b", "value") > attr("x", "value"),
+            window=W,
+        ))
+    compile_pattern(Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Or_(Ev("b", role="assistant"),
+                                Ev("c", role="tool")),
+                            Ev("x", role="user")))),
+            Ev("t", role="tool")),
+        where=attr("b", "value") > attr("t", "value"),
+        window=W,
+    ))
 
 
 def test_bounded_and_pos_member_neg_equals_chain_expansion():

@@ -296,7 +296,8 @@ def _suffix_part(draw):
                                  "group_seq_or", "group_nested_k",
                                  "group_br_neg", "group_and_pos",
                                  "group_and_pos_seqmem",
-                                 "group_and_pos_mem_neg"]))
+                                 "group_and_pos_mem_neg",
+                                 "group_and_pos_or_mem"]))
     if kind == "kleene":
         return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
     if kind == "neg_then_leaf":
@@ -362,6 +363,15 @@ def _suffix_part(draw):
         return [Kleene(Seq(draw(_leaf()),
                            And_(Seq(draw(_leaf()), draw(_leaf())),
                                 draw(_leaf()))),
+                       max_len=None)]
+    if kind == "group_and_pos_or_mem":
+        # session 9: an Or_ MEMBER of the And_ position — Slot.mem
+        # joins the slot signature, so a branch unit of member m never
+        # merges with a plain member of the same event layout
+        from cep_spark.pattern import Or_
+        mem = Or_(draw(_leaf()), draw(_leaf()))
+        return [Kleene(Seq(draw(_leaf()),
+                           And_(mem, draw(_leaf()))),
                        max_len=None)]
     if kind == "group_and_pos_mem_neg":
         # session 8: a Neg INSIDE a Seq member — the member-scoped

@@ -72,7 +72,7 @@ def kleene_node(draw):
          "group_or", "group_or_neg", "group_bare_or", "group_seq_or",
          "group_seq_or_neg", "group_br_neg", "group_and_pos",
          "group_and_pos_neg", "group_and_pos_seqmem",
-         "group_and_pos_mem_neg"]
+         "group_and_pos_mem_neg", "group_and_pos_or_mem"]
     ))
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
@@ -178,6 +178,20 @@ def kleene_node(draw):
         if variant == "lead_first":
             return Kleene(Seq(pos, draw(leaf())), max_len=None)
         return Kleene(Seq(draw(leaf()), pos), max_len=None)
+    if shape == "group_and_pos_or_mem":
+        # session 9: an Or_ MEMBER of the And_ position — each
+        # repetition binds ONE branch of it (leaf or Seq-of-leaves)
+        # plus the sibling member; sometimes two Or_ members, sometimes
+        # the position first
+        br0 = (Seq(draw(leaf()), draw(leaf())) if draw(st.booleans())
+               else draw(leaf()))
+        mem = Or_(br0, draw(leaf()))
+        other = (Or_(draw(leaf()), draw(leaf())) if draw(st.booleans())
+                 else draw(leaf()))
+        pos = And_(mem, other)
+        if draw(st.booleans()):
+            return Kleene(Seq(draw(leaf()), pos), max_len=None)
+        return Kleene(Seq(pos, draw(leaf())), max_len=None)
     if shape == "group_and_pos_neg":
         # ... with a gap Neg before or after the position (the entry
         # gate closes the INTO-gap at the repetition's first member

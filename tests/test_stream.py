@@ -330,6 +330,39 @@ def test_parity_and_pos_seq_member(spark, events_pdf, tmp_path):
     assert batch.where("a_len = 2").count() == 6  # loop-back exercised
 
 
+def test_parity_and_pos_or_member(spark, events_pdf, tmp_path):
+    """Round 5, session 9: an Or_ MEMBER of an And_ position through
+    the REAL streaming state store — the branch-unit mid pointer
+    ((unit, cnt) pairs with member-shared identity) and the sparse unit
+    element tuples must survive pickled state roundtrips across
+    micro-batch cuts, with different repetitions choosing different
+    branches.  96h on sf0.001: 883 rows, 210 multi-repetition, 130
+    binding BOTH branches across repetitions (probe-pinned) — a
+    member gate that lets both branches bind in one repetition, or
+    blocks the second branch across repetitions, fails the counts."""
+    from cep_spark.pattern import Or_
+
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("a", event_type="view"),
+                       And_(Or_(Ev("b", event_type="click"),
+                                Ev("c", event_type="error")),
+                            Ev("x", event_type="signup")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=96),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_aporm")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _nn_rows(got.collect()) == _nn_rows(batch.collect())
+    assert got.count() == 883
+    assert batch.where("a_len > 1").count() == 210
+    assert batch.where("b_len IS NOT NULL AND c_len IS NOT NULL").count() == 130
+
+
 def test_parity_and_pos_member_neg(spark, events_pdf, tmp_path):
     """Round 5, session 8: a Neg INSIDE the Seq member of an And_
     position through the REAL streaming state store — the member-scoped

@@ -251,6 +251,17 @@ PATTERNS = {
                             Ev("x", role="tool", tool="python")))),
             Ev("t", role="user")),
         window=timedelta(seconds=180)),
+    # session 9: an Or_ MEMBER of the And_ position — the branch-unit
+    # mid pointer and sparse unit tuples must survive persisted partial
+    # tables across micro-batch cuts, with different repetitions
+    # choosing different branches
+    "group_and_pos_or_mem": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Or_(Ev("w", role="assistant"),
+                                Ev("y", role="tool", tool="sql")),
+                            Ev("x", role="tool", tool="python")))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=180)),
 }
 
 
