@@ -1407,6 +1407,89 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 10): member shapes in a BARE And_ body — the whole
+# repetition is one conjunctive position (no Seq anchor): each
+# repetition binds the ordered (click, view) pair AND the signup, in
+# any interleaving, strictly after the previous repetition completes.
+# The engine lowers this as a single pos_all position (grp_kind="seq",
+# npos=1); the oracle is the session-7 CTE without the anchor join.
+
+_KLEENE_BARE_AND_MEM_PAT = _p(
+    Seq(
+        Kleene(And_(Seq(Ev("w", event_type="click"),
+                        Ev("v", event_type="view")),
+                    Ev("x", event_type="signup"))),
+        Ev("p", event_type="purchase"),
+    ),
+    # 96h: the smallest window where the harness data yields
+    # multi-repetition matches for this 3-events-per-repetition body —
+    # the single-position loop-back is load-bearing for the row set
+    window=timedelta(hours=96),
+)
+
+
+def _kleene_bare_and_mem_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_BARE_AND_MEM_PAT),
+                     mode="flat")
+
+
+def _kleene_bare_and_mem_oracle() -> str:
+    w = int(_KLEENE_BARE_AND_MEM_PAT.window.total_seconds())
+    v_lt_x = "(v.ts < x.ts OR (v.ts = x.ts AND v.event_id < x.event_id))"
+    unit = f"""
+    w.event_type = 'click' AND v.event_type = 'view'
+    AND x.event_type = 'signup'
+    AND (w.ts < v.ts OR (w.ts = v.ts AND w.event_id < v.event_id))"""
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT w.user_id,
+         w.event_id AS w_first, w.event_id AS w_last,
+         v.event_id AS v_first, v.event_id AS v_last,
+         x.event_id AS x_first, x.event_id AS x_last,
+         1 AS r, LEAST(w.ts, x.ts) AS first_ts,
+         GREATEST(v.ts, x.ts) AS last_ts,
+         CASE WHEN {v_lt_x} THEN x.event_id ELSE v.event_id END AS last_id
+  FROM events w
+  JOIN events v ON v.user_id = w.user_id
+  JOIN events x ON x.user_id = w.user_id
+  WHERE {unit}
+    AND EPOCH(GREATEST(v.ts, x.ts)) - EPOCH(LEAST(w.ts, x.ts)) <= {w}
+  UNION ALL
+  SELECT s.user_id, s.w_first, w.event_id,
+         s.v_first, v.event_id, s.x_first, x.event_id,
+         s.r + 1, s.first_ts,
+         GREATEST(v.ts, x.ts),
+         CASE WHEN {v_lt_x} THEN x.event_id ELSE v.event_id END
+  FROM chains s
+  JOIN events w ON w.user_id = s.user_id
+  JOIN events v ON v.user_id = s.user_id
+  JOIN events x ON x.user_id = s.user_id
+  WHERE {unit}
+    AND (s.last_ts < w.ts OR (s.last_ts = w.ts AND s.last_id < w.event_id))
+    AND (s.last_ts < x.ts OR (s.last_ts = x.ts AND s.last_id < x.event_id))
+    AND EPOCH(GREATEST(v.ts, x.ts)) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS w_len,
+       CAST(s.w_first AS BIGINT) AS w_first,
+       CAST(s.w_last AS BIGINT) AS w_last,
+       CAST(s.r AS BIGINT) AS v_len,
+       CAST(s.v_first AS BIGINT) AS v_first,
+       CAST(s.v_last AS BIGINT) AS v_last,
+       CAST(s.r AS BIGINT) AS x_len,
+       CAST(s.x_first AS BIGINT) AS x_first,
+       CAST(s.x_last AS BIGINT) AS x_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
 # round 5 (session 4): a Neg strictly BETWEEN two leaves of a Seq
 # branch — the within-repetition gap (w_j, x_j) must be 'error'-free in
 # exactly the repetitions that CHOSE the (click, signup) branch;
@@ -2047,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_query
     out["cep_kleene_and_pos_mem_lead_neg"] = _kleene_and_pos_mem_lead_neg_query
     out["cep_kleene_and_pos_or_mem"] = _kleene_and_pos_or_mem_query
+    out["cep_kleene_bare_and_mem"] = _kleene_bare_and_mem_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
@@ -2081,6 +2165,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_oracle()
     out["cep_kleene_and_pos_mem_lead_neg"] = _kleene_and_pos_mem_neg_oracle(lead=True)
     out["cep_kleene_and_pos_or_mem"] = _kleene_and_pos_or_mem_oracle()
+    out["cep_kleene_bare_and_mem"] = _kleene_bare_and_mem_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()

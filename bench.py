@@ -165,7 +165,9 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t
             best = dt if best is None else min(best, dt)
-        per_query[name] = round(best, 4)
+        # 3 decimals (ms resolution): 61 entries must keep the compact
+        # stdout line under the driver's ~2 KB tail capture
+        per_query[name] = round(best, 3)
         rows[name] = n
     wall = round(time.perf_counter() - t0, 4)
 

@@ -408,12 +408,16 @@ def _validate_group_inner(node: Kleene) -> None:
             for a, b in zip(inner.parts, inner.parts[1:])
         )
     ) or (
-        # Kleene over And_ (round 4, session B): every repetition binds
-        # the leaves in ANY arrival order; no Negs inside (a Neg in an
-        # unordered repetition has no defined gap)
+        # Kleene over And_: plain leaves (round 4, session B — the
+        # unordered "and" group; no Negs directly inside) or any valid
+        # conjunctive-position member mix (session 10: Seq-of-leaves /
+        # Or_-of-branches members, member Negs — lowered as a group
+        # with ONE pos_all position, which pins the same semantics:
+        # repetition j+1 strictly after all of repetition j, members
+        # interleaving freely within it)
         isinstance(inner, And_)
         and len(inner.parts) >= 2
-        and all(isinstance(p, Ev) for p in inner.parts)
+        and _seq_part_ok(inner)
     ) or (
         # Kleene over a bare Or_ (round 5): each repetition binds ONE
         # branch — a single-position group of branch sub-slots (leaf
@@ -513,6 +517,21 @@ def _expand_nested_bounded(inner: Node, reps: list) -> Node:
                 else:
                     branches.append(b)
             return Or_(*branches) if len(branches) >= 2 else branches[0]
+        if isinstance(p, And_):
+            # a bounded leaf Kleene as an And_ MEMBER (session 10):
+            # its count chains become the branches of an Or_ member
+            # (exactly the session-9 unit shape — one chain binds per
+            # repetition)
+            mems = []
+            for m in p.parts:
+                if _is_bounded_leaf(m):
+                    ch = _chains(m)
+                    mems.append(ch[0] if len(ch) == 1 else Or_(*ch))
+                else:
+                    mems.append(m)
+            if all(a is b for a, b in zip(mems, p.parts)):
+                return p
+            return And_(*mems)
         return p
 
     if isinstance(inner, Seq):
@@ -520,7 +539,7 @@ def _expand_nested_bounded(inner: Node, reps: list) -> Node:
         if all(a is b for a, b in zip(new, inner.parts)):
             return inner
         return Seq(*new)
-    if isinstance(inner, (Or_, Kleene)):
+    if isinstance(inner, (Or_, Kleene, And_)):
         return _part(inner)
     return inner
 
@@ -626,12 +645,19 @@ def _collect(
             gid = 1 + max(
                 (s.group for s in slots if s.group is not None), default=-1
             )
-            if isinstance(node.inner, And_):
-                # Kleene over And_: each repetition binds every leaf
-                # once in ANY arrival order (permutation assignments
-                # count separately, like a plain And_); repetition j+1
-                # starts strictly after ALL of repetition j (automatic —
-                # a loop-back bind only fires from a completed group).
+            if isinstance(node.inner, And_) and all(
+                isinstance(p, Ev) for p in node.inner.parts
+            ):
+                # Kleene over And_ of LEAVES: each repetition binds
+                # every leaf once in ANY arrival order (permutation
+                # assignments count separately, like a plain And_);
+                # repetition j+1 starts strictly after ALL of
+                # repetition j (automatic — a loop-back bind only fires
+                # from a completed group).  An And_ with Seq/Or_/Neg-
+                # bearing MEMBERS (session 10) falls through to the
+                # position machinery below as ONE pos_all position —
+                # the same repetition semantics with per-member
+                # progress tracking.
                 sids = []
                 for j, part in enumerate(node.inner.parts):
                     sid = len(slots)
@@ -651,7 +677,10 @@ def _collect(
             # branches are the Or_'s leaves — normalize to a
             # single-part body
             inner_parts = (
-                [node.inner] if isinstance(node.inner, Or_)
+                # a bare Or_ (one position of branches) or a bare And_
+                # with non-leaf members (session 10: one pos_all
+                # position) normalizes to a single-position body
+                [node.inner] if isinstance(node.inner, (Or_, And_))
                 else node.inner.parts
             )
             lead_noanchor = False

@@ -34,7 +34,10 @@ def _unbounded_group_names(node) -> list:
             # a Seq branch every event name (round 5, session 2); a
             # bare Or_ inner is a single position of branches
             positions = (
-                [node.inner] if isinstance(node.inner, Or_)
+                # a bare Or_ or a bare And_ is a single position
+                # (session 10: member And_ bodies lower as one pos_all
+                # position; leaf And_ members fold identically)
+                [node.inner] if isinstance(node.inner, (Or_, And_))
                 else node.inner.parts
             )
             names = []
@@ -101,7 +104,8 @@ def _bound_groups(node, n: int):
                 )
                 if isinstance(p, And_)
                 else int(isinstance(p, (Ev, Or_)))
-                for p in inner.parts
+                for p in ([inner] if isinstance(inner, And_)
+                          else inner.parts)
             )
             return Kleene(inner, max_len=max(1, n // max(arity, 1)))
         return Kleene(inner, max_len=node.max_len, adjacent=node.adjacent)
@@ -403,6 +407,16 @@ def _has_or_outside_groups(node) -> bool:
         if not isinstance(inner, Ev) and node.max_len is None and isinstance(inner, Or_):
             # bare Or_-of-leaves inner (single-position group) folds fine
             return any(_has_or(b) for b in inner.parts)
+        if not isinstance(inner, Ev) and node.max_len is None and isinstance(inner, And_):
+            # bare And_ inner (session 10: one pos_all position) — an
+            # Or_ MEMBER folds per branch, nested Or_ does not
+            for m in inner.parts:
+                if isinstance(m, Or_):
+                    if any(_has_or(b) for b in m.parts):
+                        return True
+                elif _has_or_outside_groups(m):
+                    return True
+            return False
         return _has_or_outside_groups(inner) if not isinstance(inner, Ev) else False
     return any(_has_or_outside_groups(p) for p in node.parts)
 

@@ -503,6 +503,39 @@ PATTERNS = {
             Ev("t", role="tool")),
         window=timedelta(minutes=8),
     ),
+    # session 10: member shapes in the BARE And_ body (lowered as one
+    # pos_all position — repetition j+1 strictly after all of j,
+    # members interleaving freely within it)
+    "bare_and_seqmem": Pattern(
+        Seq(Kleene(And_(Seq(Ev("w", role="assistant"),
+                            Ev("v", role="assistant")),
+                        Ev("x", role="tool"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    "bare_and_or_mem": Pattern(
+        Seq(Kleene(And_(Or_(Ev("b", role="assistant"),
+                            Ev("c", role="tool")),
+                        Ev("x", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
+    "bare_and_mem_neg": Pattern(
+        Seq(Ev("a0", role="tool"),
+            Kleene(And_(Seq(Ev("w", role="assistant"),
+                            Neg(Ev("n", tool="sql")),
+                            Ev("v", role="assistant")),
+                        Ev("x", role="user")))),
+        window=timedelta(minutes=8),
+    ),
+    "bare_and_seqmem_cond": Pattern(
+        Seq(Kleene(And_(Seq(Ev("w", role="assistant"),
+                            Ev("v", role="assistant")),
+                        Ev("x", role="tool"))),
+            Ev("t", role="user")),
+        where=attr("v", "value") > attr("w", "value"),
+        window=timedelta(minutes=8),
+    ),
     "and_pos_mem_neg_cond": Pattern(
         Seq(Kleene(Seq(Ev("u", role="user"),
                        And_(Seq(Ev("w", role="assistant"),
@@ -1795,10 +1828,11 @@ def test_and_pos_bounded_cap_counts_repetitions():
 
 
 def test_and_pos_rejects():
-    """Guard rails: structures deeper than plain leaves inside the And_
-    position (Negs, nested Kleene, nested Or_) reject loudly, and a
-    conjunct pairing an Or_-branch var with an And_-position member of
-    the same group is still an undefined alignment."""
+    """Guard rails: bare Negs and nested Kleenes inside the And_
+    position reject loudly (an Or_ member is supported since session 9
+    — but Or_ nested inside ITS branches rejects), and a conjunct
+    pairing an Or_-branch var with an And_-position member of the same
+    group is still an undefined alignment."""
     import pytest
 
     W = timedelta(minutes=5)
@@ -1821,12 +1855,23 @@ def test_and_pos_rejects():
                 Ev("t", role="user")),
             window=W,
         ))
-    # Or_ nested inside the And_ position
+    # Or_ nested inside the And_ position: SUPPORTED since session 9
+    # (branch units) — compiles; deeper nesting inside the Or_ member's
+    # branches still rejects
+    compile_pattern(Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Ev("w", role="assistant"),
+                            Or_(Ev("x", role="tool"),
+                                Ev("y", role="user"))))),
+            Ev("t", role="user")),
+        window=W,
+    ))
     with pytest.raises(ValueError, match="And_ of leaf"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("u", role="user"),
                            And_(Ev("w", role="assistant"),
-                                Or_(Ev("x", role="tool"),
+                                Or_(Or_(Ev("x", role="tool"),
+                                        Ev("z", role="sys")),
                                     Ev("y", role="user"))))),
                 Ev("t", role="user")),
             window=W,
@@ -2014,6 +2059,124 @@ def test_and_pos_seq_member_conds():
             assert all(vals[x] > vals[u] for u, x in zip(b["u"], b["x"]))
         discriminated += bool(got)
     assert nonzero > 0
+
+
+def test_nested_bounded_kleene_as_and_member():
+    """Session 10: a BOUNDED leaf Kleene as an And_ MEMBER pre-expands
+    to count chains that become the branches of an Or_ member (the
+    session-9 unit shape — one chain binds per repetition).  Bounded
+    outer: forced group lowering ≡ default chain expansion on
+    flattened per-variable event sets (chains decompose b
+    differently); unbounded outer: compiles to the pinned unit
+    layout."""
+    pat = Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Kleene(Ev("b", role="assistant"), max_len=2),
+                            Ev("x", role="tool"))), max_len=2),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    )
+    cp_g = compile_pattern(pat, composite="group")
+    cp_c = compile_pattern(pat)
+
+    import re
+
+    def canon_group(res):
+        out = set()
+        for _a, b in res:
+            bb = tuple(sorted(p for v in b if v.startswith("b__")
+                              for p in _flat(b[v])))
+            rest = tuple(sorted((v, _flat(b[v])) for v in b
+                                if not v.startswith("b__")))
+            out.add((bb, rest))
+        return out
+
+    def canon_chain(res):
+        out = set()
+        for _a, b in res:
+            bb = tuple(sorted(p for v in b if v.startswith("b__")
+                              for p in _flat(b[v])))
+            rest: dict = {}
+            for v, pv in b.items():
+                if v.startswith("b__"):
+                    continue
+                m = re.fullmatch(r"(.+)__(\d+)", v)
+                base = m.group(1) if m else v
+                rest.setdefault(base, []).extend(_flat(pv))
+            out.add((bb, tuple(sorted(
+                (v, tuple(sorted(ps))) for v, ps in rest.items()))))
+        return out
+
+    rng = np.random.default_rng(71)
+    nonzero = 0
+    for trial in range(100):
+        gg = _gen_group(trial * 13 + 7, int(rng.integers(4, 13)))
+        gs = gg.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        assert canon_group(match_group_nfa(cp_g, gs)) == \
+            canon_chain(match_group_nfa(cp_c, gs)), f"trial {trial}\n{gg}"
+        nonzero += bool(match_group_nfa(cp_g, gs))
+    assert nonzero > 0
+
+    # unbounded outer: the expansion yields chain units of ONE member
+    pat_u = Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Kleene(Ev("b", role="assistant"), max_len=2),
+                            Ev("x", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    )
+    cp_u = compile_pattern(pat_u)
+    layout = [(s.br, s.br_idx, s.br_len, s.mem)
+              for a in cp_u.alternatives for s in a.slots if s.pos_all]
+    assert layout == [(0, 0, 1, 0), (1, 0, 2, 0), (1, 1, 2, 0),
+                      (2, 0, 1, None)]
+
+
+def test_bare_and_member_body_equals_chain_expansion():
+    """Session 10: a BARE And_ body with non-leaf members — lowered as
+    a single pos_all position — must match the bounded chain expansion
+    exactly (repetition j+1 strictly after all of j; a leaf And_ body
+    keeps the unordered 'and' lowering, pinned by the kinds assert)."""
+    pat = Pattern(
+        Seq(Kleene(And_(Seq(Ev("w", role="assistant"),
+                            Ev("v", role="assistant")),
+                        Ev("x", role="tool")), max_len=2),
+            Ev("t", role="user")),
+        where=attr("v", "value") > attr("w", "value"),
+        window=timedelta(minutes=8),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    assert {(s.grp_kind, s.pos_all) for a in cp_group.alternatives
+            for s in a.slots if s.group is not None} == {("seq", True)}
+    cp_chain = compile_pattern(pat)
+
+    def fold(res):
+        folded = []
+        for _, b in res:
+            fb = {"t": (b["t"],)}
+            for base in ("w", "v", "x"):
+                el = tuple(b[f"{base}__{j}"] for j in (1, 2)
+                           if f"{base}__{j}" in b)
+                if el:
+                    fb[base] = el
+            folded.append((0, tuple(sorted(fb.items()))))
+        return sorted(set(folded))
+
+    rng = np.random.default_rng(67)
+    nonzero = multirep = interleaved = 0
+    for trial in range(120):
+        gg = _gen_group(trial * 43 + 23, int(rng.integers(4, 14)))
+        gs = gg.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        got = _canon_nfa(match_group_nfa(cp_group, gs))
+        assert got == fold(match_group_nfa(cp_chain, gs)), \
+            f"trial {trial}\n{gg}"
+        nonzero += bool(got)
+        for _, tup in got:
+            d = dict(tup)
+            multirep += len(d["x"]) > 1
+            interleaved += any(w < x < v for w, v, x in
+                               zip(d["w"], d["v"], d["x"]))
+    assert nonzero > 0 and multirep > 0 and interleaved > 0
 
 
 def test_bounded_and_pos_or_member_equals_chain_expansion():

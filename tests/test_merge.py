@@ -297,7 +297,8 @@ def _suffix_part(draw):
                                  "group_br_neg", "group_and_pos",
                                  "group_and_pos_seqmem",
                                  "group_and_pos_mem_neg",
-                                 "group_and_pos_or_mem"]))
+                                 "group_and_pos_or_mem",
+                                 "group_bare_and_mem"]))
     if kind == "kleene":
         return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
     if kind == "neg_then_leaf":
@@ -372,6 +373,14 @@ def _suffix_part(draw):
         mem = Or_(draw(_leaf()), draw(_leaf()))
         return [Kleene(Seq(draw(_leaf()),
                            And_(mem, draw(_leaf()))),
+                       max_len=None)]
+    if kind == "group_bare_and_mem":
+        # session 10: a bare And_ body with a Seq member — lowered as a
+        # single pos_all position (grp_kind='seq'), which must never
+        # merge with the leaf bare-And_ 'and' lowering of the same
+        # event layout (grp_kind is in the slot signature)
+        return [Kleene(And_(Seq(draw(_leaf()), draw(_leaf())),
+                            draw(_leaf())),
                        max_len=None)]
     if kind == "group_and_pos_mem_neg":
         # session 8: a Neg INSIDE a Seq member — the member-scoped

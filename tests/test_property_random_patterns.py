@@ -72,7 +72,8 @@ def kleene_node(draw):
          "group_or", "group_or_neg", "group_bare_or", "group_seq_or",
          "group_seq_or_neg", "group_br_neg", "group_and_pos",
          "group_and_pos_neg", "group_and_pos_seqmem",
-         "group_and_pos_mem_neg", "group_and_pos_or_mem"]
+         "group_and_pos_mem_neg", "group_and_pos_or_mem",
+         "group_bare_and_mem"]
     ))
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
@@ -178,6 +179,22 @@ def kleene_node(draw):
         if variant == "lead_first":
             return Kleene(Seq(pos, draw(leaf())), max_len=None)
         return Kleene(Seq(draw(leaf()), pos), max_len=None)
+    if shape == "group_bare_and_mem":
+        # session 10: a BARE And_ body with non-leaf members — one
+        # pos_all position; sometimes with an interior member Neg.
+        # (A bounded leaf Kleene member is covered by the dedicated
+        # flattened-set parity test instead — its chain units
+        # decompose the variable differently from the replica's
+        # leaf-Kleene slots, so the name-folding canon here cannot
+        # compare them.)
+        variant = draw(st.sampled_from(["seq", "or", "neg"]))
+        if variant == "seq":
+            mem = Seq(draw(leaf()), draw(leaf()))
+        elif variant == "or":
+            mem = Or_(draw(leaf()), draw(leaf()))
+        else:
+            mem = Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf()))
+        return Kleene(And_(mem, draw(leaf())), max_len=None)
     if shape == "group_and_pos_or_mem":
         # session 9: an Or_ MEMBER of the And_ position — each
         # repetition binds ONE branch of it (leaf or Seq-of-leaves)

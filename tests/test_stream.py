@@ -330,6 +330,32 @@ def test_parity_and_pos_seq_member(spark, events_pdf, tmp_path):
     assert batch.where("a_len = 2").count() == 6  # loop-back exercised
 
 
+def test_parity_bare_and_member_body(spark, events_pdf, tmp_path):
+    """Round 5, session 10: a BARE And_ body with a Seq member through
+    the REAL streaming state store — the whole repetition is ONE
+    pos_all position (no Seq anchor), so the repetition boundary is the
+    position completion itself; the per-member mid pointer and the
+    loop-back must survive pickled state roundtrips.  96h on sf0.001:
+    497 rows, 44 multi-repetition (probe-pinned)."""
+    pat = _pat(
+        Seq(Kleene(And_(Seq(Ev("w", event_type="click"),
+                            Ev("v", event_type="view")),
+                        Ev("x", event_type="signup"))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=96),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_bamem")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    assert got.count() == 497
+    assert batch.where("w_len > 1").count() == 44
+
+
 def test_parity_and_pos_or_member(spark, events_pdf, tmp_path):
     """Round 5, session 9: an Or_ MEMBER of an And_ position through
     the REAL streaming state store — the branch-unit mid pointer

@@ -262,6 +262,15 @@ PATTERNS = {
                             Ev("x", role="tool", tool="python")))),
             Ev("t", role="user")),
         window=timedelta(seconds=180)),
+    # session 10: a BARE And_ body with a Seq member — one pos_all
+    # position whose per-member mid pointer must survive persisted
+    # partial tables across micro-batch cuts
+    "group_bare_and_mem": Pattern(
+        Seq(Kleene(And_(Seq(Ev("w", role="assistant"),
+                            Ev("v", role="assistant")),
+                        Ev("x", role="tool", tool="python"))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=180)),
 }
 
 
