@@ -785,6 +785,51 @@ def test_stream_family_fingerprint_guard():
         pass
 
 
+def test_family_fingerprint_cross_version_stability():
+    """Sessions 8-10 added NegSpec.mem_gap and Slot.mem to the
+    fingerprint CONDITIONALLY (appended only when set) so that
+    checkpoints of families not using the new shapes stay restorable
+    across upgrades.  Pin the exact fingerprint of a representative
+    legacy family (seq / group / Or_ branches / And_ position with Seq
+    member / edge Negs / leaf bare-And_) — the constants below were
+    computed with the session-7 tree (commit e28f287) and must never
+    change; if a future field genuinely must break them, bump the fmt
+    layout version instead."""
+    from cep_spark.pattern import Or_
+    from cep_spark.stream import _family_fp
+
+    def _pid(structure, pid):
+        return _pat(structure, window=timedelta(seconds=120), pid=pid)
+
+    fam = [
+        _pid(Seq(Ev("a", role="user"), Ev("b", role="assistant")), "p_seq"),
+        _pid(Seq(Kleene(Seq(Ev("u", role="user"), Ev("w", role="assistant"))),
+                 Ev("t", role="tool")), "p_grp"),
+        _pid(Seq(Kleene(Seq(Ev("u2", role="user"),
+                            Or_(Ev("x2", role="tool"),
+                                Seq(Ev("w2", role="assistant"),
+                                    Ev("v2", role="assistant"))))),
+                 Ev("t2", role="tool")), "p_br"),
+        _pid(Seq(Kleene(Seq(Ev("u3", role="user"),
+                            And_(Seq(Ev("w3", role="assistant"),
+                                     Ev("v3", role="assistant")),
+                                 Ev("x3", role="tool")))),
+                 Ev("t3", role="user")), "p_andpos_seqmem"),
+        _pid(Seq(Ev("a4", role="user"), Neg(Ev("n4", role="tool")),
+                 Ev("b4", role="assistant"), Neg(Ev("m4", role="tool"))),
+             "p_neg"),
+        _pid(Seq(Kleene(And_(Ev("w5", role="assistant"),
+                             Ev("x5", role="tool"))),
+                 Ev("t5", role="user")), "p_bare_and_leaves"),
+    ]
+    cps = [compile_pattern(p) for p in fam]
+    w_ns_of = [int(p.window.total_seconds() * 1e9) for p in fam]
+    assert _family_fp(cps, w_ns_of,
+                      tuple((i,) for i in range(len(cps)))) == "0423782cc869"
+    assert _family_fp(cps, w_ns_of,
+                      (tuple(range(len(cps))),)) == "ba76b0e75129"
+
+
 def test_stream_shared_spark_parity(spark, tmp_path):
     """strategy='shared' through the REAL Structured Streaming state
     store (availableNow) == union of per-pattern batch runs."""
