@@ -1846,12 +1846,21 @@ def test_and_pos_rejects():
                 Ev("t", role="user")),
             window=W,
         ))
-    # bounded Kleene nested inside the And_ position
+    # BOUNDED Kleene nested inside the And_ position: SUPPORTED since
+    # session 10 (pre-expands to Or_-member chain units) — compiles;
+    # an UNBOUNDED nested Kleene still rejects
+    compile_pattern(Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Ev("w", role="assistant"),
+                            Kleene(Ev("k", role="tool"), max_len=2)))),
+            Ev("t", role="user")),
+        window=W,
+    ))
     with pytest.raises(ValueError, match="And_ of leaf"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("u", role="user"),
                            And_(Ev("w", role="assistant"),
-                                Kleene(Ev("k", role="tool"), max_len=2)))),
+                                Kleene(Ev("k", role="tool"))))),
                 Ev("t", role="user")),
             window=W,
         ))
