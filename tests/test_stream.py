@@ -504,6 +504,60 @@ def test_resume_from_checkpoint_exactly_once(spark, events_pdf, tmp_path):
     assert got_rows == _canon(batch.collect())  # no loss, no duplicates
 
 
+def test_resume_from_checkpoint_group_units(spark, events_pdf, tmp_path):
+    """Session 9/10 state-restore pin: stop and RESTART a query over an
+    Or_-member group family — partials holding conjunctive (unit, cnt)
+    mid pointers and sparse unit element tuples at the stop boundary
+    must restore from the checkpoint and complete after the restart;
+    union of emissions == batch, no duplicates."""
+    from cep_spark.pattern import Or_
+
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("a", event_type="view"),
+                       And_(Or_(Ev("b", event_type="click"),
+                                Ev("c", event_type="error")),
+                            Ev("x", event_type="signup")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=96),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    sorted_ev = events_pdf.sort_values("ts").reset_index(drop=True)
+    n = len(sorted_ev)
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        _write_pq(sorted_ev.iloc[i * n // 6 : (i + 1) * n // 6],
+                  f"{src}/p{i:03d}.parquet")
+
+    def start():
+        sm = run_stream(spark, src, cp, watermark="0 seconds")
+        return (
+            sm.writeStream.foreachBatch(out.foreach_batch())
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(240)
+
+    for i in range(3, 6):
+        _write_pq(sorted_ev.iloc[i * n // 6 : (i + 1) * n // 6],
+                  f"{src}/p{i:03d}.parquet")
+    _write_pq(_flush_row(events_pdf), f"{src}/p999_flush.parquet")
+    q = start()
+    q.awaitTermination(240)
+
+    got = out.read_committed(spark)
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp,
+                      mode="flat")
+    assert _nn_rows(got.collect()) == _nn_rows(batch.collect())
+    assert got.count() == 883  # the probe-pinned or_mem row set
+
+
 def test_sink_idempotent_replay(spark, tmp_path):
     """Replaying a committed batch id is a no-op (manifest guard)."""
     out = ExactlyOnceParquetSink(str(tmp_path / "out"))
