@@ -1490,6 +1490,241 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 11): a LEADING member Neg in a bare And_ body — the
+# gap INTO each repetition's (click, view) member runs from the
+# PREVIOUS repetition's last event (the anchor for repetition 1) to
+# that repetition's click, while the sibling signup may legally bind
+# inside it.  A single-position group has no other position to supply
+# that boundary, so the engine attaches it per transition
+# (Transition.gap_pre, from the source state's mid pointer); the
+# oracle's NOT EXISTS starts at the anchor in the base arm and at
+# s.last_ts/s.last_id in the recursive arm — an anchor-anchored engine
+# boundary (the pre-fix defect) over-kills multi-repetition rows and
+# fails the hash.  No match variable accepts 'error' events, so the
+# raw NOT EXISTS is exact.
+
+_KLEENE_BARE_AND_MEM_LEAD_NEG_PAT = _p(
+    Seq(
+        Ev("a", event_type="view"),
+        Kleene(And_(Seq(Neg(Ev("n", event_type="error")),
+                        Ev("w", event_type="click"),
+                        Ev("v", event_type="view")),
+                    Ev("x", event_type="signup"))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=96),
+)
+
+
+def _kleene_bare_and_mem_lead_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_BARE_AND_MEM_LEAD_NEG_PAT),
+                     mode="flat")
+
+
+def _kleene_bare_and_mem_lead_neg_oracle() -> str:
+    w = int(_KLEENE_BARE_AND_MEM_LEAD_NEG_PAT.window.total_seconds())
+    v_lt_x = "(v.ts < x.ts OR (v.ts = x.ts AND v.event_id < x.event_id))"
+    unit = """
+    w.event_type = 'click' AND v.event_type = 'view'
+    AND x.event_type = 'signup'
+    AND (w.ts < v.ts OR (w.ts = v.ts AND w.event_id < v.event_id))"""
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT a.user_id, a.event_id AS a_id,
+         w.event_id AS w_first, w.event_id AS w_last,
+         v.event_id AS v_first, v.event_id AS v_last,
+         x.event_id AS x_first, x.event_id AS x_last,
+         1 AS r, a.ts AS first_ts,
+         GREATEST(v.ts, x.ts) AS last_ts,
+         CASE WHEN {v_lt_x} THEN x.event_id ELSE v.event_id END AS last_id
+  FROM events a
+  JOIN events w ON w.user_id = a.user_id
+  JOIN events v ON v.user_id = a.user_id
+  JOIN events x ON x.user_id = a.user_id
+  WHERE a.event_type = 'view' AND {unit}
+    AND (a.ts < w.ts OR (a.ts = w.ts AND a.event_id < w.event_id))
+    AND (a.ts < x.ts OR (a.ts = x.ts AND a.event_id < x.event_id))
+    AND NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = a.user_id AND n.event_type = 'error'
+        AND (a.ts < n.ts OR (a.ts = n.ts AND a.event_id < n.event_id))
+        AND (n.ts < w.ts OR (n.ts = w.ts AND n.event_id < w.event_id)))
+    AND EPOCH(GREATEST(v.ts, x.ts)) - EPOCH(a.ts) <= {w}
+  UNION ALL
+  SELECT s.user_id, s.a_id,
+         s.w_first, w.event_id, s.v_first, v.event_id,
+         s.x_first, x.event_id,
+         s.r + 1, s.first_ts,
+         GREATEST(v.ts, x.ts),
+         CASE WHEN {v_lt_x} THEN x.event_id ELSE v.event_id END
+  FROM chains s
+  JOIN events w ON w.user_id = s.user_id
+  JOIN events v ON v.user_id = s.user_id
+  JOIN events x ON x.user_id = s.user_id
+  WHERE {unit}
+    AND (s.last_ts < w.ts OR (s.last_ts = w.ts AND s.last_id < w.event_id))
+    AND (s.last_ts < x.ts OR (s.last_ts = x.ts AND s.last_id < x.event_id))
+    AND NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = s.user_id AND n.event_type = 'error'
+        AND (s.last_ts < n.ts OR (s.last_ts = n.ts AND s.last_id < n.event_id))
+        AND (n.ts < w.ts OR (n.ts = w.ts AND n.event_id < w.event_id)))
+    AND EPOCH(GREATEST(v.ts, x.ts)) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.a_id AS BIGINT) AS a_event_id,
+       CAST(s.r AS BIGINT) AS w_len,
+       CAST(s.w_first AS BIGINT) AS w_first,
+       CAST(s.w_last AS BIGINT) AS w_last,
+       CAST(s.r AS BIGINT) AS v_len,
+       CAST(s.v_first AS BIGINT) AS v_first,
+       CAST(s.v_last AS BIGINT) AS v_last,
+       CAST(s.r AS BIGINT) AS x_len,
+       CAST(s.x_first AS BIGINT) AS x_first,
+       CAST(s.x_last AS BIGINT) AS x_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
+# round 5 (session 11): a Neg strictly BETWEEN two leaves of an
+# Or_-MEMBER branch — the (b_j, c_j) gap is guarded in exactly the
+# repetitions whose member chose the two-click branch (the unit's own
+# binds fire only then — branch gating for free), while the sibling
+# signup may bind inside it and 'error'-leaf repetitions carry no gap
+# check at all.  Strict repetition interleaving keeps every
+# match-bound event (incl. the d-bound errors of OTHER repetitions)
+# outside any guarded gap, so the raw NOT EXISTS is exact.  Oracle =
+# a units CTE (one row per single-repetition instance, either branch)
+# chained recursively on the (ts, id)-max boundary.
+
+_KLEENE_OR_MEM_BR_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("a", event_type="view"),
+                   And_(Or_(Seq(Ev("b", event_type="click"),
+                                Neg(Ev("n", event_type="error")),
+                                Ev("c", event_type="click")),
+                            Ev("d", event_type="error")),
+                        Ev("x", event_type="signup")))),
+        Ev("p", event_type="purchase"),
+    ),
+    # 96h: the smallest window where the harness data yields
+    # multi-repetition AND mixed-branch matches (68 / 24 at sf0.001) —
+    # both the guarded-unit loop-back and the branch choice are
+    # load-bearing for the row set
+    window=timedelta(hours=96),
+)
+
+
+def _kleene_or_mem_br_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_OR_MEM_BR_NEG_PAT),
+                     mode="flat")
+
+
+def _kleene_or_mem_br_neg_oracle() -> str:
+    w = int(_KLEENE_OR_MEM_BR_NEG_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE units AS (
+  -- two-click branch: ordered (b, c), 'error'-free strictly between,
+  -- sibling x unordered vs the pair, all strictly after the anchor
+  SELECT a.user_id, a.event_id AS a_id, a.ts AS a_ts,
+         b.event_id AS b_id, c.event_id AS c_id,
+         CAST(NULL AS BIGINT) AS d_id,
+         x.event_id AS x_id,
+         GREATEST(c.ts, x.ts) AS last_ts,
+         CASE WHEN (c.ts < x.ts OR (c.ts = x.ts AND c.event_id < x.event_id))
+              THEN x.event_id ELSE c.event_id END AS last_id
+  FROM events a
+  JOIN events b ON b.user_id = a.user_id
+  JOIN events c ON c.user_id = a.user_id
+  JOIN events x ON x.user_id = a.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND c.event_type = 'click' AND x.event_type = 'signup'
+    AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    AND (a.ts < x.ts OR (a.ts = x.ts AND a.event_id < x.event_id))
+    AND (b.ts < c.ts OR (b.ts = c.ts AND b.event_id < c.event_id))
+    AND NOT EXISTS (
+      SELECT 1 FROM events n
+      WHERE n.user_id = a.user_id AND n.event_type = 'error'
+        AND (b.ts < n.ts OR (b.ts = n.ts AND b.event_id < n.event_id))
+        AND (n.ts < c.ts OR (n.ts = c.ts AND n.event_id < c.event_id)))
+    AND EPOCH(GREATEST(c.ts, x.ts)) - EPOCH(a.ts) <= {w}
+  UNION ALL
+  -- single-'error' branch: no gap check
+  SELECT a.user_id, a.event_id, a.ts,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), d.event_id,
+         x.event_id,
+         GREATEST(d.ts, x.ts),
+         CASE WHEN (d.ts < x.ts OR (d.ts = x.ts AND d.event_id < x.event_id))
+              THEN x.event_id ELSE d.event_id END
+  FROM events a
+  JOIN events d ON d.user_id = a.user_id
+  JOIN events x ON x.user_id = a.user_id
+  WHERE a.event_type = 'view' AND d.event_type = 'error'
+    AND x.event_type = 'signup'
+    AND (a.ts < d.ts OR (a.ts = d.ts AND a.event_id < d.event_id))
+    AND (a.ts < x.ts OR (a.ts = x.ts AND a.event_id < x.event_id))
+    AND EPOCH(GREATEST(d.ts, x.ts)) - EPOCH(a.ts) <= {w}
+),
+chains AS (
+  SELECT user_id, a_id AS a_first, a_id AS a_last, a_ts AS first_ts,
+         1 AS r,
+         CASE WHEN b_id IS NOT NULL THEN 1 ELSE 0 END AS b_cnt,
+         b_id AS b_first, b_id AS b_last,
+         CASE WHEN c_id IS NOT NULL THEN 1 ELSE 0 END AS c_cnt,
+         c_id AS c_first, c_id AS c_last,
+         CASE WHEN d_id IS NOT NULL THEN 1 ELSE 0 END AS d_cnt,
+         d_id AS d_first, d_id AS d_last,
+         x_id AS x_first, x_id AS x_last,
+         last_id, last_ts
+  FROM units
+  UNION ALL
+  SELECT s.user_id, s.a_first, t.a_id, s.first_ts, s.r + 1,
+         s.b_cnt + CASE WHEN t.b_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.b_first, t.b_id), COALESCE(t.b_id, s.b_last),
+         s.c_cnt + CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.c_first, t.c_id), COALESCE(t.c_id, s.c_last),
+         s.d_cnt + CASE WHEN t.d_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.d_first, t.d_id), COALESCE(t.d_id, s.d_last),
+         s.x_first, t.x_id,
+         t.last_id, t.last_ts
+  FROM chains s JOIN units t ON t.user_id = s.user_id
+  WHERE (s.last_ts < t.a_ts OR (s.last_ts = t.a_ts AND s.last_id < t.a_id))
+    AND EPOCH(t.last_ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS a_len,
+       CAST(s.a_first AS BIGINT) AS a_first,
+       CAST(s.a_last AS BIGINT) AS a_last,
+       CASE WHEN s.b_cnt > 0 THEN CAST(s.b_cnt AS BIGINT) END AS b_len,
+       CAST(s.b_first AS BIGINT) AS b_first,
+       CAST(s.b_last AS BIGINT) AS b_last,
+       CASE WHEN s.c_cnt > 0 THEN CAST(s.c_cnt AS BIGINT) END AS c_len,
+       CAST(s.c_first AS BIGINT) AS c_first,
+       CAST(s.c_last AS BIGINT) AS c_last,
+       CASE WHEN s.d_cnt > 0 THEN CAST(s.d_cnt AS BIGINT) END AS d_len,
+       CAST(s.d_first AS BIGINT) AS d_first,
+       CAST(s.d_last AS BIGINT) AS d_last,
+       CAST(s.r AS BIGINT) AS x_len,
+       CAST(s.x_first AS BIGINT) AS x_first,
+       CAST(s.x_last AS BIGINT) AS x_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
 # round 5 (session 4): a Neg strictly BETWEEN two leaves of a Seq
 # branch — the within-repetition gap (w_j, x_j) must be 'error'-free in
 # exactly the repetitions that CHOSE the (click, signup) branch;
@@ -2131,6 +2366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_and_pos_mem_lead_neg"] = _kleene_and_pos_mem_lead_neg_query
     out["cep_kleene_and_pos_or_mem"] = _kleene_and_pos_or_mem_query
     out["cep_kleene_bare_and_mem"] = _kleene_bare_and_mem_query
+    out["cep_kleene_bare_and_mem_lead_neg"] = _kleene_bare_and_mem_lead_neg_query
+    out["cep_kleene_or_mem_br_neg"] = _kleene_or_mem_br_neg_query
     out["cep_kleene_and_group"] = _kleene_and_group_query
     out["cep_udf_pred"] = _udf_pred_query
     out["cep_multi"] = _multi_query
@@ -2166,6 +2403,8 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_and_pos_mem_lead_neg"] = _kleene_and_pos_mem_neg_oracle(lead=True)
     out["cep_kleene_and_pos_or_mem"] = _kleene_and_pos_or_mem_oracle()
     out["cep_kleene_bare_and_mem"] = _kleene_bare_and_mem_oracle()
+    out["cep_kleene_bare_and_mem_lead_neg"] = _kleene_bare_and_mem_lead_neg_oracle()
+    out["cep_kleene_or_mem_br_neg"] = _kleene_or_mem_br_neg_oracle()
     out["cep_kleene_and_group"] = _kleene_and_group_oracle()
     out["cep_udf_pred"] = _udf_pred_oracle()
     out["cep_multi"] = _multi_oracle()

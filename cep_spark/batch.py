@@ -315,7 +315,8 @@ def _br_guard_applies(spec, partials):
     return (bl >= 0) & (bl == mx), bl
 
 
-def _gap_ok(spec_positions, spec, store, partials, cur_var, cur_row, i):
+def _gap_ok(spec_positions, spec, store, partials, cur_var, cur_row, i,
+            pre_off=None):
     """For each partial: True if NO qualifying negative event lies strictly
     inside the gap ending at i.  The gap's left boundary is the latest
     bound position among the spec's STRUCTURAL predecessors (pre_vars)
@@ -345,6 +346,30 @@ def _gap_ok(spec_positions, spec, store, partials, cur_var, cur_row, i):
     if spec.br_guard:
         applies, bl = _br_guard_applies(spec, partials)
         left = np.maximum(left, bl)
+    if pre_off is not None:
+        # leading member gap in a single-position group: per-transition
+        # boundary override (Transition.gap_pre) — off1 vars contribute
+        # their LAST element, off2 vars (mid-repetition in the source
+        # state) their SECOND-TO-LAST (their last element belongs to
+        # the CURRENT repetition and must not shrink the interval)
+        if left is partials.last_pos:
+            left = np.full(n, -1, dtype=np.int64)
+        off1, off2 = pre_off
+        for v in off1:
+            if v in partials.kleene:
+                np.maximum(left, np.fromiter(
+                    (t[-1] if len(t) else -1 for t in partials.kleene[v]),
+                    dtype=np.int64, count=n,
+                ), out=left)
+            elif v in partials.scalar:
+                np.maximum(left, partials.scalar[v], out=left)
+        for v in off2:
+            if v in partials.kleene:
+                np.maximum(left, np.fromiter(
+                    (t[-2] if len(t) >= 2 else -1
+                     for t in partials.kleene[v]),
+                    dtype=np.int64, count=n,
+                ), out=left)
     lo = np.searchsorted(np_pos, left, side="right")
     hi = int(np.searchsorted(np_pos, i, side="left"))
     counts = hi - lo
@@ -795,9 +820,14 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                                     dtype=np.int64, count=len(tbl),
                                 )
                         mask &= lens < s.kleene_max
+                    gp = (
+                        {g: (o1, o2) for g, o1, o2 in tr.gap_pre}
+                        if tr.gap_pre else None
+                    )
                     for gi in tr.gap_negs:
                         mask &= _gap_ok(
-                            neg_positions[gi], alt.negs[gi], store, tbl, s.var, cur_row, i
+                            neg_positions[gi], alt.negs[gi], store, tbl, s.var, cur_row, i,
+                            pre_off=None if gp is None else gp.get(gi),
                         )
                     if not mask.any():
                         continue

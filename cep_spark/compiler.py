@@ -165,6 +165,16 @@ class NegSpec:
     # member's first leaf) exclude the position's OWN slots from
     # pre_vars for the same reason.
     mem_gap: bool = False
+    # LEADING member gap (mem_gap with no previous member leaf): in a
+    # SINGLE-position group (a bare And_ body) the static pre_vars
+    # reach only the anchor — no other position supplies the previous
+    # repetition's boundary — so the transition builder attaches a
+    # per-transition boundary override (Transition.gap_pre) computed
+    # from the source state's mid pointer: same-position vars at
+    # element offset -2 when their unit is mid-repetition, -1
+    # otherwise (the true boundary is always attained by some var at
+    # its offset; every candidate is <= it).
+    mem_lead: bool = False
 
 
 @dataclass(frozen=True)
@@ -181,6 +191,14 @@ class Transition:
     # grp_idx-0 loop-back; unordered "and" groups: any-idx loop-back) —
     # the executor applies the bounded-composite repetition cap here
     rep_start: bool = False
+    # per-transition gap-boundary override for LEADING member gaps in a
+    # single-position group (NegSpec.mem_lead): tuple of
+    # (gap_neg_index, off1_vars, off2_vars) — the gap's left boundary
+    # additionally maxes each off1 var's LAST element and each off2
+    # var's SECOND-TO-LAST element (off2 = vars whose unit is
+    # mid-repetition in the source state, so their last element is the
+    # CURRENT repetition's and must be skipped).  Empty everywhere else.
+    gap_pre: tuple = ()
 
 
 @dataclass
@@ -365,17 +383,32 @@ def _validate_group_inner(node: Kleene) -> None:
             if isinstance(m, Or_):
                 # session 9: an Or_ MEMBER — each repetition binds ONE
                 # branch of it (plus every other member).  Branches are
-                # plain leaves or Seqs of plain leaves; Negs inside a
-                # member branch reject (the gap would be both branch-
-                # and member-scoped — the bounded chain expansion
-                # covers those shapes)
+                # plain leaves or Seqs of plain leaves; session 11: a
+                # branch may carry Negs strictly BETWEEN two of its
+                # leaves or LEADING it — the unit's own binds fire only
+                # in repetitions that choose it, so the member-scoped
+                # gap machinery (NegSpec.mem_gap) is branch-gated for
+                # free.  TRAILING branch Negs reject (the gap's end is
+                # a neighbouring bind outside the unit — same rule as
+                # trailing member Negs), as do adjacent Negs.
+                def _u_br_ok(b):
+                    if isinstance(b, Ev):
+                        return True
+                    if not (isinstance(b, Seq) and len(b.parts) >= 2):
+                        return False
+                    if not isinstance(b.parts[-1], Ev):
+                        return False  # trailing Neg: no gap boundary
+                    if not any(isinstance(y, Ev) for y in b.parts):
+                        return False
+                    if any(
+                        isinstance(x, Neg) and isinstance(y, Neg)
+                        for x, y in zip(b.parts, b.parts[1:])
+                    ):
+                        return False
+                    return all(isinstance(y, (Ev, Neg)) for y in b.parts)
+
                 return len(m.parts) >= 2 and all(
-                    isinstance(b, Ev) or (
-                        isinstance(b, Seq)
-                        and len(b.parts) >= 2
-                        and all(isinstance(y, Ev) for y in b.parts)
-                    )
-                    for b in m.parts
+                    _u_br_ok(b) for b in m.parts
                 )
             if not (isinstance(m, Seq) and len(m.parts) >= 2):
                 return False
@@ -448,8 +481,9 @@ def _validate_group_inner(node: Kleene) -> None:
             "Negs BETWEEN two of its leaves or LEADING it, never "
             "trailing — a bare Neg member has no gap to guard; a "
             "member may also be an Or_ of leaf-or-Seq-of-leaves "
-            "branches — the repetition binds ONE branch of it, no "
-            "Negs inside those branches); "
+            "branches — the repetition binds ONE branch of it; those "
+            "branches may carry Negs BETWEEN two leaves or LEADING "
+            "them, never trailing); "
             "the whole body may also be a bare And_ of leaves "
             "(unordered repetitions); deeper nesting inside the "
             "repetition requires max_len — those expand to fixed "
@@ -768,8 +802,38 @@ def _collect(
                             for brn in mem.parts:
                                 bparts = (brn.parts if isinstance(brn, Seq)
                                           else (brn,))
+                                b_evs = [y for y in bparts
+                                         if isinstance(y, Ev)]
                                 bhere2 = here
-                                for k2, ev in enumerate(bparts):
+                                u_neg = None
+                                prev_sid2 = None
+                                k2 = 0
+                                for x in bparts:
+                                    if isinstance(x, Neg):
+                                        # Neg inside an Or_-member
+                                        # BRANCH (session 11): the unit's
+                                        # own binds fire only in
+                                        # repetitions that choose it, so
+                                        # the session-8 member-gap
+                                        # machinery applies unchanged —
+                                        # interior: gap = the unit's own
+                                        # adjacent leaves; leading: gap
+                                        # INTO the position, closing at
+                                        # the unit's entry bind.
+                                        if k2 == 0 and j == 0 and not prereq:
+                                            raise ValueError(
+                                                "a leading Neg inside an "
+                                                "Or_-member branch at the "
+                                                "FIRST group position "
+                                                "needs a positive part "
+                                                "before the Kleene (the "
+                                                "first repetition's gap "
+                                                "has no left boundary "
+                                                "otherwise)"
+                                            )
+                                        u_neg = x
+                                        continue
+                                    ev = x
                                     sid = len(slots)
                                     slots.append(
                                         Slot(sid, ev.name, ev.where,
@@ -777,13 +841,22 @@ def _collect(
                                              kleene_max=node.max_len,
                                              prereq=bhere2,
                                              group=gid, grp_idx=j, br=unit,
-                                             br_idx=k2, br_len=len(bparts),
+                                             br_idx=k2, br_len=len(b_evs),
                                              pos_all=True, mem=bi)
                                     )
                                     if k2 == 0:
                                         entry_sids.append(sid)
+                                    if u_neg is not None:
+                                        negs.append(
+                                            (u_neg, ("repeat_mem",
+                                                     frozenset({sid}),
+                                                     prev_sid2))
+                                        )
+                                        u_neg = None
                                     new_sids.append(sid)
                                     bhere2 = bhere2 | frozenset({sid})
+                                    prev_sid2 = sid
+                                    k2 += 1
                                 unit += 1
                             continue
                         mparts = mem.parts if isinstance(mem, Seq) else (mem,)
@@ -1493,7 +1566,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                         f"negation condition {c!r} may not reference a Kleene "
                         f"variable (per-element negation scope is undefined)"
                     )
-            per_repeat = repeat_only = mem_gap = False
+            per_repeat = repeat_only = mem_gap = mem_lead = False
             br_guard: tuple = ()
             mem_pre = None  # prev member sid (interior) | None (leading)
             if isinstance(post, tuple) and isinstance(post[0], str):
@@ -1505,6 +1578,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                     per_repeat = True
                     mem_gap = True
                     mem_pre = post[2]
+                    mem_lead = mem_pre is None
                     post = post[1]
                 else:
                     if len(post) > 2 and post[2]:
@@ -1555,15 +1629,24 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                         # leading member gap: anchor/previous positions
                         # (prereq) + the group's OTHER positions' slots
                         # (previous repetition's last event), excluding
-                        # same-position siblings
+                        # same-position siblings.  mem_lead stays True
+                        # only for SINGLE-position groups (bare And_
+                        # bodies), where no other position exists and
+                        # the boundary must come from the per-transition
+                        # gap_pre override instead — multi-position
+                        # groups keep their exact static pre_vars (and
+                        # their checkpoint fingerprints).
                         for sid in post:
                             s0 = by_id[sid]
                             pre_sids |= set(s0.prereq)
-                            pre_sids |= {
+                            other = {
                                 x.sid for x in slots
                                 if x.group == s0.group
                                 and x.grp_idx != s0.grp_idx
                             }
+                            pre_sids |= other
+                            if other:
+                                mem_lead = False
                 else:
                     for sid in post:
                         pre_sids |= set(by_id[sid].prereq)
@@ -1578,7 +1661,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                         post if isinstance(post, frozenset) else frozenset(),
                         per_repeat=per_repeat, repeat_only=repeat_only,
                         pre_vars=pre_vars, br_guard=br_guard,
-                        mem_gap=mem_gap)
+                        mem_gap=mem_gap, mem_lead=mem_lead)
             )
             note_cols(u)
             for c in extra:
@@ -1796,11 +1879,43 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                                 f"negation condition {c!r} references variables not "
                                 f"bound when the gap closes ({sorted(avail)})"
                             )
+                # LEADING member gaps in a SINGLE-position group (a bare
+                # And_ body): static pre_vars reach only the anchor —
+                # there is no other position whose last bind supplies
+                # the previous repetition's boundary.  Attach the exact
+                # boundary per transition: same-position vars at offset
+                # -2 when the source state's mid pointer shows their
+                # unit mid-repetition (their LAST element is the current
+                # repetition's), -1 otherwise.  The previous
+                # repetition's last event is always attained by some var
+                # at its offset, and every candidate is <= it.
+                gap_pre: tuple = ()
+                lead_gis = tuple(
+                    gi for gi in gnegs if neg_specs[gi].mem_lead
+                )
+                if lead_gis and s.pos_all and len(
+                    {x.grp_idx for x in slots if x.group == s.group}
+                ) == 1:
+                    cur_src = dict(st.mid).get(s.group)
+                    cnts: dict = {}
+                    if (isinstance(cur_src, tuple) and len(cur_src) == 2
+                            and isinstance(cur_src[1], frozenset)):
+                        cnts = dict(cur_src[1])
+                    off1, off2 = [], []
+                    for x in slots:
+                        if x.group != s.group:
+                            continue
+                        (off2 if cnts.get(x.br, 0) > x.br_idx
+                         else off1).append(x.var)
+                    gap_pre = tuple(
+                        (gi, tuple(sorted(off1)), tuple(sorted(off2)))
+                        for gi in lead_gis
+                    )
                 st.transitions.append(
                     Transition(
                         s.sid, state_of[(nb, nm)], conds, gnegs,
                         not nm and _complete_bound(nb, slots, groups),
-                        repeat, rep_start,
+                        repeat, rep_start, gap_pre,
                     )
                 )
             # kleene self-loops: per-event conds = conjuncts mentioning the

@@ -385,6 +385,10 @@ def merge_compiled(cps) -> CompiledPattern:
                     # (mid-position firing) — appended conditionally so
                     # signatures of mem_gap-free families are unchanged
                     ("M",) if spec.mem_gap else ()
+                ) + (
+                    # leading member gap (per-transition boundary
+                    # override) — same conditional rule
+                    ("L",) if spec.mem_lead else ()
                 )
                 neg_sig[ni] = nsig
                 mi = neg_of_sig.get(nsig)
@@ -406,6 +410,7 @@ def merge_compiled(cps) -> CompiledPattern:
                             pre_vars=tuple(sorted(cmap[v] for v in spec.pre_vars)),
                             br_guard=tuple(cmap[v] for v in spec.br_guard),
                             mem_gap=spec.mem_gap,
+                            mem_lead=spec.mem_lead,
                         )
                     )
                     neg_of_sig[nsig] = mi
@@ -496,6 +501,17 @@ def merge_compiled(cps) -> CompiledPattern:
             for st in alt.states:
                 mst = st_of[st.sid]
                 for tr in st.transitions:
+                    # per-transition leading-member-gap boundary
+                    # override (renamed to canonical vars, spec indices
+                    # remapped) — appended to the signature
+                    # conditionally so gap_pre-free families keep their
+                    # signatures
+                    m_gap_pre = tuple(
+                        (m_neg_idx[g],
+                         tuple(cmap[v] for v in o1),
+                         tuple(cmap[v] for v in o2))
+                        for g, o1, o2 in tr.gap_pre
+                    )
                     tsig = (
                         m_slot[tr.slot].sid,
                         st_of[tr.target].sid,
@@ -503,7 +519,7 @@ def merge_compiled(cps) -> CompiledPattern:
                         tuple(sorted(m_neg_idx[g] for g in tr.gap_negs)),
                         tr.repeat,
                         tr.rep_start,
-                    )
+                    ) + ((m_gap_pre,) if m_gap_pre else ())
                     if tsig not in tr_seen[mst.sid]:
                         tr_seen[mst.sid][tsig] = True
                         mst.transitions.append(
@@ -515,6 +531,7 @@ def merge_compiled(cps) -> CompiledPattern:
                                 False,  # accepting resolved from tags below
                                 tr.repeat,
                                 tr.rep_start,
+                                m_gap_pre,
                             )
                         )
                 for ksid, kconds in st.kleene_loops:
@@ -534,7 +551,8 @@ def merge_compiled(cps) -> CompiledPattern:
         st.accepting = st.sid in tag_map
         st.transitions = [
             Transition(t.slot, t.target, t.conds, t.gap_negs,
-                       t.target in tag_map, t.repeat, t.rep_start)
+                       t.target in tag_map, t.repeat, t.rep_start,
+                       t.gap_pre)
             for t in st.transitions
         ]
 

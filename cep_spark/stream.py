@@ -1124,6 +1124,10 @@ def _pattern_fp(cp, w_ns):
             + ((tuple(sp.br_guard),) if sp.br_guard else ())
             # member-scoped gap (session 8) — same conditional rule
             + (("M",) if sp.mem_gap else ())
+            # leading member gap (per-transition boundary override) —
+            # same conditional rule; the override itself derives from
+            # slots + this flag at compile time
+            + (("L",) if sp.mem_lead else ())
             for sp in alt.negs
         )
         alts.append((alt.alt_id, slots, negs, tuple(alt.var_order)))

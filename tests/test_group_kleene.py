@@ -548,6 +548,37 @@ PATTERNS = {
             Ev("t", role="user")),
         window=timedelta(minutes=8),
     ),
+    # session 11: LEADING member Neg in a bare And_ body — the
+    # single-position boundary override (Transition.gap_pre)
+    "bare_and_mem_lead_neg": Pattern(
+        Seq(Ev("a0", role="tool"),
+            Kleene(And_(Seq(Neg(Ev("n", tool="sql")),
+                            Ev("w", role="assistant"),
+                            Ev("v", role="assistant")),
+                        Ev("x", role="user")))),
+        window=timedelta(minutes=8),
+    ),
+    # session 11: Negs inside Or_-member BRANCHES (branch-gated member
+    # gaps — interior and leading)
+    "or_mem_br_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Or_(Seq(Ev("b", role="assistant"),
+                                    Neg(Ev("n", tool="sql")),
+                                    Ev("c", role="assistant")),
+                                Ev("d", role="tool")),
+                            Ev("x", role="user")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
+    "or_mem_br_lead_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Or_(Seq(Neg(Ev("n", tool="sql")),
+                                    Ev("b", role="assistant")),
+                                Ev("d", role="tool")),
+                            Ev("x", role="user")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
 }
 
 
@@ -2302,21 +2333,48 @@ def test_and_pos_or_member_mechanics_fixture():
 
 
 def test_and_pos_or_member_rejects():
-    """Session 9 guard rails: Negs inside an Or_-member branch reject;
-    a conjunct pairing an Or_-member unit var with a same-group mate
-    rejects (sparse binding makes per-repetition alignment undefined);
-    unit vars with OUTER vars are fine (per-element)."""
+    """Session 9 guard rails (updated session 11): a Neg strictly
+    BETWEEN two leaves of an Or_-member branch now COMPILES (the unit's
+    own binds fire only in repetitions choosing it — branch gating for
+    free); a TRAILING branch Neg still rejects (its gap ends at a
+    neighbouring bind outside the unit, same rule as trailing member
+    Negs); a conjunct pairing an Or_-member unit var with a same-group
+    mate rejects (sparse binding makes per-repetition alignment
+    undefined); unit vars with OUTER vars are fine (per-element)."""
     import pytest
 
     W = timedelta(minutes=8)
+    # interior branch Neg: supported since session 11
+    compile_pattern(Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Or_(Seq(Ev("b", role="assistant"),
+                                    Neg(Ev("n", role="tool")),
+                                    Ev("c", role="assistant")),
+                                Ev("d", role="tool")),
+                            Ev("x", role="user")))),
+            Ev("t", role="tool")),
+        window=W,
+    ))
+    # trailing branch Neg: still rejected (no gap boundary in-unit)
     with pytest.raises(ValueError, match="And_ of leaf"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("a", role="user"),
                            And_(Or_(Seq(Ev("b", role="assistant"),
-                                        Neg(Ev("n", role="tool")),
-                                        Ev("c", role="assistant")),
+                                        Ev("c", role="assistant"),
+                                        Neg(Ev("n", role="tool"))),
                                     Ev("d", role="tool")),
                                 Ev("x", role="user")))),
+                Ev("t", role="tool")),
+            window=W,
+        ))
+    # leading branch Neg at the FIRST position of a pattern-initial
+    # group: no left boundary — pointed rejection
+    with pytest.raises(ValueError, match="left boundary"):
+        compile_pattern(Pattern(
+            Seq(Kleene(And_(Or_(Seq(Neg(Ev("n", role="tool")),
+                                    Ev("b", role="assistant")),
+                                Ev("d", role="tool")),
+                            Ev("x", role="user"))),
                 Ev("t", role="tool")),
             window=W,
         ))
@@ -2513,3 +2571,193 @@ def test_and_pos_seq_member_rejects():
                 Ev("t", role="user")),
             window=W,
         ))
+
+
+# ---------------------------------------------------------------------------
+# session 11: leading member gaps in SINGLE-position groups (bare And_
+# bodies) — the per-transition boundary override (Transition.gap_pre) —
+# and Negs inside Or_-member branches.
+
+
+def _gen_dense(seed, n):
+    """Weighted-role generator: denser multi-repetition coverage than
+    _gen_group for 4-5-role member shapes."""
+    rng = np.random.default_rng(seed)
+    roles = rng.choice(
+        ["system", "user", "assistant", "tool", "error"],
+        size=n, p=[0.12, 0.24, 0.24, 0.24, 0.16],
+    )
+    ts0 = pd.Timestamp("2026-01-01")
+    return pd.DataFrame({
+        "conv_id": "c0",
+        "turn_idx": np.arange(n, dtype=np.int32),
+        "role": roles,
+        "tool": [None] * n,
+        "ts": ts0 + pd.to_timedelta(np.sort(rng.integers(0, 600, n)), unit="s"),
+        "value": rng.integers(0, 100, n).astype(float),
+    })
+
+
+def _fold_group_b(b):
+    return tuple(sorted(
+        (k, tuple(v) if isinstance(v, tuple) else (v,)) for k, v in b.items()
+    ))
+
+
+def _fold_chain_b(b):
+    d: dict = {}
+    for k, v in b.items():
+        d.setdefault(k.split("__")[0], []).append(v)
+    return tuple(sorted((k, tuple(sorted(vv))) for k, vv in d.items()))
+
+
+def test_bare_and_lead_member_neg_boundary_regression():
+    """Deterministic regression (session 11): in a bare And_ body a
+    LEADING member Neg's gap left boundary must be the previous
+    repetition's last event, not the anchor — an n INSIDE repetition
+    1's span must not kill the 2-repetition match.  Fails pre-fix
+    (static pre_vars reached only the anchor; Transition.gap_pre now
+    supplies the per-transition boundary)."""
+    pat = Pattern(
+        Seq(Ev("a", role="system"),
+            Kleene(And_(Seq(Neg(Ev("n", role="error")),
+                            Ev("w", role="user"),
+                            Ev("v", role="assistant")),
+                        Ev("x", role="tool")),
+                   max_len=2)),
+        window=timedelta(minutes=30),
+    )
+    cp_group = compile_pattern(pat, composite="group")
+    cp_chain = compile_pattern(pat)
+    # a, w1, n (inside rep 1), v1, x1, w2, v2, x2
+    roles = ["system", "user", "error", "assistant", "tool",
+             "user", "assistant", "tool"]
+    ts0 = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame({
+        "conv_id": "c0", "turn_idx": np.arange(8, dtype=np.int32),
+        "role": roles, "tool": [None] * 8,
+        "ts": ts0 + pd.to_timedelta(np.arange(8) * 10, unit="s"),
+        "value": np.arange(8, dtype=float),
+    })
+    g = sorted({_fold_group_b(b) for _, b in match_group_nfa(cp_group, df)})
+    c = sorted({_fold_chain_b(b) for _, b in match_group_nfa(cp_chain, df)})
+    assert g == c
+    # the 2-repetition match survives: n@2 is inside rep 1, not in the
+    # gap into rep 2's w
+    assert (("a", (0,)), ("v", (3, 6)), ("w", (1, 5)), ("x", (4, 7))) in g
+
+
+@pytest.mark.parametrize("name", [
+    "lead_bare_and", "lead_bare_and_leafmem", "lead_plus_interior",
+    "lead_bare_and_ormem",
+])
+def test_bare_and_lead_member_neg_equals_chain(name):
+    """Bounded chain-vs-group parity for leading member Negs in bare
+    And_ bodies (single-position groups — the gap_pre override path),
+    including mid-repetition sibling binds and Or_-member siblings."""
+    W = timedelta(minutes=30)
+    pats = {
+        "lead_bare_and": Pattern(
+            Seq(Ev("a", role="system"),
+                Kleene(And_(Seq(Neg(Ev("n", role="error")),
+                                Ev("w", role="user"),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool")), max_len=2)),
+            window=W),
+        "lead_bare_and_leafmem": Pattern(
+            Seq(Ev("a", role="system"),
+                Kleene(And_(Seq(Neg(Ev("n", role="error")),
+                                Ev("w", role="user")),
+                            Ev("x", role="tool")), max_len=2)),
+            window=W),
+        "lead_plus_interior": Pattern(
+            Seq(Ev("a", role="system"),
+                Kleene(And_(Seq(Neg(Ev("n", role="error")),
+                                Ev("w", role="user"),
+                                Neg(Ev("m", tool="sql")),
+                                Ev("v", role="assistant")),
+                            Ev("x", role="tool")), max_len=2)),
+            window=W),
+        "lead_bare_and_ormem": Pattern(
+            Seq(Ev("a", role="system"),
+                Kleene(And_(Seq(Neg(Ev("n", role="error")),
+                                Ev("w", role="user"),
+                                Ev("v", role="assistant")),
+                            Or_(Ev("x", role="tool"),
+                                Ev("y", role="system"))), max_len=2)),
+            window=W),
+    }
+    pat = pats[name]
+    cg = compile_pattern(pat, composite="group")
+    cc = compile_pattern(pat)
+    rng = np.random.default_rng(hash(name) % 2**31)
+    multirep = 0
+    for t in range(120):
+        df = _gen_dense(t * 7 + 1, int(rng.integers(5, 13)))
+        g = sorted({_fold_group_b(b) for _, b in match_group_nfa(cg, df)})
+        c = sorted({_fold_chain_b(b) for _, b in match_group_nfa(cc, df)})
+        assert g == c, f"{name} trial {t}\n{df}"
+        multirep += sum(
+            1 for m in g for k, v in m if k == "w" and len(v) > 1
+        )
+    assert multirep > 0  # 2-repetition gap boundaries exercised
+
+
+@pytest.mark.parametrize("name", [
+    "or_mem_br_int", "or_mem_br_lead", "bare_and_or_mem_br_lead",
+    "or_mem_br_both",
+])
+def test_or_member_branch_neg_equals_chain(name):
+    """Session 11: Negs inside Or_-member BRANCHES (interior + leading)
+    — the unit's own binds fire only in repetitions choosing it, so the
+    member-gap machinery is branch-gated for free.  Bounded
+    chain-vs-group parity, mixed-branch repetitions included."""
+    W = timedelta(minutes=30)
+    pats = {
+        "or_mem_br_int": Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           And_(Or_(Seq(Ev("b", role="assistant"),
+                                        Neg(Ev("n", role="error")),
+                                        Ev("c", role="assistant")),
+                                    Ev("d", role="system")),
+                                Ev("x", role="tool"))), max_len=2),
+                Ev("t", role="user")),
+            window=W),
+        "or_mem_br_lead": Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           And_(Or_(Seq(Neg(Ev("n", role="error")),
+                                        Ev("b", role="assistant")),
+                                    Ev("d", role="system")),
+                                Ev("x", role="tool"))), max_len=2),
+                Ev("t", role="user")),
+            window=W),
+        "bare_and_or_mem_br_lead": Pattern(
+            Seq(Ev("a", role="system"),
+                Kleene(And_(Or_(Seq(Neg(Ev("n", role="error")),
+                                    Ev("b", role="assistant")),
+                                Ev("d", role="system")),
+                            Ev("x", role="tool")), max_len=2)),
+            window=W),
+        "or_mem_br_both": Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           And_(Or_(Seq(Ev("b", role="assistant"),
+                                        Neg(Ev("n", role="error")),
+                                        Ev("c", role="assistant")),
+                                    Seq(Neg(Ev("m", role="error")),
+                                        Ev("d", role="system"))),
+                                Ev("x", role="tool"))), max_len=2),
+                Ev("t", role="user")),
+            window=W),
+    }
+    pat = pats[name]
+    cg = compile_pattern(pat, composite="group")
+    cc = compile_pattern(pat)
+    rng = np.random.default_rng(hash(name) % 2**31 + 7)
+    nonzero = 0
+    for t in range(120):
+        df = _gen_dense(t * 11 + 3, int(rng.integers(6, 14)))
+        g = sorted({_fold_group_b(b) for _, b in match_group_nfa(cg, df)})
+        c = sorted({_fold_chain_b(b) for _, b in match_group_nfa(cc, df)})
+        assert g == c, f"{name} trial {t}\n{df}"
+        nonzero += bool(g)
+    assert nonzero > 0

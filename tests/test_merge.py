@@ -368,9 +368,20 @@ def _suffix_part(draw):
     if kind == "group_and_pos_or_mem":
         # session 9: an Or_ MEMBER of the And_ position — Slot.mem
         # joins the slot signature, so a branch unit of member m never
-        # merges with a plain member of the same event layout
+        # merges with a plain member of the same event layout.
+        # Session 11: branches may carry Negs (interior/leading) — the
+        # member-scoped NegSpec (mem_gap/mem_lead) joins the neg
+        # signature, so a guarded unit never merges with an unguarded
+        # one
         from cep_spark.pattern import Or_
-        mem = Or_(draw(_leaf()), draw(_leaf()))
+        br_kind = draw(st.sampled_from(["leaf", "br_neg", "br_lead_neg"]))
+        if br_kind == "br_neg":
+            br0 = Seq(draw(_leaf()), Neg(draw(_leaf())), draw(_leaf()))
+        elif br_kind == "br_lead_neg":
+            br0 = Seq(Neg(draw(_leaf())), draw(_leaf()))
+        else:
+            br0 = draw(_leaf())
+        mem = Or_(br0, draw(_leaf()))
         return [Kleene(Seq(draw(_leaf()),
                            And_(mem, draw(_leaf()))),
                        max_len=None)]
@@ -378,9 +389,16 @@ def _suffix_part(draw):
         # session 10: a bare And_ body with a Seq member — lowered as a
         # single pos_all position (grp_kind='seq'), which must never
         # merge with the leaf bare-And_ 'and' lowering of the same
-        # event layout (grp_kind is in the slot signature)
-        return [Kleene(And_(Seq(draw(_leaf()), draw(_leaf())),
-                            draw(_leaf())),
+        # event layout (grp_kind is in the slot signature).  Session
+        # 11: sometimes a LEADING member Neg — its per-transition
+        # boundary override (Transition.gap_pre, from NegSpec.mem_lead)
+        # joins the transition signature conditionally
+        mem_kind = draw(st.sampled_from(["plain", "lead_neg"]))
+        if mem_kind == "lead_neg":
+            mem = Seq(Neg(draw(_leaf())), draw(_leaf()), draw(_leaf()))
+        else:
+            mem = Seq(draw(_leaf()), draw(_leaf()))
+        return [Kleene(And_(mem, draw(_leaf())),
                        max_len=None)]
     if kind == "group_and_pos_mem_neg":
         # session 8: a Neg INSIDE a Seq member — the member-scoped

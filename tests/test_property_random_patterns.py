@@ -187,11 +187,16 @@ def kleene_node(draw):
         # decompose the variable differently from the replica's
         # leaf-Kleene slots, so the name-folding canon here cannot
         # compare them.)
-        variant = draw(st.sampled_from(["seq", "or", "neg"]))
+        variant = draw(st.sampled_from(["seq", "or", "neg", "lead_neg"]))
         if variant == "seq":
             mem = Seq(draw(leaf()), draw(leaf()))
         elif variant == "or":
             mem = Or_(draw(leaf()), draw(leaf()))
+        elif variant == "lead_neg":
+            # session 11: LEADING member Neg — the single-position
+            # boundary override (Transition.gap_pre); pattern-initial
+            # placements exercise the reject path
+            mem = Seq(Neg(draw(leaf())), draw(leaf()), draw(leaf()))
         else:
             mem = Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf()))
         return Kleene(And_(mem, draw(leaf())), max_len=None)
@@ -200,8 +205,22 @@ def kleene_node(draw):
         # repetition binds ONE branch of it (leaf or Seq-of-leaves)
         # plus the sibling member; sometimes two Or_ members, sometimes
         # the position first
-        br0 = (Seq(draw(leaf()), draw(leaf())) if draw(st.booleans())
-               else draw(leaf()))
+        br_kind = draw(st.sampled_from(
+            ["seq", "leaf", "br_neg", "br_lead_neg"]
+        ))
+        if br_kind == "seq":
+            br0 = Seq(draw(leaf()), draw(leaf()))
+        elif br_kind == "br_neg":
+            # session 11: Neg BETWEEN two leaves of the branch — the
+            # unit's own binds gate the gap to choosing repetitions
+            br0 = Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf()))
+        elif br_kind == "br_lead_neg":
+            # session 11: Neg LEADING the branch (gap into the
+            # position, closing at the unit's entry bind; anchor-less
+            # initial placements exercise the reject path)
+            br0 = Seq(Neg(draw(leaf())), draw(leaf()))
+        else:
+            br0 = draw(leaf())
         mem = Or_(br0, draw(leaf()))
         other = (Or_(draw(leaf()), draw(leaf())) if draw(st.booleans())
                  else draw(leaf()))

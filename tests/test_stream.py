@@ -418,6 +418,37 @@ def test_parity_and_pos_member_neg(spark, events_pdf, tmp_path):
     assert got.count() == 99  # 208 without the member-interior Neg
 
 
+def test_parity_bare_and_lead_member_neg(spark, events_pdf, tmp_path):
+    """Round 5, session 11: a LEADING member Neg in a bare And_ body
+    through the REAL streaming state store — the gap's left boundary is
+    the PREVIOUS repetition's last event, supplied per transition
+    (Transition.gap_pre) because a single-position group has no other
+    position to anchor it.  96h on sf0.001: the Neg kills 59 of the 234
+    unguarded matches and 12 of the 32 multi-repetition ones
+    (probe-pinned) — an anchor-anchored boundary (the pre-fix bug)
+    over-kills the 20 surviving multi-repetition matches, and a missing
+    gap check keeps all 234."""
+    pat = _pat(
+        Seq(Ev("a", event_type="view"),
+            Kleene(And_(Seq(Neg(Ev("n", event_type="error")),
+                            Ev("w", event_type="click"),
+                            Ev("v", event_type="view")),
+                        Ev("x", event_type="signup"))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=96),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_balmn")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp, mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    assert got.count() == 175  # 234 without the leading member Neg
+    assert batch.where("w_len > 1").count() == 20  # 32 unguarded
+
+
 def test_disorder_within_watermark(spark, events_pdf, tmp_path):
     """Arrival order shuffled within a bounded disorder window; watermark
     covers the disorder -> same matches as in-order batch."""

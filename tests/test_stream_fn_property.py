@@ -271,6 +271,29 @@ PATTERNS = {
                         Ev("x", role="tool", tool="python"))),
             Ev("t", role="user")),
         window=timedelta(seconds=180)),
+    # session 11: LEADING member Neg in a bare And_ body — the
+    # per-transition gap_pre boundary (previous repetition's last
+    # event) must hold when the boundary event and the member entry
+    # land in different micro-batches
+    "group_bare_and_mem_lead_neg": Pattern(
+        Seq(Ev("a", role="user"),
+            Kleene(And_(Seq(Neg(Ev("n", tool="sql")),
+                            Ev("w", role="assistant"),
+                            Ev("v", role="assistant")),
+                        Ev("x", role="tool", tool="python")))),
+        window=timedelta(seconds=180)),
+    # session 11: a Neg INSIDE an Or_-member branch — the unit-scoped
+    # gap fires only in repetitions choosing the branch, across
+    # micro-batch cuts
+    "group_or_mem_br_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Or_(Seq(Ev("w", role="assistant"),
+                                    Neg(Ev("n", tool="sql")),
+                                    Ev("v", role="assistant")),
+                                Ev("y", role="tool", tool="sql")),
+                            Ev("x", role="tool", tool="python")))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=180)),
 }
 
 
