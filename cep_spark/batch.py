@@ -150,14 +150,20 @@ def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None,
     if not conds:
         return mask
 
+    aligned_pos = None
     if aligned:
         extra = dict(extra_scalar) if extra_scalar else {}
+        aligned_pos = {}
         for v in aligned:
             if v in partials.kleene and v not in extra:
                 last_pos = np.fromiter(
                     (t[-1] for t in partials.kleene[v]), dtype=np.int64, count=n
                 )
                 extra[v] = store.gather(last_pos)
+                # pair-expansion path (a conjunct ALSO referencing an
+                # independent leaf Kleene var) needs the raw positions
+                # to gather per (partial, element) pair
+                aligned_pos[v] = last_pos
         extra_scalar = extra
 
     class _Env:
@@ -179,7 +185,8 @@ def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None,
         ]
         if kref:
             mask &= _eval_kleene_cond(
-                c, kref, store, partials, cur_var, cur_row, var_group
+                c, kref, store, partials, cur_var, cur_row, var_group,
+                extra_pos=aligned_pos,
             )
             continue
         r = c.pd(env)
@@ -191,7 +198,8 @@ def _eval_conds(conds, store, partials, cur_var, cur_row, extra_scalar=None,
     return mask
 
 
-def _eval_kleene_cond(c, kref, store, partials, cur_var, cur_row, var_group=None):
+def _eval_kleene_cond(c, kref, store, partials, cur_var, cur_row, var_group=None,
+                      extra_pos=None):
     """ALL-combinations evaluation of a conjunct over each partial's
     bound Kleene tuples for variables `kref` (cross-variable conditions
     like `k.value > c.value` where c binds after the closure).
@@ -203,7 +211,16 @@ def _eval_kleene_cond(c, kref, store, partials, cur_var, cur_row, var_group=None
     unbounded composite-Kleene group) form ONE dimension: their tuples
     are zip-ALIGNED per repetition instead of crossed — matching the
     bounded chain expansion, which replicates the conjunct per
-    repetition index (compiler._expand_composite_kleene)."""
+    repetition index (compiler._expand_composite_kleene).
+
+    ``extra_pos``: per-partial positions for ALIGNED group mates of the
+    slot being bound (their evaluation element is the CURRENT
+    repetition's, i.e. the last of their tuple — _eval_conds keeps them
+    out of kref); a conjunct pairing such a var with an independent
+    leaf Kleene var gathers them per expanded pair here.  Over the
+    run, each repetition's completing bind contributes (all leaf
+    elements) x (that repetition's element) — accumulating to exactly
+    the chain expansion's cross product."""
     n = len(partials)
     if n == 0:
         return np.ones(0, dtype=bool)
@@ -271,6 +288,10 @@ def _eval_kleene_cond(c, kref, store, partials, cur_var, cur_row, var_group=None
                 return views[var]
             if var == cur_var:
                 return cur_row
+            if extra_pos is not None and var in extra_pos:
+                # aligned group mate: current repetition's element,
+                # gathered per expanded pair
+                return store.gather(extra_pos[var][pair_partial])
             return store.gather(sub.scalar[var])
 
     r = c.pd(_Env())

@@ -491,6 +491,33 @@ def _validate_group_inner(node: Kleene) -> None:
         )
 
 
+def _flatten_or(node: Node) -> Node:
+    """Or_ is associative: ``Or_(Or_(a, b), c)`` ≡ ``Or_(a, b, c)`` —
+    nested per-repetition choices compose into one flat branch set (the
+    bounded chain expansion's `_expand_or` multiplies them into exactly
+    the same alternatives).  Applied to unbounded repetition bodies
+    before validation (session 11) so nested alternations reach the
+    branch/unit lowerings; flattening only reparents branches — no
+    variable is duplicated.  Nested Kleene innards are left untouched
+    (they get their own expansion/validation), as are Neg innards
+    (always a plain leaf)."""
+    if isinstance(node, Or_):
+        parts = []
+        for p in node.parts:
+            p = _flatten_or(p)
+            if isinstance(p, Or_):
+                parts.extend(p.parts)
+            else:
+                parts.append(p)
+        return Or_(*parts)
+    if isinstance(node, (Seq, And_)):
+        newp = [_flatten_or(p) for p in node.parts]
+        if all(a is b for a, b in zip(newp, node.parts)):
+            return node
+        return type(node)(*newp)
+    return node
+
+
 def _expand_nested_bounded(inner: Node, reps: list) -> Node:
     """Chain-expand BOUNDED leaf Kleenes nested inside an unbounded (or
     force-grouped) composite repetition: ``Kleene(b, max_len=m)``
@@ -598,7 +625,7 @@ def _expand_composite_kleene(node: Node, reps: list, force_group: bool = False) 
         if isinstance(inner, Ev):
             return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
         if node.max_len is None or force_group:
-            inner = _expand_nested_bounded(inner, reps)
+            inner = _expand_nested_bounded(_flatten_or(inner), reps)
             _validate_group_inner(Kleene(inner, max_len=node.max_len))
             return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
         names = _all_names(inner)
@@ -1406,6 +1433,14 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
     expanded = _expand_composite_kleene(
         pat.structure, reps, force_group=(composite == "group")
     )
+    if expanded is not pat.structure and not reps:
+        # structure normalized without variable expansion (e.g. nested
+        # Or_ flattening inside an unbounded repetition body, session
+        # 11) — adopt it; `where` is untouched because no variable was
+        # renamed or replicated
+        from dataclasses import replace as _dc_replace
+
+        pat = _dc_replace(pat, structure=expanded)
     if reps:
         from dataclasses import replace as _dc_replace
 

@@ -2761,3 +2761,131 @@ def test_or_member_branch_neg_equals_chain(name):
         assert g == c, f"{name} trial {t}\n{df}"
         nonzero += bool(g)
     assert nonzero > 0
+
+
+def test_nested_or_flattens_in_group_bodies():
+    """Session 11: Or_ directly under Or_ flattens before the group
+    lowering (associativity — the chain expansion's _expand_or
+    multiplies nested choices into the same flat alternative set):
+    positions, bare bodies, Or_ members, arbitrary depth.  An Or_
+    nested inside a SEQ branch still rejects (distribution would
+    duplicate the branch prefix variable across units)."""
+    W = timedelta(minutes=30)
+    nested = Or_(Or_(Ev("b", role="assistant"), Ev("c", role="tool")),
+                 Ev("d", role="system"))
+    inners = {
+        "pos": Seq(Ev("u", role="user"), nested),
+        "bare": nested,
+        "mem": Seq(Ev("u", role="user"),
+                   And_(nested, Ev("x", role="error"))),
+        "deep": Seq(Ev("u", role="user"),
+                    Or_(nested, Ev("e", role="error"))),
+    }
+    for name, inner in inners.items():
+        pat = Pattern(Seq(Kleene(inner, max_len=2), Ev("t", role="user")),
+                      window=W)
+        cg = compile_pattern(pat, composite="group")
+        cc = compile_pattern(pat)
+        rng = np.random.default_rng(hash(name) % 2**31 + 17)
+        multirep = 0
+        for t in range(60):
+            df = _gen_dense(t * 13 + 5, int(rng.integers(5, 13)))
+            g = sorted({_fold_group_b(b)
+                        for _, b in match_group_nfa(cg, df)})
+            c = sorted({_fold_chain_b(b)
+                        for _, b in match_group_nfa(cc, df)})
+            assert g == c, f"{name} trial {t}\n{df}"
+            multirep += sum(
+                1 for m in g for k, v in m if len(v) > 1
+            )
+        assert multirep > 0
+        # unbounded compiles too (the group lowering sees the flat set)
+        compile_pattern(Pattern(
+            Seq(Kleene(inner, max_len=None), Ev("t", role="user")),
+            window=W))
+    # Or_ nested inside a SEQ branch: still rejected
+    with pytest.raises(ValueError, match="And_ of leaf|Seq of plain"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Or_(Seq(Ev("a", role="assistant"),
+                                   Or_(Ev("b", role="tool"),
+                                       Ev("c", role="system"))),
+                               Ev("d", role="error"))), max_len=None),
+                Ev("t", role="user")),
+            window=W))
+
+
+def test_leaf_kleene_cross_group_var_cond():
+    """Session 11 (soak-found, pre-existing since round 4): a conjunct
+    pairing an INDEPENDENT leaf Kleene variable with a composite-group
+    variable KeyError'd in the group lowering — _eval_conds moved the
+    aligned group mate into extra_scalar, but _eval_kleene_cond's pair
+    expansion never received it.  The aligned var now passes through as
+    per-partial positions (extra_pos) gathered per expanded pair: each
+    repetition's completing bind contributes (all leaf elements) x
+    (that repetition's element), accumulating to the chain expansion's
+    cross product.  Chain-vs-group parity across all group kinds."""
+    from cep_spark.conditions import attr as _attr
+
+    def norm(v):
+        return tuple(v) if isinstance(v, tuple) else (v,)
+
+    def fold_chain(b):
+        d: dict = {}
+        for k, v in b.items():
+            d.setdefault(k.split("__")[0], []).extend(norm(v))
+        return tuple(sorted((k, tuple(sorted(vv))) for k, vv in d.items()))
+
+    def fold_group(b):
+        return tuple(sorted((k, tuple(sorted(norm(v)))) for k, v in b.items()))
+
+    shapes = {
+        "seq_group": Kleene(Seq(Ev("w4", role="assistant"),
+                                Ev("w5", role="tool")), max_len=2),
+        "bare_and": Kleene(And_(Seq(Ev("w4", role="assistant"),
+                                    Ev("w5", role="assistant")),
+                                Ev("w6", role="tool")), max_len=2),
+        "and_pos": Kleene(Seq(Ev("w4", role="assistant"),
+                              And_(Ev("w5", role="tool"),
+                                   Ev("w6", role="user"))), max_len=2),
+        "and_leaf": Kleene(And_(Ev("w4", role="assistant"),
+                                Ev("w5", role="tool")), max_len=2),
+        "or_pos": Kleene(Seq(Ev("w4", role="assistant"),
+                             Or_(Ev("w5", role="tool"),
+                                 Ev("w6", role="user"))), max_len=2),
+    }
+    for name, grp in shapes.items():
+        pat = Pattern(
+            Seq(Ev("w1", role="user"), Kleene(Ev("w2", role="user")), grp),
+            where=_attr("w2", "value") > _attr("w4", "value"),
+            window=timedelta(seconds=600),
+        )
+        cg = compile_pattern(pat, composite="group")
+        cc = compile_pattern(pat)
+        multirep = 0
+        for t in range(60):
+            g = _gen_group(t * 7 + 1,
+                           int(np.random.default_rng(t).integers(6, 19)))
+            gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+            rg = sorted({fold_group(b)
+                         for _, b in match_group_nfa(cg, gs)})
+            rc = sorted({fold_chain(b)
+                         for _, b in match_group_nfa(cc, gs)})
+            assert rg == rc, f"{name} trial {t}"
+            multirep += sum(
+                1 for m in rg for k, v in m if k == "w4" and len(v) > 1
+            )
+        assert multirep > 0, name  # the cross product is exercised
+
+    # the UNBOUNDED group compiles and runs (was: KeyError at match)
+    pat_u = Pattern(
+        Seq(Ev("w1", role="user"), Kleene(Ev("w2", role="user")),
+            Kleene(And_(Seq(Ev("w4", role="assistant"),
+                            Ev("w5", role="assistant")),
+                        Ev("w6", role="tool")))),
+        where=_attr("w2", "value") > _attr("w4", "value"),
+        window=timedelta(seconds=600),
+    )
+    g = _gen_group(0, 18)
+    gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+    match_group_nfa(compile_pattern(pat_u), gs)  # must not raise
