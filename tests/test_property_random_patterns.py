@@ -301,13 +301,43 @@ def node(draw, depth=1):
     return draw(and_node(depth))
 
 
+def _kleene_var_classes(nd, in_kleene=False, leafk=None, grpv=None):
+    """(leaf-Kleene var names, composite-Kleene inner var names) — used
+    to bias the where draw toward leaf-Kleene × group-var cross
+    conjuncts (the session-11 extra_pos fix territory)."""
+    if leafk is None:
+        leafk, grpv = [], []
+    from cep_spark.pattern import Kleene as _K, Ev as _E, Neg as _N
+    if isinstance(nd, _K):
+        if isinstance(nd.inner, _E):
+            leafk.append(nd.inner.name)
+        else:
+            _kleene_var_classes(nd.inner, True, leafk, grpv)
+    elif isinstance(nd, _E):
+        if in_kleene:
+            grpv.append(nd.name)
+    elif isinstance(nd, _N):
+        pass
+    else:
+        for p in nd.parts:
+            _kleene_var_classes(p, in_kleene, leafk, grpv)
+    return leafk, grpv
+
+
 @st.composite
 def pattern(draw):
     _var_counter[0] = 0
     struct = draw(node(depth=1))
     leaves = struct.var_names()
     where = TRUE
-    if len(leaves) >= 2 and draw(st.booleans()):
+    lk, gv = _kleene_var_classes(struct)
+    if lk and gv and draw(st.integers(0, 2)) == 0:
+        # leaf-Kleene × group-var cross conjunct: per chain semantics,
+        # (every leaf element) × (every repetition's element) must hold
+        a = draw(st.sampled_from(lk))
+        b = draw(st.sampled_from(gv))
+        where = attr(a, "value") > attr(b, "value")
+    elif len(leaves) >= 2 and draw(st.booleans()):
         a, b = draw(st.sampled_from([(x, y) for x in leaves for y in leaves if x != y]))
         base = attr(a, "value") > attr(b, "value")
         # sweep the condition algebra: plain, OR, NOT, InSet-guarded
