@@ -1896,8 +1896,10 @@ def test_and_pos_rejects():
             window=W,
         ))
     # Or_ nested inside the And_ position: SUPPORTED since session 9
-    # (branch units) — compiles; deeper nesting inside the Or_ member's
-    # branches still rejects
+    # (branch units) — compiles; an Or_ DIRECTLY under the member Or_
+    # now FLATTENS (session 11 — associativity) and compiles too; an
+    # Or_ inside a SEQ branch of the member still rejects (distribution
+    # would duplicate the branch prefix variable)
     compile_pattern(Pattern(
         Seq(Kleene(Seq(Ev("u", role="user"),
                        And_(Ev("w", role="assistant"),
@@ -1906,12 +1908,22 @@ def test_and_pos_rejects():
             Ev("t", role="user")),
         window=W,
     ))
+    compile_pattern(Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Ev("w", role="assistant"),
+                            Or_(Or_(Ev("x", role="tool"),
+                                    Ev("z", role="sys")),
+                                Ev("y", role="user"))))),
+            Ev("t", role="user")),
+        window=W,
+    ))
     with pytest.raises(ValueError, match="And_ of leaf"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("u", role="user"),
                            And_(Ev("w", role="assistant"),
-                                Or_(Or_(Ev("x", role="tool"),
-                                        Ev("z", role="sys")),
+                                Or_(Seq(Ev("x", role="tool"),
+                                        Or_(Ev("z", role="sys"),
+                                            Ev("q", role="user"))),
                                     Ev("y", role="user"))))),
                 Ev("t", role="user")),
             window=W,
