@@ -2585,6 +2585,8 @@ def test_and_pos_seq_member_rejects():
         ))
 
 
+import zlib  # stable per-shape data seeds (hash() is per-process randomized)
+
 # ---------------------------------------------------------------------------
 # session 11: leading member gaps in SINGLE-position groups (bare And_
 # bodies) — the per-transition boundary override (Transition.gap_pre) —
@@ -2702,7 +2704,7 @@ def test_bare_and_lead_member_neg_equals_chain(name):
     pat = pats[name]
     cg = compile_pattern(pat, composite="group")
     cc = compile_pattern(pat)
-    rng = np.random.default_rng(hash(name) % 2**31)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     multirep = 0
     for t in range(120):
         df = _gen_dense(t * 7 + 1, int(rng.integers(5, 13)))
@@ -2764,7 +2766,7 @@ def test_or_member_branch_neg_equals_chain(name):
     pat = pats[name]
     cg = compile_pattern(pat, composite="group")
     cc = compile_pattern(pat)
-    rng = np.random.default_rng(hash(name) % 2**31 + 7)
+    rng = np.random.default_rng(zlib.crc32(name.encode()) + 7)
     nonzero = 0
     for t in range(120):
         df = _gen_dense(t * 11 + 3, int(rng.integers(6, 14)))
@@ -2798,7 +2800,7 @@ def test_nested_or_flattens_in_group_bodies():
                       window=W)
         cg = compile_pattern(pat, composite="group")
         cc = compile_pattern(pat)
-        rng = np.random.default_rng(hash(name) % 2**31 + 17)
+        rng = np.random.default_rng(zlib.crc32(name.encode()) + 17)
         multirep = 0
         for t in range(60):
             df = _gen_dense(t * 13 + 5, int(rng.integers(5, 13)))
