@@ -1049,6 +1049,140 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 12): an Or_ NESTED inside the Seq branch —
+# `Or_(Seq(w, Or_(x, y)), c)` — distributed at compile time into flat
+# units (w__d1, x__d1) | (w__d2, y__d2) | c with per-unit variable
+# renaming (compiler._distribute_inner_or), so the group lowering
+# executes the session-2 multi-event-branch shape unchanged.  Every
+# repetition binds a 'view', then EITHER a 'click' followed by a
+# 'signup' (unit 1) OR a 'click' followed by an 'error' (unit 2) OR a
+# bare 'error' (unit 3).  The oracle enumerates the SAME three units in
+# its reps CTE; the distributed names are the output columns, NULL when
+# no repetition chose the unit.
+
+_KLEENE_DIST_OR_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(Seq(Ev("w", event_type="click"),
+                           Or_(Ev("x", event_type="signup"),
+                               Ev("y", event_type="error"))),
+                       Ev("c", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    # 48h: the smallest family window where the harness data yields
+    # multi-repetition (62 rows at sf0.01) AND mixed-unit (18 rows)
+    # matches — the loop-back through not-yet-bound units and the
+    # per-unit sparsity are load-bearing for the row set
+    window=timedelta(hours=48),
+)
+
+
+def _kleene_dist_or_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_DIST_OR_PAT), mode="flat")
+
+
+def _kleene_dist_or_oracle() -> str:
+    w = int(_KLEENE_DIST_OR_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE reps AS (
+  SELECT u.user_id, u.event_id AS u_id, u.ts AS u_ts,
+         w.event_id AS w1_id, x.event_id AS x1_id,
+         CAST(NULL AS BIGINT) AS w2_id, CAST(NULL AS BIGINT) AS y2_id,
+         CAST(NULL AS BIGINT) AS c_id,
+         x.event_id AS last_id, x.ts AS last_ts
+  FROM events u
+  JOIN events w ON w.user_id = u.user_id
+  JOIN events x ON x.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND x.event_type = 'signup'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND (w.ts < x.ts OR (w.ts = x.ts AND w.event_id < x.event_id))
+    AND EPOCH(x.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         w.event_id, y.event_id, CAST(NULL AS BIGINT),
+         y.event_id, y.ts
+  FROM events u
+  JOIN events w ON w.user_id = u.user_id
+  JOIN events y ON y.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND y.event_type = 'error'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND (w.ts < y.ts OR (w.ts = y.ts AND w.event_id < y.event_id))
+    AND EPOCH(y.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), c.event_id,
+         c.event_id, c.ts
+  FROM events u JOIN events c ON c.user_id = u.user_id
+  WHERE u.event_type = 'view' AND c.event_type = 'error'
+    AND (u.ts < c.ts OR (u.ts = c.ts AND u.event_id < c.event_id))
+    AND EPOCH(c.ts) - EPOCH(u.ts) <= {w}
+),
+chains AS (
+  SELECT user_id, u_id AS u_first, u_id AS u_last, u_ts AS first_ts,
+         1 AS r,
+         CASE WHEN w1_id IS NOT NULL THEN 1 ELSE 0 END AS w1_cnt,
+         w1_id AS w1_first, w1_id AS w1_last,
+         CASE WHEN x1_id IS NOT NULL THEN 1 ELSE 0 END AS x1_cnt,
+         x1_id AS x1_first, x1_id AS x1_last,
+         CASE WHEN w2_id IS NOT NULL THEN 1 ELSE 0 END AS w2_cnt,
+         w2_id AS w2_first, w2_id AS w2_last,
+         CASE WHEN y2_id IS NOT NULL THEN 1 ELSE 0 END AS y2_cnt,
+         y2_id AS y2_first, y2_id AS y2_last,
+         CASE WHEN c_id IS NOT NULL THEN 1 ELSE 0 END AS c_cnt,
+         c_id AS c_first, c_id AS c_last,
+         last_id, last_ts
+  FROM reps
+  UNION ALL
+  SELECT s.user_id, s.u_first, t.u_id, s.first_ts, s.r + 1,
+         s.w1_cnt + CASE WHEN t.w1_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.w1_first, t.w1_id), COALESCE(t.w1_id, s.w1_last),
+         s.x1_cnt + CASE WHEN t.x1_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.x1_first, t.x1_id), COALESCE(t.x1_id, s.x1_last),
+         s.w2_cnt + CASE WHEN t.w2_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.w2_first, t.w2_id), COALESCE(t.w2_id, s.w2_last),
+         s.y2_cnt + CASE WHEN t.y2_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.y2_first, t.y2_id), COALESCE(t.y2_id, s.y2_last),
+         s.c_cnt + CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.c_first, t.c_id), COALESCE(t.c_id, s.c_last),
+         t.last_id, t.last_ts
+  FROM chains s JOIN reps t ON t.user_id = s.user_id
+  WHERE (s.last_ts < t.u_ts OR (s.last_ts = t.u_ts AND s.last_id < t.u_id))
+    AND EPOCH(t.last_ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CASE WHEN s.w1_cnt > 0 THEN CAST(s.w1_cnt AS BIGINT) END AS w__d1_len,
+       CAST(s.w1_first AS BIGINT) AS w__d1_first,
+       CAST(s.w1_last AS BIGINT) AS w__d1_last,
+       CASE WHEN s.x1_cnt > 0 THEN CAST(s.x1_cnt AS BIGINT) END AS x__d1_len,
+       CAST(s.x1_first AS BIGINT) AS x__d1_first,
+       CAST(s.x1_last AS BIGINT) AS x__d1_last,
+       CASE WHEN s.w2_cnt > 0 THEN CAST(s.w2_cnt AS BIGINT) END AS w__d2_len,
+       CAST(s.w2_first AS BIGINT) AS w__d2_first,
+       CAST(s.w2_last AS BIGINT) AS w__d2_last,
+       CASE WHEN s.y2_cnt > 0 THEN CAST(s.y2_cnt AS BIGINT) END AS y__d2_len,
+       CAST(s.y2_first AS BIGINT) AS y__d2_first,
+       CAST(s.y2_last AS BIGINT) AS y__d2_last,
+       CASE WHEN s.c_cnt > 0 THEN CAST(s.c_cnt AS BIGINT) END AS c_len,
+       CAST(s.c_first AS BIGINT) AS c_first,
+       CAST(s.c_last AS BIGINT) AS c_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
 # round 5 (session 6): an And_ at one POSITION of the repetition —
 # every repetition binds a 'view' u_j, then a 'click' w_j AND a
 # 'signup' x_j in ANY arrival order (conjunctive sub-slots at one
@@ -2355,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_bare_or"] = _kleene_bare_or_query
     out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_query
     out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_query
+    out["cep_kleene_dist_or"] = _kleene_dist_or_query
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_query
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_query
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_query
@@ -2392,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_bare_or"] = _kleene_bare_or_oracle()
     out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_oracle()
     out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_oracle()
+    out["cep_kleene_dist_or"] = _kleene_dist_or_oracle()
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_oracle()
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_oracle()
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_oracle()

@@ -485,9 +485,14 @@ def _validate_group_inner(node: Kleene) -> None:
             "branches may carry Negs BETWEEN two leaves or LEADING "
             "them, never trailing); "
             "the whole body may also be a bare And_ of leaves "
-            "(unordered repetitions); deeper nesting inside the "
-            "repetition requires max_len — those expand to fixed "
-            "chains at compile time"
+            "(unordered repetitions).  An Or_ NESTED inside a Seq "
+            "branch/member distributes into flat units at compile "
+            "time (session 12) and a BOUNDED nested Kleene "
+            "pre-expands to chains, so reaching this error means the "
+            "body has an UNBOUNDED nested Kleene, an And_ inside a "
+            "unit, adjacent Negs, or a Neg with no gap boundary — "
+            "those require max_len on the OUTER Kleene (fixed chain "
+            "expansion at compile time)"
         )
 
 
@@ -518,6 +523,38 @@ def _flatten_or(node: Node) -> Node:
     return node
 
 
+def _kleene_count_chains(k: Kleene, reps: list) -> list:
+    """Chain-expand a BOUNDED leaf Kleene nested inside a repetition
+    unit.  Unlike the Or_-of-ALTERNATIVES chain expansion, these
+    branches coexist as slots of ONE alternative, so every instance
+    needs a unique name: branch r (= r events per repetition) renames
+    the inner variable to {name}__{r}_{j}.  Registers an ("all", ...)
+    reps entry so `where` conjuncts referencing the inner variable
+    replicate per instance (ALL-elements semantics)."""
+    name = k.inner.name
+    mappings = []
+    out = []
+    for r in range(1, k.max_len + 1):
+        maps_r = [{name: f"{name}__{r}_{j}"} for j in range(1, r + 1)]
+        mappings.extend(maps_r)
+        evs = [_rename_node(k.inner, m) for m in maps_r]
+        if k.adjacent is not None:
+            evs = [
+                ev if j == 0 else Ev(
+                    ev.name,
+                    where=ev.where & subst(
+                        k.adjacent,
+                        {name: ev.name,
+                         f"{name}__prev": evs[j - 1].name},
+                    ),
+                )
+                for j, ev in enumerate(evs)
+            ]
+        out.append(evs[0] if r == 1 else Seq(*evs))
+    reps.append(("all", [name], mappings))
+    return out
+
+
 def _expand_nested_bounded(inner: Node, reps: list) -> Node:
     """Chain-expand BOUNDED leaf Kleenes nested inside an unbounded (or
     force-grouped) composite repetition: ``Kleene(b, max_len=m)``
@@ -535,32 +572,7 @@ def _expand_nested_bounded(inner: Node, reps: list) -> Node:
     place for _validate_group_inner to reject."""
 
     def _chains(k: Kleene) -> list:
-        # unlike the Or_-of-ALTERNATIVES chain expansion, these branches
-        # coexist as slots of ONE alternative, so every instance needs a
-        # unique name: branch r (= r events per repetition) renames the
-        # inner variable to {name}__{r}_{j}
-        name = k.inner.name
-        mappings = []
-        out = []
-        for r in range(1, k.max_len + 1):
-            maps_r = [{name: f"{name}__{r}_{j}"} for j in range(1, r + 1)]
-            mappings.extend(maps_r)
-            evs = [_rename_node(k.inner, m) for m in maps_r]
-            if k.adjacent is not None:
-                evs = [
-                    ev if j == 0 else Ev(
-                        ev.name,
-                        where=ev.where & subst(
-                            k.adjacent,
-                            {name: ev.name,
-                             f"{name}__prev": evs[j - 1].name},
-                        ),
-                    )
-                    for j, ev in enumerate(evs)
-                ]
-            out.append(evs[0] if r == 1 else Seq(*evs))
-        reps.append(([name], mappings))
-        return out
+        return _kleene_count_chains(k, reps)
 
     def _is_bounded_leaf(p) -> bool:
         return (isinstance(p, Kleene) and isinstance(p.inner, Ev)
@@ -605,6 +617,156 @@ def _expand_nested_bounded(inner: Node, reps: list) -> Node:
     return inner
 
 
+def _distribute_inner_or(inner: Node, reps: list) -> Node:
+    """Distribute Or_ alternations nested INSIDE Seq units of an
+    unbounded repetition body — branch Seqs of Or_ positions, Seq
+    members of And_ positions, branches of Or_ members, and units of a
+    bare Or_/And_ body — into flat alternative units at the enclosing
+    choice level (session 12).  ``Or_(Seq(u, Or_(x, y)), c)`` becomes
+    ``Or_(Seq(u__d1, x__d1), Seq(u__d2, y__d2), c)`` — the session-2
+    multi-event-branch shape the group lowering already executes — and
+    a Seq member ``Seq(w, Or_(p, q))`` of an And_ position becomes the
+    session-9 Or_ member ``Or_(Seq(w__d1, p__d1), Seq(w__d2, q__d2))``.
+    Every variable of every distributed unit (positive AND negated) is
+    renamed with a per-unit ``__d{k}`` suffix, k a pattern-global unit
+    ordinal deterministic in traversal order (the names feed merge
+    signatures and streaming family fingerprints, so they must be
+    stable across processes).  Nested Seqs splice (associativity) and
+    deeper Or_ nesting re-distributes recursively.
+
+    The bounded chain expansion — the semantics source of truth —
+    needs no distribution: `_expand_or` multiplies the nested choice
+    into alternatives with UNRENAMED vars.  To keep `where` conjuncts
+    chain-exact, each distribution appends a ("units", names,
+    unit_maps) entry to `reps`: compile_pattern replicates a conjunct
+    referencing the original names once per unit WHOSE MAP COVERS ALL
+    of them (branch vars evaluate per element = the repetitions that
+    chose the unit, so the kept instances reproduce the chains'
+    per-alternative variable filter exactly); a conjunct no single
+    unit covers pairs choices that never coexist in one repetition —
+    that raises loudly (the chains silently drop it from every
+    alternative; README pins the divergence, same policy as
+    branch+group-mate pairings)."""
+    k_next = [1 + sum(len(m) for t, _, m in reps if t == "units")]
+
+    def _lists(parts: tuple) -> list[list]:
+        # fully Or_-free flat unit part-lists: splice nested Seqs,
+        # chain-expand bounded leaf Kleenes into per-count choices,
+        # expand the first Or_ and recurse over each choice
+        flat: list = []
+        for p in parts:
+            flat.extend(p.parts if isinstance(p, Seq) else (p,))
+        for i, p in enumerate(flat):
+            if (isinstance(p, Kleene) and isinstance(p.inner, Ev)
+                    and p.max_len is not None):
+                ch = _kleene_count_chains(p, reps)
+                p = ch[0] if len(ch) == 1 else Or_(*ch)
+                flat = flat[:i] + [p] + flat[i + 1:]
+            if isinstance(p, And_) and all(
+                isinstance(m, Ev) for m in p.parts
+            ):
+                # phase C: an all-leaf And_ inside a unit binds its
+                # members in ANY arrival order, strictly within the
+                # unit — with leaf members, every interleaving IS a
+                # permutation, and exactly one ordering holds for any
+                # concrete bind (strict (ts, tiebreak) interleaving),
+                # so the Or_ of orderings is the exact distribution
+                # (gap Negs adjacent to the And_ resolve per ordering
+                # to the chain expansion's min/max member bind)
+                from itertools import permutations as _perms
+
+                p = Or_(*[Seq(*pm) for pm in _perms(p.parts)])
+                flat = flat[:i] + [p] + flat[i + 1:]
+            if isinstance(p, Or_):
+                out: list = []
+                for b in p.parts:
+                    sub = tuple(b.parts) if isinstance(b, Seq) else (b,)
+                    out.extend(_lists(tuple(flat[:i]) + sub + tuple(flat[i + 1:])))
+                return out
+        return [flat]
+
+    def _dist(seq: Seq):
+        # None = no inner Or_ and no nested Seq; [unit] = normalized
+        # only (no choice — vars unrenamed, no reps entry); [units...]
+        # = distributed, every unit fully renamed
+        lists = _lists(tuple(seq.parts))
+        if len(lists) == 1:
+            if len(lists[0]) == len(seq.parts) and all(
+                a is b for a, b in zip(lists[0], seq.parts)
+            ):
+                return None
+            u = lists[0]
+            return [Seq(*u) if len(u) > 1 else u[0]]
+        names = sorted({v for lst in lists for p in lst for v in _all_names(p)})
+        units = []
+        unit_maps = []
+        for lst in lists:
+            k = k_next[0]
+            k_next[0] += 1
+            m = {v: f"{v}__d{k}" for p in lst for v in _all_names(p)}
+            unit_maps.append(m)
+            rn = [_rename_node(p, m) for p in lst]
+            units.append(Seq(*rn) if len(rn) > 1 else rn[0])
+        reps.append(("units", names, unit_maps))
+        return units
+
+    def _alt_set(p):
+        # an Or_ of branch units (an Or_ position, an Or_ member, or a
+        # bare Or_ body): distribute each Seq branch with inner choices
+        newb = []
+        changed = False
+        for b in p.parts:
+            if isinstance(b, Seq) or (
+                isinstance(b, And_)
+                and all(isinstance(m, Ev) for m in b.parts)
+            ):
+                u = _dist(b if isinstance(b, Seq) else Seq(b))
+                if u is not None:
+                    newb.extend(u)
+                    changed = True
+                    continue
+            newb.append(b)
+        return Or_(*newb) if changed else p
+
+    def _conj(p):
+        # an And_ of members (an And_ position or a bare And_ body): a
+        # Seq member with inner choices becomes an Or_ member of its
+        # distributed units; an Or_ member distributes its branches
+        newm = []
+        changed = False
+        for m in p.parts:
+            if isinstance(m, Seq):
+                u = _dist(m)
+                if u is not None:
+                    newm.append(Or_(*u) if len(u) > 1 else u[0])
+                    changed = True
+                    continue
+            elif isinstance(m, Or_):
+                m2 = _alt_set(m)
+                if m2 is not m:
+                    newm.append(m2)
+                    changed = True
+                    continue
+            newm.append(m)
+        return And_(*newm) if changed else p
+
+    def _pos(p):
+        if isinstance(p, Or_):
+            return _alt_set(p)
+        if isinstance(p, And_):
+            return _conj(p)
+        return p
+
+    if isinstance(inner, Seq):
+        new = [_pos(p) for p in inner.parts]
+        if all(a is b for a, b in zip(new, inner.parts)):
+            return inner
+        return Seq(*new)
+    if isinstance(inner, (Or_, And_)):
+        return _pos(inner)
+    return inner
+
+
 def _expand_composite_kleene(node: Node, reps: list, force_group: bool = False) -> Node:
     """Bottom-up rewrite of every composite-inner Kleene.  `reps`
     collects (inner_names, [per-repetition rename mapping]) so
@@ -626,11 +788,12 @@ def _expand_composite_kleene(node: Node, reps: list, force_group: bool = False) 
             return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
         if node.max_len is None or force_group:
             inner = _expand_nested_bounded(_flatten_or(inner), reps)
+            inner = _distribute_inner_or(inner, reps)
             _validate_group_inner(Kleene(inner, max_len=node.max_len))
             return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
         names = _all_names(inner)
         mappings = [{v: f"{v}__{j}" for v in names} for j in range(1, node.max_len + 1)]
-        reps.append((names, mappings))
+        reps.append(("all", names, mappings))
         chains = []
         for r in range(1, node.max_len + 1):
             insts = [_rename_node(inner, mappings[j]) for j in range(r)]
@@ -1446,21 +1609,47 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
 
         new_conjs = []
         for c in pat.where.conjuncts():
-            hits = [(names, maps) for names, maps in reps if set(c.vars()) & set(names)]
-            if not hits:
-                new_conjs.append(c)
-                continue
-            # one instance per repetition-index combination: a conjunct
-            # over k expanded groups quantifies over the CROSS PRODUCT
-            # of their repetitions (ALL must hold — same semantics as
-            # the group lowering's element cross product)
-            from itertools import product as _product
-
-            for combo in _product(*[maps for _, maps in hits]):
-                mp: dict = {}
-                for m in combo:
-                    mp.update(m)
-                new_conjs.append(subst(c, mp))
+            # apply entries SEQUENTIALLY in registration order (an
+            # earlier entry's renamed targets may be the names of a
+            # later one — e.g. nested-bounded chain instances inside a
+            # distributed unit); entries with disjoint names compose
+            # into the old cross product.
+            #   "all"   — one instance per mapping combination: a
+            #             conjunct over k expanded groups quantifies
+            #             over the CROSS PRODUCT of their repetitions
+            #             (ALL must hold — same semantics as the group
+            #             lowering's element cross product)
+            #   "units" — one instance per distributed unit whose map
+            #             covers EVERY referenced name (the chains'
+            #             per-alternative variable filter); a conjunct
+            #             no unit covers raises (it pairs choices that
+            #             never coexist in one repetition)
+            insts = [c]
+            for tag, names, maps in reps:
+                nameset = set(names)
+                out = []
+                for inst in insts:
+                    ref = set(inst.vars()) & nameset
+                    if not ref:
+                        out.append(inst)
+                        continue
+                    if tag == "all":
+                        out.extend(subst(inst, m) for m in maps)
+                    else:
+                        elig = [m for m in maps if ref <= set(m)]
+                        if not elig:
+                            raise ValueError(
+                                f"condition {inst!r} pairs variables from "
+                                "different branches of an alternation "
+                                "distributed inside one repetition unit — "
+                                "they never coexist in a repetition (the "
+                                "bounded chain expansion silently drops "
+                                "such a condition from every alternative; "
+                                "rewrite it per branch)"
+                            )
+                        out.extend(subst(inst, m) for m in elig)
+                insts = out
+            new_conjs.extend(insts)
         w: Cond = TRUE
         for c in new_conjs:
             w = w & c

@@ -40,43 +40,20 @@ def _unbounded_group_names(node) -> list:
                 [node.inner] if isinstance(node.inner, (Or_, And_))
                 else node.inner.parts
             )
-            names = []
-            for p in positions:
+            # session 12: choices may nest arbitrarily (Or_ inside a
+            # branch/member Seq) — collect every positive leaf name
+            # under the position, at any depth; Neg innards are not
+            # part of the emitted binding (round 4 onward)
+            def _ev_names(p):
                 if isinstance(p, Ev):
-                    names.append(p.name)
-                elif isinstance(p, And_):
-                    # conjunctive position (session 6): every member
-                    # binds each repetition — all are aligned names;
-                    # a Seq member (session 7) contributes every event
-                    # (session 8: Negs inside a member are not part of
-                    # the emitted binding; session 9: an Or_ member
-                    # contributes every branch event name — sparse like
-                    # Or_ position branches)
-                    for x in p.parts:
-                        if isinstance(x, Or_):
-                            for b in x.parts:
-                                names.extend(
-                                    y.name for y in
-                                    (b.parts if isinstance(b, Seq) else (b,))
-                                    if isinstance(y, Ev)
-                                )
-                        else:
-                            names.extend(
-                                y.name for y in
-                                (x.parts if isinstance(x, Seq) else (x,))
-                                if isinstance(y, Ev)
-                            )
-                elif isinstance(p, Or_):
-                    for b in p.parts:
-                        if isinstance(b, Seq):
-                            # a Neg between branch leaves (session 4) is
-                            # not part of the emitted binding
-                            names.extend(
-                                x.name for x in b.parts if isinstance(x, Ev)
-                            )
-                        else:
-                            names.append(b.name)
-            return [names]
+                    return [p.name]
+                if isinstance(p, Neg):
+                    return []
+                if isinstance(p, Kleene):
+                    return _ev_names(p.inner)
+                return [n for x in p.parts for n in _ev_names(x)]
+
+            return [[n for p in positions for n in _ev_names(p)]]
         return _unbounded_group_names(node.inner)
     if isinstance(node, Neg):
         return _unbounded_group_names(node.inner)
@@ -91,22 +68,23 @@ def _bound_groups(node, n: int):
     if isinstance(node, Kleene):
         inner = _bound_groups(node.inner, n)
         if not isinstance(inner, Ev) and node.max_len is None:
-            # arity = MIN events one repetition consumes (gives the max
-            # possible repetition count): one per Ev / per Or_ position
-            # (its cheapest branch is a single leaf at minimum — the
-            # 1-event floor is a safe under-estimate); an And_ position
-            # consumes EVERY member — Seq members count all their events
-            arity = 1 if isinstance(inner, Or_) else sum(
-                sum(
-                    1 if isinstance(m, (Ev, Or_))  # Or_ member: cheapest branch >= 1 event
-                    else sum(isinstance(y, Ev) for y in m.parts)
-                    for m in p.parts
-                )
-                if isinstance(p, And_)
-                else int(isinstance(p, (Ev, Or_)))
-                for p in ([inner] if isinstance(inner, And_)
-                          else inner.parts)
-            )
+            # arity = MIN positive events one repetition consumes
+            # (gives the max possible repetition count; an
+            # under-estimate is safe, an over-estimate is not).
+            # Session 12: choices nest arbitrarily — Or_ takes its
+            # cheapest branch, Seq/And_ sum their parts, Negs are free.
+            def _min_arity(p):
+                if isinstance(p, Ev):
+                    return 1
+                if isinstance(p, Neg):
+                    return 0
+                if isinstance(p, Kleene):
+                    return _min_arity(p.inner)
+                if isinstance(p, Or_):
+                    return min(_min_arity(b) for b in p.parts)
+                return sum(_min_arity(x) for x in p.parts)
+
+            arity = _min_arity(inner)
             return Kleene(inner, max_len=max(1, n // max(arity, 1)))
         return Kleene(inner, max_len=node.max_len, adjacent=node.adjacent)
     if isinstance(node, Neg):
@@ -376,8 +354,13 @@ def _has_or(node) -> bool:
 
 
 def _has_or_outside_groups(node) -> bool:
-    """True if an Or_ occurs anywhere EXCEPT as a direct position of an
-    unbounded composite Kleene's Seq body (those fold per branch)."""
+    """True if an Or_ occurs anywhere EXCEPT inside an unbounded
+    composite Kleene's body.  An Or_ inside the body — at ANY depth
+    since session 12 (nested choices distribute at compile time while
+    the chain expansion keeps original names) — folds per branch: every
+    chain variable is an original Ev name plus one ``__{j}`` repetition
+    suffix, which `_fold_group_binding` maps back.  An Or_ elsewhere
+    multiplies alternatives whose ids the fold cannot map."""
     if isinstance(node, Or_):
         return True
     if isinstance(node, Ev):
@@ -386,36 +369,7 @@ def _has_or_outside_groups(node) -> bool:
         return _has_or_outside_groups(node.inner)
     if isinstance(node, Kleene):
         inner = node.inner
-        if not isinstance(inner, Ev) and node.max_len is None and isinstance(inner, Seq):
-            for p in inner.parts:
-                if isinstance(p, Or_):
-                    if any(_has_or(b) for b in p.parts):
-                        return True  # nested Or_ in a branch (invalid anyway)
-                elif isinstance(p, And_):
-                    # an Or_ MEMBER of an And_ position folds per
-                    # branch (session 9); nested Or_ inside its
-                    # branches does not (invalid anyway)
-                    for m in p.parts:
-                        if isinstance(m, Or_):
-                            if any(_has_or(b) for b in m.parts):
-                                return True
-                        elif _has_or_outside_groups(m):
-                            return True
-                elif _has_or_outside_groups(p):
-                    return True
-            return False
-        if not isinstance(inner, Ev) and node.max_len is None and isinstance(inner, Or_):
-            # bare Or_-of-leaves inner (single-position group) folds fine
-            return any(_has_or(b) for b in inner.parts)
-        if not isinstance(inner, Ev) and node.max_len is None and isinstance(inner, And_):
-            # bare And_ inner (session 10: one pos_all position) — an
-            # Or_ MEMBER folds per branch, nested Or_ does not
-            for m in inner.parts:
-                if isinstance(m, Or_):
-                    if any(_has_or(b) for b in m.parts):
-                        return True
-                elif _has_or_outside_groups(m):
-                    return True
+        if not isinstance(inner, Ev) and node.max_len is None:
             return False
         return _has_or_outside_groups(inner) if not isinstance(inner, Ev) else False
     return any(_has_or_outside_groups(p) for p in node.parts)

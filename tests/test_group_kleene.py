@@ -25,7 +25,7 @@ import pandas as pd
 
 from cep_spark.batch import match_group_nfa
 from cep_spark.compiler import compile_pattern
-from cep_spark.conditions import attr, lit
+from cep_spark.conditions import TRUE, attr, lit
 from cep_spark.pattern import And_, Ev, Kleene, Neg, Or_, Pattern, Seq
 from oracle_cep import match_group
 
@@ -1051,7 +1051,8 @@ def test_or_in_group_rejects():
     var with a same-group mate OUTSIDE its own branch has undefined
     per-repetition alignment and must be rejected loudly; branches
     deeper than a Seq of leaves with Negs (UNBOUNDED nested Kleene,
-    nested Or_, an anchor-less branch-leading Neg) stay rejected."""
+    an anchor-less branch-leading Neg) stay rejected — nested Or_
+    DISTRIBUTES since session 12."""
     import pytest
 
     with pytest.raises(ValueError, match="same-group"):
@@ -1898,8 +1899,7 @@ def test_and_pos_rejects():
     # Or_ nested inside the And_ position: SUPPORTED since session 9
     # (branch units) — compiles; an Or_ DIRECTLY under the member Or_
     # now FLATTENS (session 11 — associativity) and compiles too; an
-    # Or_ inside a SEQ branch of the member still rejects (distribution
-    # would duplicate the branch prefix variable)
+    # Or_ inside a SEQ branch of the member DISTRIBUTES (session 12)
     compile_pattern(Pattern(
         Seq(Kleene(Seq(Ev("u", role="user"),
                        And_(Ev("w", role="assistant"),
@@ -1917,17 +1917,19 @@ def test_and_pos_rejects():
             Ev("t", role="user")),
         window=W,
     ))
-    with pytest.raises(ValueError, match="And_ of leaf"):
-        compile_pattern(Pattern(
-            Seq(Kleene(Seq(Ev("u", role="user"),
-                           And_(Ev("w", role="assistant"),
-                                Or_(Seq(Ev("x", role="tool"),
-                                        Or_(Ev("z", role="sys"),
-                                            Ev("q", role="user"))),
-                                    Ev("y", role="user"))))),
-                Ev("t", role="user")),
-            window=W,
-        ))
+    cp12 = compile_pattern(Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Ev("w", role="assistant"),
+                            Or_(Seq(Ev("x", role="tool"),
+                                    Or_(Ev("z", role="sys"),
+                                        Ev("q", role="user"))),
+                                Ev("y", role="user"))))),
+            Ev("t", role="user")),
+        window=W,
+    ))
+    assert [s.var for s in cp12.alternatives[0].slots
+            if s.mem is not None] == ["x__d1", "z__d1", "x__d2",
+                                      "q__d2", "y"]
     # branch var x same-group pairing with And_ member w: the branch
     # binds only in repetitions that chose it — alignment undefined
     with pytest.raises(ValueError, match="same-group"):
@@ -2817,16 +2819,19 @@ def test_nested_or_flattens_in_group_bodies():
         compile_pattern(Pattern(
             Seq(Kleene(inner, max_len=None), Ev("t", role="user")),
             window=W))
-    # Or_ nested inside a SEQ branch: still rejected
-    with pytest.raises(ValueError, match="And_ of leaf|Seq of plain"):
-        compile_pattern(Pattern(
-            Seq(Kleene(Seq(Ev("u", role="user"),
-                           Or_(Seq(Ev("a", role="assistant"),
-                                   Or_(Ev("b", role="tool"),
-                                       Ev("c", role="system"))),
-                               Ev("d", role="error"))), max_len=None),
-                Ev("t", role="user")),
-            window=W))
+    # Or_ nested inside a SEQ branch: DISTRIBUTED since session 12
+    # (per-unit __d{k} renaming — parity pinned by the DIST_PATTERNS
+    # suite below); the unit layout is 3 branches at one position
+    cp12 = compile_pattern(Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("a", role="assistant"),
+                               Or_(Ev("b", role="tool"),
+                                   Ev("c", role="system"))),
+                           Ev("d", role="error"))), max_len=None),
+            Ev("t", role="user")),
+        window=W))
+    assert [s.var for s in cp12.alternatives[0].slots] == [
+        "u", "a__d1", "b__d1", "a__d2", "c__d2", "d", "t"]
 
 
 def test_leaf_kleene_cross_group_var_cond():
@@ -2903,3 +2908,342 @@ def test_leaf_kleene_cross_group_var_cond():
     g = _gen_group(0, 18)
     gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
     match_group_nfa(compile_pattern(pat_u), gs)  # must not raise
+
+
+# --------------------------------------------------------------------------
+# session 12: Or_ nested INSIDE Seq units of an unbounded group —
+# branch Seqs of Or_ positions, Seq members of And_ positions, branches
+# of Or_ members, bare Or_ bodies — distributed at compile time into
+# flat units with per-unit __d{k} variable renaming
+# (compiler._distribute_inner_or).  Semantics source of truth = the
+# bounded chain expansion, where _expand_or multiplies the nested
+# choice into alternatives with UNRENAMED vars; parity therefore
+# compares per-ORIGINAL-variable position sets (the unit attribution
+# is 1:1 with the choice combination, which the base names preserve).
+
+import re as _re_s12
+
+
+def _merge_dist_binding(b, rx=r"__d\d+$"):
+    per: dict = {}
+    for v, p in b.items():
+        if v == "_alt":
+            continue
+        base = _re_s12.sub(rx, "", v)
+        per.setdefault(base, []).extend(p if isinstance(p, tuple) else (p,))
+    return tuple(sorted((v, tuple(sorted(ps))) for v, ps in per.items()))
+
+
+def _canon_dist_nfa(res, rx=r"__d\d+$"):
+    return sorted(_merge_dist_binding(b, rx) for _, b in res)
+
+
+def _canon_dist_rep(res):
+    return sorted(_merge_dist_binding(b) for b in res)
+
+
+DIST_PATTERNS = {
+    # Or_ inside a Seq BRANCH of an Or_ position
+    "dist_pos_branch": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(Seq(Ev("u", role="assistant"),
+                               Or_(Ev("x", role="tool"),
+                                   Ev("y", role="user"))),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
+    # Or_ inside a Seq MEMBER of an And_ position -> Or_ member units
+    "dist_and_member": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Or_(Ev("x", role="tool"),
+                                    Ev("y", role="user"))),
+                            Ev("z", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    # Or_ inside an Or_-MEMBER's Seq branch -> more units of that member
+    "dist_or_member_branch": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(Or_(Seq(Ev("w", role="assistant"),
+                                    Or_(Ev("x", tool="python"),
+                                        Ev("q", tool="sql"))),
+                                Ev("y", role="user")),
+                            Ev("z", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    # bare Or_ body with a nested choice in one branch
+    "dist_bare_or": Pattern(
+        Seq(Kleene(Or_(Seq(Ev("u", role="assistant"),
+                           Or_(Ev("x", role="tool"),
+                               Ev("y", role="user"))),
+                       Ev("c", tool="sql"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=6),
+    ),
+    # a Neg BETWEEN leaves of the distributed branch (renamed per unit,
+    # fires only in repetitions choosing that unit)
+    "dist_branch_neg": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(Seq(Ev("u", role="assistant"),
+                               Neg(Ev("n", tool="sql")),
+                               Or_(Ev("x", role="tool"),
+                                   Ev("y", role="user"))),
+                           Ev("c", tool="python")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
+    # conds: on the shared prefix var (replicates to EVERY unit) and a
+    # same-unit pair (replicates only to the unit covering both)
+    "dist_conds": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(Seq(Ev("u", role="assistant"),
+                               Or_(Ev("x", role="tool"),
+                                   Ev("y", role="user"))),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        where=(attr("u", "value") > 20.0)
+        & (attr("x", "value") > attr("u", "value")),
+        window=timedelta(minutes=6),
+    ),
+    # phase C: an all-leaf And_ INSIDE a Seq branch — every
+    # interleaving of leaf members is a permutation, so it distributes
+    # into the Or_ of orderings (exactly one holds per concrete bind)
+    "dist_and_in_branch": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(Seq(Ev("u", role="assistant"),
+                               And_(Ev("x", role="tool"),
+                                    Ev("y", role="user"))),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
+    # phase C: an all-leaf And_ AS a branch of the Or_ position
+    "dist_and_as_branch": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(And_(Ev("x", role="tool"),
+                                Ev("y", role="user")),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
+    # phase C: a gap Neg BEFORE the And_ inside the branch — per
+    # ordering, the gap closes at that ordering's FIRST member (the
+    # chain expansion's min-over-members)
+    "dist_neg_then_and": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(Seq(Ev("u", role="assistant"),
+                               Neg(Ev("n", tool="sql")),
+                               And_(Ev("x", role="tool"),
+                                    Ev("y", role="user"))),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
+    # double nesting: the chosen sub-branch is itself a Seq with a
+    # further Or_ — recursion + Seq splicing in one unit
+    "dist_deep": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(Seq(Ev("u", role="assistant"),
+                               Or_(Seq(Ev("x", tool="python"),
+                                       Or_(Ev("v", role="tool"),
+                                           Ev("r", role="user"))),
+                                   Ev("y", tool="sql"))),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
+}
+
+
+def test_dist_or_compile_structure():
+    """Pin the distributed unit layout: branches/units share the
+    position's grp_idx, every unit var carries a unique __d{k} suffix,
+    and the suffix ordinals are deterministic (they feed merge
+    signatures and streaming family fingerprints)."""
+    cp = compile_pattern(DIST_PATTERNS["dist_pos_branch"])
+    alt = cp.alternatives[0]
+    assert [(s.var, s.br, s.br_idx, s.br_len) for s in alt.slots
+            if s.grp_idx == 1] == [
+        ("u__d1", 0, 0, 2), ("x__d1", 0, 1, 2),
+        ("u__d2", 1, 0, 2), ("y__d2", 1, 1, 2), ("c", 2, 0, 1)]
+    cp2 = compile_pattern(DIST_PATTERNS["dist_pos_branch"])
+    assert [s.var for s in cp2.alternatives[0].slots] == [
+        s.var for s in alt.slots]
+    # And_-position Seq member becomes an Or_ MEMBER of its units
+    cp3 = compile_pattern(DIST_PATTERNS["dist_and_member"])
+    mems = [(s.var, s.br, s.mem) for s in cp3.alternatives[0].slots
+            if s.pos_all]
+    assert mems == [("w__d1", 0, 0), ("x__d1", 0, 0),
+                    ("w__d2", 1, 0), ("y__d2", 1, 0), ("z", 2, None)]
+
+
+def test_dist_cross_unit_conjunct_rejects():
+    """A conjunct pairing vars from different distributed units never
+    coexists in one repetition — raise loudly (the chain expansion
+    silently drops it; README pins the divergence)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="never coexist"):
+        compile_pattern(Pattern(
+            DIST_PATTERNS["dist_pos_branch"].structure,
+            where=attr("x", "value") > attr("y", "value"),
+            window=timedelta(minutes=6),
+        ))
+
+
+# the replica's cost is (#units)^R chain alternatives with R = n //
+# body-min-arity: shapes with a 1-event cheapest unit (bare Or_) or
+# many units (deep nesting) get smaller groups
+_DIST_MAX_N = {"dist_pos_branch": 9, "dist_branch_neg": 9,
+               "dist_bare_or": 6, "dist_deep": 8, "dist_conds": 9,
+               "dist_and_in_branch": 9, "dist_and_as_branch": 8,
+               "dist_neg_then_and": 9}
+
+
+@pytest.mark.parametrize("name", sorted(DIST_PATTERNS))
+def test_dist_or_vs_replica(name):
+    """Unbounded groups with nested choices vs the independent replica
+    (which bounds the closure and folds the chain expansion back to
+    ORIGINAL names) — compared on per-original-variable position sets."""
+    pat = DIST_PATTERNS[name]
+    cp = compile_pattern(pat)
+    rng = np.random.default_rng(0xD157 + hash(name) % 1000)
+    hi = _DIST_MAX_N.get(name, 11)
+    nonzero = 0
+    for trial in range(60):
+        g = _gen_group(trial * 11 + 2, int(rng.integers(3, hi)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        m = _canon_dist_nfa(match_group_nfa(cp, gs))
+        o = _canon_dist_rep(match_group(pat, g.copy()))
+        assert m == o, f"{name} trial {trial}\nnfa={m}\nrep={o}\n{g}"
+        nonzero += bool(m)
+    assert nonzero > 0, name
+
+
+@pytest.mark.parametrize("name", sorted(DIST_PATTERNS))
+def test_dist_bounded_group_equals_chain(name):
+    """Bounded: the forced group lowering (distribution) must match the
+    default chain expansion (_expand_or alternatives) on flattened
+    per-original-variable position sets."""
+    base = DIST_PATTERNS[name]
+    k = base.structure.parts[0]
+    bounded = Pattern(
+        Seq(Kleene(k.inner, max_len=2), *base.structure.parts[1:]),
+        where=base.where, window=base.window,
+    )
+    cp_group = compile_pattern(bounded, composite="group")
+    cp_chain = compile_pattern(bounded)
+    rng = np.random.default_rng(0xB0D + hash(name) % 1000)
+    nonzero = multirep = 0
+    for trial in range(60):
+        g = _gen_group(trial * 17 + 5, int(rng.integers(3, 12)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        mg = _canon_dist_nfa(match_group_nfa(cp_group, gs))
+        mc = _canon_dist_nfa(match_group_nfa(cp_chain, gs), rx=r"__d?\d+$")
+        assert mg == mc, f"{name} trial {trial}\ngrp={mg}\nchn={mc}\n{g}"
+        nonzero += bool(mg)
+        multirep += sum(1 for b in mg
+                        if any(len(ps) > 1 for _v, ps in b))
+    assert nonzero > 0, name
+    if name not in ("dist_conds", "dist_deep", "dist_or_member_branch",
+                    "dist_and_member"):
+        assert multirep > 0, name  # the loop-back is exercised
+
+
+def test_dist_manual_equivalence():
+    """The sugar'd nested choice must compile to EXACTLY the matches of
+    the hand-distributed pattern (same unit var names, same bindings) —
+    distribution is pure compile-time normalization."""
+    sugar = DIST_PATTERNS["dist_pos_branch"]
+    manual = Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(Seq(Ev("u__d1", role="assistant"),
+                               Ev("x__d1", role="tool")),
+                           Seq(Ev("u__d2", role="assistant"),
+                               Ev("y__d2", role="user")),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    )
+    cs, cm = compile_pattern(sugar), compile_pattern(manual)
+    rng = np.random.default_rng(7)
+    nonzero = 0
+    for trial in range(40):
+        g = _gen_group(trial * 23 + 9, int(rng.integers(3, 11)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        ms = _canon_nfa(match_group_nfa(cs, gs))
+        mm = _canon_nfa(match_group_nfa(cm, gs))
+        assert ms == mm, f"trial {trial}"
+        nonzero += bool(ms)
+    assert nonzero > 0
+
+
+def test_dist_nested_bounded_kleene_in_branch():
+    """Session 12 (phase B): a BOUNDED leaf Kleene inside a Seq branch
+    chain-expands (`_kleene_count_chains`) into per-count choices that
+    the distribution pass then expands into flat units — e.g.
+    ``Or_(Seq(u, Kleene(b, max_len=2)), c)`` becomes units
+    (u__d1, b__1_1__d1) | (u__d2, b__2_1__d2, b__2_2__d2) | c.  Parity
+    vs the default chain expansion on base-name-flattened position
+    sets, with and without a condition on the nested variable."""
+    inner = Seq(Ev("a", role="user"),
+                Or_(Seq(Ev("u", role="assistant"),
+                        Kleene(Ev("b", role="tool"), max_len=2)),
+                    Ev("c", role="user")))
+    # structure pin (unbounded compiles)
+    cp = compile_pattern(Pattern(
+        Seq(Kleene(inner), Ev("t", role="tool")),
+        window=timedelta(minutes=6)))
+    assert [s.var for s in cp.alternatives[0].slots] == [
+        "a", "u__d1", "b__1_1__d1", "u__d2", "b__2_1__d2", "b__2_2__d2",
+        "c", "t"]
+    for where in (None, attr("b", "value") > 30.0):
+        bounded = Pattern(
+            Seq(Kleene(inner, max_len=2), Ev("t", role="tool")),
+            where=where if where is not None else TRUE,
+            window=timedelta(minutes=6))
+        cg = compile_pattern(bounded, composite="group")
+        cc = compile_pattern(bounded)
+        rng = np.random.default_rng(0xB0B if where is None else 0xB0C)
+        nonzero = 0
+        for trial in range(60):
+            g = _gen_group(trial * 7 + 3, int(rng.integers(3, 10)))
+            gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+            mg = _canon_dist_nfa(match_group_nfa(cg, gs), rx=r"__.*$")
+            mc = _canon_dist_nfa(match_group_nfa(cc, gs), rx=r"__.*$")
+            assert mg == mc, f"where={where} trial {trial}\n{g}"
+            nonzero += bool(mg)
+        assert nonzero > 0
+
+
+def test_dist_nested_bounded_kleene_unbounded_equals_chain_at_n():
+    """UNBOUNDED outer with the phase-B branch shape: matches must
+    equal the chain expansion of the same pattern bounded at n
+    repetitions (which cannot exclude any match in an n-event group)."""
+    def _pat(outer_max):
+        return Pattern(
+            Seq(Kleene(Seq(Ev("a", role="user"),
+                           Or_(Seq(Ev("u", role="assistant"),
+                                   Kleene(Ev("b", role="tool"),
+                                          max_len=2)),
+                               Ev("c", role="user"))),
+                       max_len=outer_max),
+                Ev("t", role="tool")),
+            window=timedelta(minutes=6))
+
+    cp_unb = compile_pattern(_pat(None))
+    rng = np.random.default_rng(0x12B)
+    nonzero = 0
+    for trial in range(40):
+        g = _gen_group(trial * 19 + 11, int(rng.integers(3, 9)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        n = len(gs)
+        cp_bn = compile_pattern(_pat(max(1, n)))
+        mu = _canon_dist_nfa(match_group_nfa(cp_unb, gs), rx=r"__.*$")
+        mc = _canon_dist_nfa(match_group_nfa(cp_bn, gs), rx=r"__.*$")
+        assert mu == mc, f"trial {trial}\n{g}"
+        nonzero += bool(mu)
+    assert nonzero > 0

@@ -298,7 +298,8 @@ def _suffix_part(draw):
                                  "group_and_pos_seqmem",
                                  "group_and_pos_mem_neg",
                                  "group_and_pos_or_mem",
-                                 "group_bare_and_mem"]))
+                                 "group_bare_and_mem",
+                                 "group_dist_or"]))
     if kind == "kleene":
         return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
     if kind == "neg_then_leaf":
@@ -384,6 +385,33 @@ def _suffix_part(draw):
         mem = Or_(br0, draw(_leaf()))
         return [Kleene(Seq(draw(_leaf()),
                            And_(mem, draw(_leaf()))),
+                       max_len=None)]
+    if kind == "group_dist_or":
+        # session 12: an Or_ NESTED inside a Seq branch or member —
+        # distributed at compile time into flat __d{k}-renamed units;
+        # the merged automaton sees only the standard branch/unit
+        # layout, so identical distributed layouts share and the
+        # deterministic renaming keeps signatures stable
+        from cep_spark.pattern import Or_
+        variant = draw(st.sampled_from(["branch", "member", "and_unit"]))
+        if variant == "and_unit":
+            # phase C: an all-leaf And_ inside a branch distributes
+            # over orderings — the permutation units must merge like
+            # hand-written branches
+            return [Kleene(Seq(draw(_leaf()),
+                               Or_(Seq(draw(_leaf()),
+                                       And_(draw(_leaf()), draw(_leaf()))),
+                                   draw(_leaf()))),
+                           max_len=None)]
+        inner_or = Or_(draw(_leaf()), draw(_leaf()))
+        if variant == "branch":
+            return [Kleene(Seq(draw(_leaf()),
+                               Or_(Seq(draw(_leaf()), inner_or),
+                                   draw(_leaf()))),
+                           max_len=None)]
+        return [Kleene(Seq(draw(_leaf()),
+                           And_(Seq(draw(_leaf()), inner_or),
+                                draw(_leaf()))),
                        max_len=None)]
     if kind == "group_bare_and_mem":
         # session 10: a bare And_ body with a Seq member — lowered as a

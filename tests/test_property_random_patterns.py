@@ -73,8 +73,33 @@ def kleene_node(draw):
          "group_seq_or_neg", "group_br_neg", "group_and_pos",
          "group_and_pos_neg", "group_and_pos_seqmem",
          "group_and_pos_mem_neg", "group_and_pos_or_mem",
-         "group_bare_and_mem"]
+         "group_bare_and_mem", "group_dist_or"]
     ))
+    if shape == "group_dist_or":
+        # session 12: an Or_ NESTED inside a Seq branch (of an Or_
+        # position) or a Seq member (of an And_ position) — distributed
+        # at compile time into flat __d{k}-renamed units (the canon
+        # merges them back; a random WHERE pairing two choice vars from
+        # different units is compile-rejected: the except path)
+        variant = draw(st.sampled_from(["branch", "member", "and_unit"]))
+        if variant == "and_unit":
+            # phase C: an all-leaf And_ inside (or as) a branch —
+            # distributed over orderings
+            unit = And_(draw(leaf()), draw(leaf()))
+            if draw(st.booleans()):
+                unit = Seq(draw(leaf()), unit)
+            return Kleene(
+                Seq(draw(leaf()), Or_(unit, draw(leaf()))), max_len=None)
+        inner_or = Or_(draw(leaf()), draw(leaf()))
+        if variant == "branch":
+            return Kleene(
+                Seq(draw(leaf()),
+                    Or_(Seq(draw(leaf()), inner_or), draw(leaf()))),
+                max_len=None)
+        return Kleene(
+            Seq(draw(leaf()),
+                And_(Seq(draw(leaf()), inner_or), draw(leaf()))),
+            max_len=None)
     if shape == "group":
         return Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
     if shape == "group_or":
@@ -385,16 +410,30 @@ def _canon_oracle(res):
     for b in res:
         alt = b.pop("_alt")
         out.append(
-            (alt, tuple(sorted((v, p if isinstance(p, tuple) else (p,)) for v, p in b.items())))
+            (alt, tuple(sorted(
+                (v, tuple(sorted(p if isinstance(p, tuple) else (p,))))
+                for v, p in b.items())))
         )
     return sorted(out)
 
 
 def _canon_nfa(res):
-    return sorted(
-        (alt, tuple(sorted((v, p if isinstance(p, tuple) else (p,)) for v, p in b.items())))
-        for alt, b in res
-    )
+    # session 12: distributed units rename vars with a __d{k} suffix
+    # (the replica's chain expansion keeps original names) — merge them
+    # back per base; element order within a variable is position order
+    # on both sides, so sorting is canonical
+    import re
+
+    out = []
+    for alt, b in res:
+        per: dict = {}
+        for v, p in b.items():
+            base = re.sub(r"__d\d+$", "", v)
+            per.setdefault(base, []).extend(
+                p if isinstance(p, tuple) else (p,))
+        out.append((alt, tuple(sorted(
+            (v, tuple(sorted(ps))) for v, ps in per.items()))))
+    return sorted(out)
 
 
 @settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])

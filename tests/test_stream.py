@@ -209,6 +209,36 @@ def test_parity_branch_neg_group(spark, events_pdf, tmp_path):
     assert got.count() == 108  # 116 without the in-branch Neg
 
 
+def test_parity_dist_or_group(spark, events_pdf, tmp_path):
+    """Round 5, session 12: an Or_ NESTED inside the Seq branch —
+    distributed at compile time into __d{k}-renamed units — through the
+    REAL streaming state store.  The sparse per-unit tuples and the
+    (position, unit, next_idx) mid pointer must survive pickled state
+    roundtrips across micro-batch cuts exactly like hand-written
+    branches.  48h window: 194 rows at sf0.001 (43 multi-repetition,
+    28 binding >= 2 distinct units across repetitions — probe-pinned),
+    so both the loop-back and the unit sparsity are load-bearing."""
+    import __spark_entry__ as entry_mod
+
+    cp = compile_pattern(entry_mod._KLEENE_DIST_OR_PAT)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"),
+               "m_distor")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp,
+                      mode="flat")
+
+    def _nn(rows):  # None-safe: unchosen unit vars are NULL columns
+        return sorted(
+            (tuple((v is None, v) for v in r) for r in rows)
+        )
+
+    assert _nn(got.collect()) == _nn(batch.collect())
+    assert got.count() == 194
+
+
 def _nn_rows(rows):  # None-safe sort: absent branch vars are NULL columns
     return sorted(tuple((v is None, v) for v in r) for r in rows)
 

@@ -294,6 +294,38 @@ PATTERNS = {
                             Ev("x", role="tool", tool="python")))),
             Ev("t", role="user")),
         window=timedelta(seconds=180)),
+    # session 12: an Or_ NESTED inside a Seq branch — distributed at
+    # compile time into __d{k}-renamed units; the sparse per-unit
+    # tuples and mid pointers must survive persisted partial tables
+    # across micro-batch cuts like any other branch layout
+    "group_dist_or": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"),
+                               Or_(Ev("x", role="tool", tool="python"),
+                                   Ev("y", role="tool", tool="sql"))),
+                           Ev("c", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=180)),
+    # ... and inside a Seq MEMBER of an And_ position (the distributed
+    # units become an Or_ member)
+    "group_dist_or_mem": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       And_(Seq(Ev("w", role="assistant"),
+                                Or_(Ev("x", role="tool", tool="python"),
+                                    Ev("y", role="tool", tool="sql"))),
+                            Ev("z", role="user")))),
+            Ev("t", role="tool")),
+        window=timedelta(seconds=180)),
+    # session 12 phase C: an all-leaf And_ inside a Seq branch —
+    # distributed over orderings (one unit per permutation)
+    "group_dist_and": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("w", role="assistant"),
+                               And_(Ev("x", role="tool", tool="python"),
+                                    Ev("y", role="tool", tool="sql"))),
+                           Ev("c", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=180)),
 }
 
 
