@@ -1183,6 +1183,278 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 12, phase C): an ALL-LEAF And_ AS a branch of the
+# Or_ — `Or_(And_(w, x), c)` — distributed over ORDERINGS at compile
+# time: with leaf members every interleaving is a permutation and
+# exactly one ordering holds per concrete bind (strict (ts, tiebreak)
+# interleaving), so the Or_ of orderings is exact.  Units:
+# (w__d1 < x__d1) | (x__d2 < w__d2) | c.  Every repetition binds a
+# 'view', then EITHER a 'click' and a 'signup' in ANY arrival order OR
+# a bare 'error'.  The oracle enumerates both orderings as separate
+# reps arms — their row sets are disjoint by the strict total order.
+
+_KLEENE_DIST_AND_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(And_(Ev("w", event_type="click"),
+                            Ev("x", event_type="signup")),
+                       Ev("c", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    # 48h: both orderings exercised (24/25 rows at sf0.001) with
+    # multi-repetition (17) and mixed-unit (6) matches — the
+    # per-ordering unit choice is load-bearing for the row set
+    window=timedelta(hours=48),
+)
+
+
+def _kleene_dist_and_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_DIST_AND_PAT), mode="flat")
+
+
+def _kleene_dist_and_oracle() -> str:
+    w = int(_KLEENE_DIST_AND_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE reps AS (
+  SELECT u.user_id, u.event_id AS u_id, u.ts AS u_ts,
+         w.event_id AS w1_id, x.event_id AS x1_id,
+         CAST(NULL AS BIGINT) AS x2_id, CAST(NULL AS BIGINT) AS w2_id,
+         CAST(NULL AS BIGINT) AS c_id,
+         x.event_id AS last_id, x.ts AS last_ts
+  FROM events u
+  JOIN events w ON w.user_id = u.user_id
+  JOIN events x ON x.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND x.event_type = 'signup'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND (w.ts < x.ts OR (w.ts = x.ts AND w.event_id < x.event_id))
+    AND EPOCH(x.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         x.event_id, w.event_id, CAST(NULL AS BIGINT),
+         w.event_id, w.ts
+  FROM events u
+  JOIN events x ON x.user_id = u.user_id
+  JOIN events w ON w.user_id = u.user_id
+  WHERE u.event_type = 'view' AND x.event_type = 'signup'
+    AND w.event_type = 'click'
+    AND (u.ts < x.ts OR (u.ts = x.ts AND u.event_id < x.event_id))
+    AND (x.ts < w.ts OR (x.ts = w.ts AND x.event_id < w.event_id))
+    AND EPOCH(w.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), c.event_id,
+         c.event_id, c.ts
+  FROM events u JOIN events c ON c.user_id = u.user_id
+  WHERE u.event_type = 'view' AND c.event_type = 'error'
+    AND (u.ts < c.ts OR (u.ts = c.ts AND u.event_id < c.event_id))
+    AND EPOCH(c.ts) - EPOCH(u.ts) <= {w}
+),
+chains AS (
+  SELECT user_id, u_id AS u_first, u_id AS u_last, u_ts AS first_ts,
+         1 AS r,
+         CASE WHEN w1_id IS NOT NULL THEN 1 ELSE 0 END AS w1_cnt,
+         w1_id AS w1_first, w1_id AS w1_last,
+         CASE WHEN x1_id IS NOT NULL THEN 1 ELSE 0 END AS x1_cnt,
+         x1_id AS x1_first, x1_id AS x1_last,
+         CASE WHEN x2_id IS NOT NULL THEN 1 ELSE 0 END AS x2_cnt,
+         x2_id AS x2_first, x2_id AS x2_last,
+         CASE WHEN w2_id IS NOT NULL THEN 1 ELSE 0 END AS w2_cnt,
+         w2_id AS w2_first, w2_id AS w2_last,
+         CASE WHEN c_id IS NOT NULL THEN 1 ELSE 0 END AS c_cnt,
+         c_id AS c_first, c_id AS c_last,
+         last_id, last_ts
+  FROM reps
+  UNION ALL
+  SELECT s.user_id, s.u_first, t.u_id, s.first_ts, s.r + 1,
+         s.w1_cnt + CASE WHEN t.w1_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.w1_first, t.w1_id), COALESCE(t.w1_id, s.w1_last),
+         s.x1_cnt + CASE WHEN t.x1_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.x1_first, t.x1_id), COALESCE(t.x1_id, s.x1_last),
+         s.x2_cnt + CASE WHEN t.x2_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.x2_first, t.x2_id), COALESCE(t.x2_id, s.x2_last),
+         s.w2_cnt + CASE WHEN t.w2_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.w2_first, t.w2_id), COALESCE(t.w2_id, s.w2_last),
+         s.c_cnt + CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.c_first, t.c_id), COALESCE(t.c_id, s.c_last),
+         t.last_id, t.last_ts
+  FROM chains s JOIN reps t ON t.user_id = s.user_id
+  WHERE (s.last_ts < t.u_ts OR (s.last_ts = t.u_ts AND s.last_id < t.u_id))
+    AND EPOCH(t.last_ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CASE WHEN s.w1_cnt > 0 THEN CAST(s.w1_cnt AS BIGINT) END AS w__d1_len,
+       CAST(s.w1_first AS BIGINT) AS w__d1_first,
+       CAST(s.w1_last AS BIGINT) AS w__d1_last,
+       CASE WHEN s.x1_cnt > 0 THEN CAST(s.x1_cnt AS BIGINT) END AS x__d1_len,
+       CAST(s.x1_first AS BIGINT) AS x__d1_first,
+       CAST(s.x1_last AS BIGINT) AS x__d1_last,
+       CASE WHEN s.x2_cnt > 0 THEN CAST(s.x2_cnt AS BIGINT) END AS x__d2_len,
+       CAST(s.x2_first AS BIGINT) AS x__d2_first,
+       CAST(s.x2_last AS BIGINT) AS x__d2_last,
+       CASE WHEN s.w2_cnt > 0 THEN CAST(s.w2_cnt AS BIGINT) END AS w__d2_len,
+       CAST(s.w2_first AS BIGINT) AS w__d2_first,
+       CAST(s.w2_last AS BIGINT) AS w__d2_last,
+       CASE WHEN s.c_cnt > 0 THEN CAST(s.c_cnt AS BIGINT) END AS c_len,
+       CAST(s.c_first AS BIGINT) AS c_first,
+       CAST(s.c_last AS BIGINT) AS c_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
+# round 5 (session 12, phase B): a BOUNDED leaf Kleene inside a Seq
+# branch — `Or_(Seq(w, Kleene(b, max_len=2)), c)` — chain-expands
+# (`_kleene_count_chains`) into per-count choices that distribute like
+# any nested Or_: units (w__d1, b__1_1__d1) | (w__d2, b__2_1__d2,
+# b__2_2__d2) | c, the OUTER repetition staying unbounded.  Every
+# repetition binds a 'view', then EITHER a 'click' followed by one or
+# two 'signup's OR a bare 'error'.  Powerset semantics: a concrete
+# (w, b1, b2) bind yields BOTH the count-1 and count-2 unit matches —
+# the oracle's reps arms enumerate both, exactly like the chains.
+
+_KLEENE_DIST_KLEENE_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(Seq(Ev("w", event_type="click"),
+                           Kleene(Ev("b", event_type="signup"), max_len=2)),
+                       Ev("c", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    # 48h: multi-repetition (13 rows at sf0.001) AND count-2 unit rows
+    # (3) both present — the nested-count choice is load-bearing
+    window=timedelta(hours=48),
+)
+
+
+def _kleene_dist_kleene_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_DIST_KLEENE_PAT), mode="flat")
+
+
+def _kleene_dist_kleene_oracle() -> str:
+    w = int(_KLEENE_DIST_KLEENE_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE reps AS (
+  SELECT u.user_id, u.event_id AS u_id, u.ts AS u_ts,
+         w.event_id AS w1_id, b.event_id AS b11_id,
+         CAST(NULL AS BIGINT) AS w2_id,
+         CAST(NULL AS BIGINT) AS b21_id, CAST(NULL AS BIGINT) AS b22_id,
+         CAST(NULL AS BIGINT) AS c_id,
+         b.event_id AS last_id, b.ts AS last_ts
+  FROM events u
+  JOIN events w ON w.user_id = u.user_id
+  JOIN events b ON b.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND b.event_type = 'signup'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND (w.ts < b.ts OR (w.ts = b.ts AND w.event_id < b.event_id))
+    AND EPOCH(b.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         w.event_id, b1.event_id, b2.event_id, CAST(NULL AS BIGINT),
+         b2.event_id, b2.ts
+  FROM events u
+  JOIN events w ON w.user_id = u.user_id
+  JOIN events b1 ON b1.user_id = u.user_id
+  JOIN events b2 ON b2.user_id = u.user_id
+  WHERE u.event_type = 'view' AND w.event_type = 'click'
+    AND b1.event_type = 'signup' AND b2.event_type = 'signup'
+    AND (u.ts < w.ts OR (u.ts = w.ts AND u.event_id < w.event_id))
+    AND (w.ts < b1.ts OR (w.ts = b1.ts AND w.event_id < b1.event_id))
+    AND (b1.ts < b2.ts OR (b1.ts = b2.ts AND b1.event_id < b2.event_id))
+    AND EPOCH(b2.ts) - EPOCH(u.ts) <= {w}
+  UNION ALL
+  SELECT u.user_id, u.event_id, u.ts,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), c.event_id,
+         c.event_id, c.ts
+  FROM events u JOIN events c ON c.user_id = u.user_id
+  WHERE u.event_type = 'view' AND c.event_type = 'error'
+    AND (u.ts < c.ts OR (u.ts = c.ts AND u.event_id < c.event_id))
+    AND EPOCH(c.ts) - EPOCH(u.ts) <= {w}
+),
+chains AS (
+  SELECT user_id, u_id AS u_first, u_id AS u_last, u_ts AS first_ts,
+         1 AS r,
+         CASE WHEN w1_id IS NOT NULL THEN 1 ELSE 0 END AS w1_cnt,
+         w1_id AS w1_first, w1_id AS w1_last,
+         CASE WHEN b11_id IS NOT NULL THEN 1 ELSE 0 END AS b11_cnt,
+         b11_id AS b11_first, b11_id AS b11_last,
+         CASE WHEN w2_id IS NOT NULL THEN 1 ELSE 0 END AS w2_cnt,
+         w2_id AS w2_first, w2_id AS w2_last,
+         CASE WHEN b21_id IS NOT NULL THEN 1 ELSE 0 END AS b21_cnt,
+         b21_id AS b21_first, b21_id AS b21_last,
+         CASE WHEN b22_id IS NOT NULL THEN 1 ELSE 0 END AS b22_cnt,
+         b22_id AS b22_first, b22_id AS b22_last,
+         CASE WHEN c_id IS NOT NULL THEN 1 ELSE 0 END AS c_cnt,
+         c_id AS c_first, c_id AS c_last,
+         last_id, last_ts
+  FROM reps
+  UNION ALL
+  SELECT s.user_id, s.u_first, t.u_id, s.first_ts, s.r + 1,
+         s.w1_cnt + CASE WHEN t.w1_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.w1_first, t.w1_id), COALESCE(t.w1_id, s.w1_last),
+         s.b11_cnt + CASE WHEN t.b11_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.b11_first, t.b11_id), COALESCE(t.b11_id, s.b11_last),
+         s.w2_cnt + CASE WHEN t.w2_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.w2_first, t.w2_id), COALESCE(t.w2_id, s.w2_last),
+         s.b21_cnt + CASE WHEN t.b21_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.b21_first, t.b21_id), COALESCE(t.b21_id, s.b21_last),
+         s.b22_cnt + CASE WHEN t.b22_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.b22_first, t.b22_id), COALESCE(t.b22_id, s.b22_last),
+         s.c_cnt + CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END,
+         COALESCE(s.c_first, t.c_id), COALESCE(t.c_id, s.c_last),
+         t.last_id, t.last_ts
+  FROM chains s JOIN reps t ON t.user_id = s.user_id
+  WHERE (s.last_ts < t.u_ts OR (s.last_ts = t.u_ts AND s.last_id < t.u_id))
+    AND EPOCH(t.last_ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       CASE WHEN s.w1_cnt > 0 THEN CAST(s.w1_cnt AS BIGINT) END AS w__d1_len,
+       CAST(s.w1_first AS BIGINT) AS w__d1_first,
+       CAST(s.w1_last AS BIGINT) AS w__d1_last,
+       CASE WHEN s.b11_cnt > 0 THEN CAST(s.b11_cnt AS BIGINT) END AS b__1_1__d1_len,
+       CAST(s.b11_first AS BIGINT) AS b__1_1__d1_first,
+       CAST(s.b11_last AS BIGINT) AS b__1_1__d1_last,
+       CASE WHEN s.w2_cnt > 0 THEN CAST(s.w2_cnt AS BIGINT) END AS w__d2_len,
+       CAST(s.w2_first AS BIGINT) AS w__d2_first,
+       CAST(s.w2_last AS BIGINT) AS w__d2_last,
+       CASE WHEN s.b21_cnt > 0 THEN CAST(s.b21_cnt AS BIGINT) END AS b__2_1__d2_len,
+       CAST(s.b21_first AS BIGINT) AS b__2_1__d2_first,
+       CAST(s.b21_last AS BIGINT) AS b__2_1__d2_last,
+       CASE WHEN s.b22_cnt > 0 THEN CAST(s.b22_cnt AS BIGINT) END AS b__2_2__d2_len,
+       CAST(s.b22_first AS BIGINT) AS b__2_2__d2_first,
+       CAST(s.b22_last AS BIGINT) AS b__2_2__d2_last,
+       CASE WHEN s.c_cnt > 0 THEN CAST(s.c_cnt AS BIGINT) END AS c_len,
+       CAST(s.c_first AS BIGINT) AS c_first,
+       CAST(s.c_last AS BIGINT) AS c_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
 # round 5 (session 6): an And_ at one POSITION of the repetition —
 # every repetition binds a 'view' u_j, then a 'click' w_j AND a
 # 'signup' x_j in ANY arrival order (conjunctive sub-slots at one
@@ -2490,6 +2762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_query
     out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_query
     out["cep_kleene_dist_or"] = _kleene_dist_or_query
+    out["cep_kleene_dist_and"] = _kleene_dist_and_query
+    out["cep_kleene_dist_kleene"] = _kleene_dist_kleene_query
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_query
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_query
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_query
@@ -2528,6 +2802,8 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_lead_edge"] = _kleene_group_lead_edge_oracle()
     out["cep_kleene_group_seq_or"] = _kleene_group_seq_or_oracle()
     out["cep_kleene_dist_or"] = _kleene_dist_or_oracle()
+    out["cep_kleene_dist_and"] = _kleene_dist_and_oracle()
+    out["cep_kleene_dist_kleene"] = _kleene_dist_kleene_oracle()
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_oracle()
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_oracle()
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_oracle()
