@@ -1314,6 +1314,127 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 13): an And_ with a SEQ member AS a branch —
+# `Or_(And_(Seq(w, v), x), c)` — distributed over LINEAR EXTENSIONS of
+# the blockwise order (the (w, v) pair stays ordered, the leaf x
+# interleaves): units (w<v<x) | (w<x<v) | (x<w<v) | c, exactly one
+# extension holding per concrete bind under the strict (ts, tiebreak)
+# total order.  Every repetition binds a 'view', then EITHER a 'click'
+# followed by a 'signup' with an 'error' anywhere around the pair OR a
+# bare 'error'.  Every unit is a strict typed chain, so the oracle's
+# reps arms (and the sparse chains/select boilerplate) are generated
+# from the unit specs — the same md5-free literal-constant policy as
+# every CEP oracle.
+
+_KLEENE_DIST_AND_EXT_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(And_(Seq(Ev("w", event_type="click"),
+                                Ev("v", event_type="signup")),
+                            Ev("x", event_type="error")),
+                       Ev("c", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    # 48h: all three extension units bound (11/9/11 rows at sf0.001)
+    # with multi-repetition (15) and mixed-unit (31) matches — the
+    # per-extension choice is load-bearing for the row set
+    window=timedelta(hours=48),
+)
+
+
+def _kleene_dist_and_ext_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_DIST_AND_EXT_PAT), mode="flat")
+
+
+def _kleene_dist_and_ext_oracle() -> str:
+    w = int(_KLEENE_DIST_AND_EXT_PAT.window.total_seconds())
+    # one strict typed chain per unit, in the compiler's slot order
+    # (unit ordinals __d1..__d3 = the _interleavings enumeration)
+    units = [
+        [("w1", "click"), ("v1", "signup"), ("x1", "error")],
+        [("w2", "click"), ("x2", "error"), ("v2", "signup")],
+        [("x3", "error"), ("w3", "click"), ("v3", "signup")],
+        [("c", "error")],
+    ]
+    out_name = {"w1": "w__d1", "v1": "v__d1", "x1": "x__d1",
+                "w2": "w__d2", "x2": "x__d2", "v2": "v__d2",
+                "x3": "x__d3", "w3": "w__d3", "v3": "v__d3",
+                "c": "c"}
+    all_ids = [cid for u in units for cid, _ in u]
+
+    def _arm(chain):
+        alias = {cid: f"e{i}" for i, (cid, _) in enumerate(chain)}
+        joins, conds, prev = [], [], "u"
+        for i, (cid, et) in enumerate(chain):
+            al = alias[cid]
+            joins.append(f"JOIN events {al} ON {al}.user_id = u.user_id")
+            conds.append(f"{al}.event_type = '{et}'")
+            conds.append(f"({prev}.ts < {al}.ts OR ({prev}.ts = {al}.ts"
+                         f" AND {prev}.event_id < {al}.event_id))")
+            prev = al
+        sel = [f"{alias[cid]}.event_id AS {cid}_id" if cid in alias
+               else f"CAST(NULL AS BIGINT) AS {cid}_id"
+               for cid in all_ids]
+        return (
+            "SELECT u.user_id, u.event_id AS u_id, u.ts AS u_ts,\n         "
+            + ",\n         ".join(sel)
+            + f",\n         {prev}.event_id AS last_id, {prev}.ts AS last_ts"
+            + "\n  FROM events u\n  " + "\n  ".join(joins)
+            + "\n  WHERE u.event_type = 'view'\n    AND "
+            + "\n    AND ".join(conds)
+            + f"\n    AND EPOCH({prev}.ts) - EPOCH(u.ts) <= {w}"
+        )
+
+    base_acc = ",\n         ".join(
+        f"CASE WHEN {cid}_id IS NOT NULL THEN 1 ELSE 0 END AS {cid}_cnt,"
+        f"\n         {cid}_id AS {cid}_first, {cid}_id AS {cid}_last"
+        for cid in all_ids)
+    rec_acc = ",\n         ".join(
+        f"s.{cid}_cnt + CASE WHEN t.{cid}_id IS NOT NULL THEN 1 ELSE 0 END,"
+        f"\n         COALESCE(s.{cid}_first, t.{cid}_id),"
+        f" COALESCE(t.{cid}_id, s.{cid}_last)"
+        for cid in all_ids)
+    final = ",\n       ".join(
+        f"CASE WHEN s.{cid}_cnt > 0 THEN CAST(s.{cid}_cnt AS BIGINT) END"
+        f" AS {out_name[cid]}_len,"
+        f"\n       CAST(s.{cid}_first AS BIGINT) AS {out_name[cid]}_first,"
+        f"\n       CAST(s.{cid}_last AS BIGINT) AS {out_name[cid]}_last"
+        for cid in all_ids)
+    arms = "\n  UNION ALL\n  ".join(_arm(u) for u in units)
+    return f"""
+WITH RECURSIVE reps AS (
+  {arms}
+),
+chains AS (
+  SELECT user_id, u_id AS u_first, u_id AS u_last, u_ts AS first_ts,
+         1 AS r,
+         {base_acc},
+         last_id, last_ts
+  FROM reps
+  UNION ALL
+  SELECT s.user_id, s.u_first, t.u_id, s.first_ts, s.r + 1,
+         {rec_acc},
+         t.last_id, t.last_ts
+  FROM chains s JOIN reps t ON t.user_id = s.user_id
+  WHERE (s.last_ts < t.u_ts OR (s.last_ts = t.u_ts AND s.last_id < t.u_id))
+    AND EPOCH(t.last_ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       {final},
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
 # round 5 (session 12, phase B): a BOUNDED leaf Kleene inside a Seq
 # branch — `Or_(Seq(w, Kleene(b, max_len=2)), c)` — chain-expands
 # (`_kleene_count_chains`) into per-count choices that distribute like
@@ -2764,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_dist_or"] = _kleene_dist_or_query
     out["cep_kleene_dist_and"] = _kleene_dist_and_query
     out["cep_kleene_dist_kleene"] = _kleene_dist_kleene_query
+    out["cep_kleene_dist_and_ext"] = _kleene_dist_and_ext_query
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_query
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_query
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_query
@@ -2804,6 +2926,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_dist_or"] = _kleene_dist_or_oracle()
     out["cep_kleene_dist_and"] = _kleene_dist_and_oracle()
     out["cep_kleene_dist_kleene"] = _kleene_dist_kleene_oracle()
+    out["cep_kleene_dist_and_ext"] = _kleene_dist_and_ext_oracle()
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_oracle()
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_oracle()
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_oracle()

@@ -617,6 +617,24 @@ def _expand_nested_bounded(inner: Node, reps: list) -> Node:
     return inner
 
 
+def _interleavings(blocks: tuple) -> list:
+    """All merges of the leaf-tuples in ``blocks`` that preserve each
+    block's internal order (linear extensions of the blockwise partial
+    order).  For all-singleton blocks this enumerates exactly
+    ``itertools.permutations``' order — load-bearing: the enumeration
+    order fixes the ``__d{k}`` unit ordinals that feed merge signatures
+    and streaming family fingerprints, so the all-leaf case must keep
+    the ordinals the original phase-C permutation expansion assigned."""
+    if not any(blocks):
+        return [()]
+    out = []
+    for i, b in enumerate(blocks):
+        if b:
+            rest = blocks[:i] + (b[1:],) + blocks[i + 1:]
+            out.extend((b[0],) + tail for tail in _interleavings(rest))
+    return out
+
+
 def _distribute_inner_or(inner: Node, reps: list) -> Node:
     """Distribute Or_ alternations nested INSIDE Seq units of an
     unbounded repetition body — branch Seqs of Or_ positions, Seq
@@ -649,41 +667,82 @@ def _distribute_inner_or(inner: Node, reps: list) -> Node:
     branch+group-mate pairings)."""
     k_next = [1 + sum(len(m) for t, _, m in reps if t == "units")]
 
-    def _lists(parts: tuple) -> list[list]:
+    def _lists(parts: tuple, reps_l: list | None = None) -> list[list]:
         # fully Or_-free flat unit part-lists: splice nested Seqs,
         # chain-expand bounded leaf Kleenes into per-count choices,
         # expand the first Or_ and recurse over each choice
+        if reps_l is None:
+            reps_l = reps
         flat: list = []
         for p in parts:
             flat.extend(p.parts if isinstance(p, Seq) else (p,))
         for i, p in enumerate(flat):
             if (isinstance(p, Kleene) and isinstance(p.inner, Ev)
                     and p.max_len is not None):
-                ch = _kleene_count_chains(p, reps)
+                ch = _kleene_count_chains(p, reps_l)
                 p = ch[0] if len(ch) == 1 else Or_(*ch)
                 flat = flat[:i] + [p] + flat[i + 1:]
-            if isinstance(p, And_) and all(
-                isinstance(m, Ev) for m in p.parts
-            ):
-                # phase C: an all-leaf And_ inside a unit binds its
-                # members in ANY arrival order, strictly within the
-                # unit — with leaf members, every interleaving IS a
-                # permutation, and exactly one ordering holds for any
-                # concrete bind (strict (ts, tiebreak) interleaving),
-                # so the Or_ of orderings is the exact distribution
-                # (gap Negs adjacent to the And_ resolve per ordering
-                # to the chain expansion's min/max member bind)
-                from itertools import permutations as _perms
-
-                p = Or_(*[Seq(*pm) for pm in _perms(p.parts)])
-                flat = flat[:i] + [p] + flat[i + 1:]
+            if isinstance(p, And_):
+                # phase C (generalized): an And_ inside a unit binds
+                # its members in ANY arrival order, strictly within
+                # the unit — when every member expands to flat
+                # leaf-tuple alternatives (a leaf, a Seq of leaves, a
+                # bounded leaf Kleene's count chains, an Or_ or nested
+                # And_ of those), every concrete bind realizes exactly
+                # ONE linear extension of the blockwise order (strict
+                # (ts, tiebreak) interleaving), so the Or_ of
+                # interleavings is the exact distribution; with
+                # all-leaf members that is the original permutation
+                # expansion, same ordinals.  Gap Negs adjacent to the
+                # And_ resolve per ordering to the chain expansion's
+                # min/max member bind.  Unit count is the multinomial
+                # of block sizes times the member-choice product —
+                # compile-time only, same growth policy as the bounded
+                # chain expansion.  Members that keep non-leaf parts
+                # (e.g. interior Negs) leave the And_ in place for
+                # _validate_group_inner's pointed rejection.
+                alts = _and_alts(p, reps_l)
+                if alts is not None:
+                    p = alts[0] if len(alts) == 1 else Or_(*alts)
+                    flat = flat[:i] + [p] + flat[i + 1:]
             if isinstance(p, Or_):
                 out: list = []
                 for b in p.parts:
                     sub = tuple(b.parts) if isinstance(b, Seq) else (b,)
-                    out.extend(_lists(tuple(flat[:i]) + sub + tuple(flat[i + 1:])))
+                    out.extend(_lists(
+                        tuple(flat[:i]) + sub + tuple(flat[i + 1:]), reps_l
+                    ))
                 return out
         return [flat]
+
+    def _and_alts(p, reps_l) -> list | None:
+        # expand a unit-interior And_ into the flat Seq alternatives
+        # (member-choice combination x interleaving), or None when some
+        # member cannot expand to pure leaf tuples.  The expandability
+        # probe runs against a scratch reps list so a failed attempt
+        # (e.g. a bounded-Kleene member next to a Neg member) never
+        # registers conjunct-replication entries.
+        from itertools import product as _prod
+
+        def _expand(into: list):
+            per = []
+            for m in p.parts:
+                sub = _lists(
+                    tuple(m.parts) if isinstance(m, Seq) else (m,), into
+                )
+                if not all(isinstance(q, Ev) for lst in sub for q in lst):
+                    return None
+                per.append([tuple(lst) for lst in sub])
+            return per
+
+        if _expand([]) is None:
+            return None
+        per = _expand(reps_l)
+        units = []
+        for combo in _prod(*per):
+            for ilv in _interleavings(tuple(combo)):
+                units.append(ilv[0] if len(ilv) == 1 else Seq(*ilv))
+        return units
 
     def _dist(seq: Seq):
         # None = no inner Or_ and no nested Seq; [unit] = normalized
@@ -716,10 +775,10 @@ def _distribute_inner_or(inner: Node, reps: list) -> Node:
         newb = []
         changed = False
         for b in p.parts:
-            if isinstance(b, Seq) or (
-                isinstance(b, And_)
-                and all(isinstance(m, Ev) for m in b.parts)
-            ):
+            if isinstance(b, (Seq, And_)):
+                # an And_ branch wraps as a one-part Seq; _lists
+                # expands it when possible and returns it unchanged
+                # (=> _dist None) when not
                 u = _dist(b if isinstance(b, Seq) else Seq(b))
                 if u is not None:
                     newb.extend(u)
@@ -735,8 +794,13 @@ def _distribute_inner_or(inner: Node, reps: list) -> Node:
         newm = []
         changed = False
         for m in p.parts:
-            if isinstance(m, Seq):
-                u = _dist(m)
+            if isinstance(m, (Seq, And_)):
+                # a nested And_ member binds its own members in any
+                # order strictly within the repetition while siblings
+                # interleave freely — when unit-expandable it becomes
+                # an Or_ member of its interleavings (exactly one
+                # linear extension holds per concrete bind)
+                u = _dist(m if isinstance(m, Seq) else Seq(m))
                 if u is not None:
                     newm.append(Or_(*u) if len(u) > 1 else u[0])
                     changed = True

@@ -3042,6 +3042,54 @@ DIST_PATTERNS = {
             Ev("t", role="tool")),
         window=timedelta(minutes=6),
     ),
+    # phase C generalized (session 13): an And_ with a SEQ member
+    # inside a Seq branch distributes over LINEAR EXTENSIONS — the
+    # member's leaves stay ordered, blocks interleave; exactly one
+    # extension holds per concrete bind (3 units: wvx, wxv, xwv)
+    "dist_and_seq_in_branch": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(Seq(Ev("u", role="assistant"),
+                               And_(Seq(Ev("w", role="tool"),
+                                        Ev("v", role="user")),
+                                    Ev("x", role="assistant"))),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
+    # the same And_-of-(Seq, leaf) AS a branch of the Or_ position
+    "dist_and_seq_as_branch": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(And_(Seq(Ev("w", role="tool"),
+                                    Ev("v", role="user")),
+                                Ev("x", role="assistant")),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
+    # a nested And_ MEMBER of an And_ position: becomes an Or_ member
+    # of its interleavings (exactly one ordering per concrete bind),
+    # siblings interleave freely
+    "dist_and_member_nested": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       And_(And_(Ev("w", role="tool"),
+                                 Ev("v", role="user")),
+                            Ev("x", role="assistant")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
+    # a gap Neg BEFORE the generalized And_ — per interleaving, the
+    # gap closes at that extension's FIRST event (chain min-bind)
+    "dist_neg_then_and_seq": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(Seq(Ev("u", role="assistant"),
+                               Neg(Ev("n", tool="sql")),
+                               And_(Seq(Ev("w", role="tool"),
+                                        Ev("v", role="user")),
+                                    Ev("x", role="assistant"))),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
     # double nesting: the chosen sub-branch is itself a Seq with a
     # further Or_ — recursion + Seq splicing in one unit
     "dist_deep": Pattern(
@@ -3100,7 +3148,9 @@ def test_dist_cross_unit_conjunct_rejects():
 _DIST_MAX_N = {"dist_pos_branch": 9, "dist_branch_neg": 9,
                "dist_bare_or": 6, "dist_deep": 8, "dist_conds": 9,
                "dist_and_in_branch": 9, "dist_and_as_branch": 8,
-               "dist_neg_then_and": 9}
+               "dist_neg_then_and": 9, "dist_and_seq_in_branch": 9,
+               "dist_and_seq_as_branch": 8, "dist_and_member_nested": 9,
+               "dist_neg_then_and_seq": 9}
 
 
 @pytest.mark.parametrize("name", sorted(DIST_PATTERNS))
@@ -3149,7 +3199,7 @@ def test_dist_bounded_group_equals_chain(name):
                         if any(len(ps) > 1 for _v, ps in b))
     assert nonzero > 0, name
     if name not in ("dist_conds", "dist_deep", "dist_or_member_branch",
-                    "dist_and_member"):
+                    "dist_and_member", "dist_and_member_nested"):
         assert multirep > 0, name  # the loop-back is exercised
 
 
@@ -3211,6 +3261,46 @@ def test_dist_nested_bounded_kleene_in_branch():
         nonzero = 0
         for trial in range(60):
             g = _gen_group(trial * 7 + 3, int(rng.integers(3, 10)))
+            gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+            mg = _canon_dist_nfa(match_group_nfa(cg, gs), rx=r"__.*$")
+            mc = _canon_dist_nfa(match_group_nfa(cc, gs), rx=r"__.*$")
+            assert mg == mc, f"where={where} trial {trial}\n{g}"
+            nonzero += bool(mg)
+        assert nonzero > 0
+
+
+def test_dist_and_bounded_kleene_member_unit():
+    """Session 13 (phase B x C): a BOUNDED leaf Kleene as a member of a
+    unit-interior And_ — ``Or_(And_(Kleene(b, max_len=2), x), c)`` —
+    chain-expands the Kleene into count choices, then distributes the
+    And_ over the interleavings of each (chain, x) combination: units
+    (b,x) | (x,b) | (b1,b2,x) | (b1,x,b2) | (x,b1,b2) | c.  Parity vs
+    the default chain expansion on base-name-flattened position sets,
+    with and without a condition on the nested variable."""
+    inner = Seq(Ev("a", role="user"),
+                Or_(And_(Kleene(Ev("b", role="tool"), max_len=2),
+                         Ev("x", role="assistant")),
+                    Ev("c", role="user")))
+    # structure pin (unbounded compiles; 5 And_ units + the bare c)
+    cp = compile_pattern(Pattern(
+        Seq(Kleene(inner), Ev("t", role="tool")),
+        window=timedelta(minutes=6)))
+    assert [s.var for s in cp.alternatives[0].slots] == [
+        "a", "b__1_1__d1", "x__d1", "x__d2", "b__1_1__d2",
+        "b__2_1__d3", "b__2_2__d3", "x__d3",
+        "b__2_1__d4", "x__d4", "b__2_2__d4",
+        "x__d5", "b__2_1__d5", "b__2_2__d5", "c", "t"]
+    for where in (None, attr("b", "value") > 30.0):
+        bounded = Pattern(
+            Seq(Kleene(inner, max_len=2), Ev("t", role="tool")),
+            where=where if where is not None else TRUE,
+            window=timedelta(minutes=6))
+        cg = compile_pattern(bounded, composite="group")
+        cc = compile_pattern(bounded)
+        rng = np.random.default_rng(0xA13 if where is None else 0xA14)
+        nonzero = 0
+        for trial in range(60):
+            g = _gen_group(trial * 13 + 7, int(rng.integers(3, 10)))
             gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
             mg = _canon_dist_nfa(match_group_nfa(cg, gs), rx=r"__.*$")
             mc = _canon_dist_nfa(match_group_nfa(cc, gs), rx=r"__.*$")

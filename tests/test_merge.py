@@ -393,7 +393,8 @@ def _suffix_part(draw):
         # layout, so identical distributed layouts share and the
         # deterministic renaming keeps signatures stable
         from cep_spark.pattern import Or_
-        variant = draw(st.sampled_from(["branch", "member", "and_unit"]))
+        variant = draw(st.sampled_from(["branch", "member", "and_unit",
+                                        "and_ext"]))
         if variant == "and_unit":
             # phase C: an all-leaf And_ inside a branch distributes
             # over orderings — the permutation units must merge like
@@ -402,6 +403,23 @@ def _suffix_part(draw):
                                Or_(Seq(draw(_leaf()),
                                        And_(draw(_leaf()), draw(_leaf()))),
                                    draw(_leaf()))),
+                           max_len=None)]
+        if variant == "and_ext":
+            # session 13: an And_ with a SEQ member distributes over
+            # linear extensions; a nested And_ MEMBER of an And_
+            # position becomes an Or_ member of its interleavings —
+            # both lower to standard branch/unit layouts whose
+            # deterministic __d{k} names keep signatures stable
+            if draw(st.booleans()):
+                return [Kleene(Seq(draw(_leaf()),
+                                   Or_(And_(Seq(draw(_leaf()),
+                                                draw(_leaf())),
+                                            draw(_leaf())),
+                                       draw(_leaf()))),
+                               max_len=None)]
+            return [Kleene(Seq(draw(_leaf()),
+                               And_(And_(draw(_leaf()), draw(_leaf())),
+                                    draw(_leaf()))),
                            max_len=None)]
         inner_or = Or_(draw(_leaf()), draw(_leaf()))
         if variant == "branch":

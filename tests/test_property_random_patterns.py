@@ -81,7 +81,8 @@ def kleene_node(draw):
         # at compile time into flat __d{k}-renamed units (the canon
         # merges them back; a random WHERE pairing two choice vars from
         # different units is compile-rejected: the except path)
-        variant = draw(st.sampled_from(["branch", "member", "and_unit"]))
+        variant = draw(st.sampled_from(["branch", "member", "and_unit",
+                                        "and_ext"]))
         if variant == "and_unit":
             # phase C: an all-leaf And_ inside (or as) a branch —
             # distributed over orderings
@@ -90,6 +91,21 @@ def kleene_node(draw):
                 unit = Seq(draw(leaf()), unit)
             return Kleene(
                 Seq(draw(leaf()), Or_(unit, draw(leaf()))), max_len=None)
+        if variant == "and_ext":
+            # session 13: an And_ with a SEQ member inside a unit —
+            # distributed over LINEAR EXTENSIONS (the member's leaves
+            # stay ordered, blocks interleave) — or a nested And_
+            # MEMBER of an And_ position (an Or_ member of its
+            # interleavings)
+            if draw(st.booleans()):
+                blk = And_(Seq(draw(leaf()), draw(leaf())), draw(leaf()))
+                return Kleene(
+                    Seq(draw(leaf()), Or_(blk, draw(leaf()))),
+                    max_len=None)
+            return Kleene(
+                Seq(draw(leaf()),
+                    And_(And_(draw(leaf()), draw(leaf())), draw(leaf()))),
+                max_len=None)
         inner_or = Or_(draw(leaf()), draw(leaf()))
         if variant == "branch":
             return Kleene(

@@ -243,6 +243,39 @@ def _nn_rows(rows):  # None-safe sort: absent branch vars are NULL columns
     return sorted(tuple((v is None, v) for v in r) for r in rows)
 
 
+def test_parity_dist_and_ext_group(spark, events_pdf, tmp_path):
+    """Round 5, session 13: an And_ with a SEQ member AS a branch —
+    distributed over LINEAR EXTENSIONS (the (w, v) pair stays ordered,
+    the leaf x interleaves: units wvx | wxv | xwv) — through the REAL
+    streaming state store.  48h window at sf0.001: 123 rows, 15
+    multi-repetition, all THREE extension units bound (11/9/11) and 31
+    rows mixing units across repetitions (probe-pinned), so the
+    per-extension unit choice and the loop-back both survive pickled
+    state roundtrips."""
+    from cep_spark.pattern import Or_
+
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("u", event_type="view"),
+                       Or_(And_(Seq(Ev("w", event_type="click"),
+                                    Ev("v", event_type="signup")),
+                                Ev("x", event_type="error")),
+                           Ev("c", event_type="error")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=48),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"),
+               "m_distand")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp,
+                      mode="flat")
+    assert _nn_rows(got.collect()) == _nn_rows(batch.collect())
+    assert got.count() == 123
+
+
 def test_parity_branch_trail_neg_group(spark, events_pdf, tmp_path):
     """Round 5, session 5: a Neg TRAILING a Seq branch — its gap closes
     OUTSIDE the branch (loop-back between repetitions + bubbled gap to

@@ -326,6 +326,18 @@ PATTERNS = {
                            Ev("c", role="assistant")))),
             Ev("t", role="user")),
         window=timedelta(seconds=180)),
+    # session 13: an And_ with a SEQ member AS a branch — distributed
+    # over linear extensions (the member's leaves stay ordered, the
+    # sibling leaf interleaves); the extension units must survive
+    # persisted partial tables across micro-batch cuts
+    "group_dist_and_ext": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(And_(Seq(Ev("w", role="assistant"),
+                                    Ev("v", role="tool", tool="python")),
+                                Ev("x", role="tool", tool="sql")),
+                           Ev("c", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=180)),
 }
 
 
