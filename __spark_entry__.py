@@ -1435,6 +1435,197 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 14): a Neg BETWEEN two leaves of the And_'s SEQ
+# member inside a unit — `Or_(And_(Seq(w, Neg(n), v), x), c)`.  The
+# distribution re-inserts the Neg into every sub-gap of each linear
+# extension's (w, v) interval (bound events are excluded from gap
+# kills, so the sub-gap union equals the chain expansion's member
+# interval minus the sibling's bound event, exactly).  The killer type
+# EQUALS the sibling member's type ('error'), so in the (w, x, v)
+# extension the bound x sits INSIDE the guarded interval — a raw
+# NOT EXISTS would kill every such row; the oracle mirrors the
+# exclusion with `n.event_id <> x.event_id`.
+
+_KLEENE_DIST_AND_MEM_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(And_(Seq(Ev("w", event_type="click"),
+                                Neg(Ev("n", event_type="error")),
+                                Ev("v", event_type="signup")),
+                            Ev("x", event_type="error")),
+                       Ev("c", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    # 48h: all three extension units bound (6/7/6 rows at sf0.001) with
+    # multi-repetition matches (13) — and the __d2 unit only survives
+    # because its own bound 'error' is excluded from the gap kill
+    window=timedelta(hours=48),
+)
+
+
+def _kleene_dist_and_mem_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_DIST_AND_MEM_NEG_PAT),
+                     mode="flat")
+
+
+# the same units/out_name layout as the mem-neg pair of entries below
+_DIST_MEM_NEG_UNITS = [
+    [("w1", "click"), ("v1", "signup"), ("x1", "error")],
+    [("w2", "click"), ("x2", "error"), ("v2", "signup")],
+    [("x3", "error"), ("w3", "click"), ("v3", "signup")],
+    [("c", "error")],
+]
+_DIST_MEM_NEG_OUT = {"w1": "w__d1", "v1": "v__d1", "x1": "x__d1",
+                     "w2": "w__d2", "x2": "x__d2", "v2": "v__d2",
+                     "x3": "x__d3", "w3": "w__d3", "v3": "v__d3",
+                     "c": "c"}
+
+
+def _dist_mem_neg_sql(pat, negs) -> str:
+    """Generated recursive-CTE oracle for the distributed And_-member
+    shapes: one strict typed chain per unit (`_DIST_MEM_NEG_UNITS`, in
+    the compiler's `_interleavings` enumeration order) plus per-arm
+    NOT EXISTS gap guards.  ``negs`` maps unit index -> list of
+    (lo_cid_or_None, hi_cid, killer_type, excluded_cids); ``None`` for
+    the lo bound means the repetition's own 'u' anchor (the leading
+    member Neg's interval start = the event before the And_)."""
+    w = int(pat.window.total_seconds())
+    units, out_name = _DIST_MEM_NEG_UNITS, _DIST_MEM_NEG_OUT
+    all_ids = [cid for u in units for cid, _ in u]
+
+    def _arm(k, chain):
+        alias = {cid: f"e{i}" for i, (cid, _) in enumerate(chain)}
+        joins, conds, prev = [], [], "u"
+        for cid, et in chain:
+            al = alias[cid]
+            joins.append(f"JOIN events {al} ON {al}.user_id = u.user_id")
+            conds.append(f"{al}.event_type = '{et}'")
+            conds.append(f"({prev}.ts < {al}.ts OR ({prev}.ts = {al}.ts"
+                         f" AND {prev}.event_id < {al}.event_id))")
+            prev = al
+        for lo, hi, kill_et, excl in negs.get(k, []):
+            lo_al = "u" if lo is None else alias[lo]
+            hi_al = alias[hi]
+            ex = "".join(
+                f"\n        AND n.event_id <> {alias[e]}.event_id"
+                for e in excl)
+            conds.append(
+                "NOT EXISTS (\n      SELECT 1 FROM events n\n"
+                f"      WHERE n.user_id = u.user_id"
+                f" AND n.event_type = '{kill_et}'\n"
+                f"        AND ({lo_al}.ts < n.ts OR ({lo_al}.ts = n.ts"
+                f" AND {lo_al}.event_id < n.event_id))\n"
+                f"        AND (n.ts < {hi_al}.ts OR (n.ts = {hi_al}.ts"
+                f" AND n.event_id < {hi_al}.event_id)){ex})")
+        sel = [f"{alias[cid]}.event_id AS {cid}_id" if cid in alias
+               else f"CAST(NULL AS BIGINT) AS {cid}_id"
+               for cid in all_ids]
+        return (
+            "SELECT u.user_id, u.event_id AS u_id, u.ts AS u_ts,\n         "
+            + ",\n         ".join(sel)
+            + f",\n         {prev}.event_id AS last_id, {prev}.ts AS last_ts"
+            + "\n  FROM events u\n  " + "\n  ".join(joins)
+            + "\n  WHERE u.event_type = 'view'\n    AND "
+            + "\n    AND ".join(conds)
+            + f"\n    AND EPOCH({prev}.ts) - EPOCH(u.ts) <= {w}"
+        )
+
+    base_acc = ",\n         ".join(
+        f"CASE WHEN {cid}_id IS NOT NULL THEN 1 ELSE 0 END AS {cid}_cnt,"
+        f"\n         {cid}_id AS {cid}_first, {cid}_id AS {cid}_last"
+        for cid in all_ids)
+    rec_acc = ",\n         ".join(
+        f"s.{cid}_cnt + CASE WHEN t.{cid}_id IS NOT NULL THEN 1 ELSE 0 END,"
+        f"\n         COALESCE(s.{cid}_first, t.{cid}_id),"
+        f" COALESCE(t.{cid}_id, s.{cid}_last)"
+        for cid in all_ids)
+    final = ",\n       ".join(
+        f"CASE WHEN s.{cid}_cnt > 0 THEN CAST(s.{cid}_cnt AS BIGINT) END"
+        f" AS {out_name[cid]}_len,"
+        f"\n       CAST(s.{cid}_first AS BIGINT) AS {out_name[cid]}_first,"
+        f"\n       CAST(s.{cid}_last AS BIGINT) AS {out_name[cid]}_last"
+        for cid in all_ids)
+    arms = "\n  UNION ALL\n  ".join(_arm(k, u) for k, u in enumerate(units))
+    return f"""
+WITH RECURSIVE reps AS (
+  {arms}
+),
+chains AS (
+  SELECT user_id, u_id AS u_first, u_id AS u_last, u_ts AS first_ts,
+         1 AS r,
+         {base_acc},
+         last_id, last_ts
+  FROM reps
+  UNION ALL
+  SELECT s.user_id, s.u_first, t.u_id, s.first_ts, s.r + 1,
+         {rec_acc},
+         t.last_id, t.last_ts
+  FROM chains s JOIN reps t ON t.user_id = s.user_id
+  WHERE (s.last_ts < t.u_ts OR (s.last_ts = t.u_ts AND s.last_id < t.u_id))
+    AND EPOCH(t.last_ts) - EPOCH(s.first_ts) <= {w}
+)
+SELECT s.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(s.r AS BIGINT) AS u_len,
+       CAST(s.u_first AS BIGINT) AS u_first,
+       CAST(s.u_last AS BIGINT) AS u_last,
+       {final},
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains s JOIN events p ON p.user_id = s.user_id
+WHERE p.event_type = 'purchase'
+  AND (s.last_ts < p.ts OR (s.last_ts = p.ts AND s.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(s.first_ts) <= {w}
+"""
+
+
+def _kleene_dist_and_mem_neg_oracle() -> str:
+    # per extension: interval (w, v); only __d2 has the bound sibling
+    # 'error' inside it (exclusion elsewhere would be vacuous)
+    return _dist_mem_neg_sql(_KLEENE_DIST_AND_MEM_NEG_PAT, {
+        0: [("w1", "v1", "error", [])],
+        1: [("w2", "v2", "error", ["x2"])],
+        2: [("w3", "v3", "error", [])],
+    })
+
+
+# ... and the LEADING variant (session 14): the Neg guards the gap
+# from the event before the And_ — here the repetition's own 'u'
+# anchor — to the member's first leaf, wherever the extension placed
+# it.  In the (x, w, v) extension the bound sibling 'error' sits
+# inside that (u, w) interval, so the exclusion is again load-bearing.
+
+_KLEENE_DIST_AND_MEM_LEAD_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("u", event_type="view"),
+                   Or_(And_(Seq(Neg(Ev("n", event_type="error")),
+                                Ev("w", event_type="click"),
+                                Ev("v", event_type="signup")),
+                            Ev("x", event_type="error")),
+                       Ev("c", event_type="error")))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=48),
+)
+
+
+def _kleene_dist_and_mem_lead_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_DIST_AND_MEM_LEAD_NEG_PAT),
+                     mode="flat")
+
+
+def _kleene_dist_and_mem_lead_neg_oracle() -> str:
+    return _dist_mem_neg_sql(_KLEENE_DIST_AND_MEM_LEAD_NEG_PAT, {
+        0: [(None, "w1", "error", [])],
+        1: [(None, "w2", "error", [])],
+        2: [(None, "w3", "error", ["x3"])],
+    })
+
+
 # round 5 (session 12, phase B): a BOUNDED leaf Kleene inside a Seq
 # branch — `Or_(Seq(w, Kleene(b, max_len=2)), c)` — chain-expands
 # (`_kleene_count_chains`) into per-count choices that distribute like
@@ -2886,6 +3077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_dist_and"] = _kleene_dist_and_query
     out["cep_kleene_dist_kleene"] = _kleene_dist_kleene_query
     out["cep_kleene_dist_and_ext"] = _kleene_dist_and_ext_query
+    out["cep_kleene_dist_and_mem_neg"] = _kleene_dist_and_mem_neg_query
+    out["cep_kleene_dist_and_mem_lead_neg"] = _kleene_dist_and_mem_lead_neg_query
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_query
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_query
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_query
@@ -2927,6 +3120,8 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_dist_and"] = _kleene_dist_and_oracle()
     out["cep_kleene_dist_kleene"] = _kleene_dist_kleene_oracle()
     out["cep_kleene_dist_and_ext"] = _kleene_dist_and_ext_oracle()
+    out["cep_kleene_dist_and_mem_neg"] = _kleene_dist_and_mem_neg_oracle()
+    out["cep_kleene_dist_and_mem_lead_neg"] = _kleene_dist_and_mem_lead_neg_oracle()
     out["cep_kleene_group_br_neg"] = _kleene_group_br_neg_oracle()
     out["cep_kleene_group_br_lead_neg"] = _kleene_group_br_lead_neg_oracle()
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_oracle()

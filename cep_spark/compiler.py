@@ -701,7 +701,8 @@ def _distribute_inner_or(inner: Node, reps: list) -> Node:
                 # chain expansion.  Members that keep non-leaf parts
                 # (e.g. interior Negs) leave the And_ in place for
                 # _validate_group_inner's pointed rejection.
-                alts = _and_alts(p, reps_l)
+                pre_neg = i > 0 and isinstance(flat[i - 1], Neg)
+                alts = _and_alts(p, reps_l, pre_neg)
                 if alts is not None:
                     p = alts[0] if len(alts) == 1 else Or_(*alts)
                     flat = flat[:i] + [p] + flat[i + 1:]
@@ -715,13 +716,30 @@ def _distribute_inner_or(inner: Node, reps: list) -> Node:
                 return out
         return [flat]
 
-    def _and_alts(p, reps_l) -> list | None:
+    def _and_alts(p, reps_l, pre_neg: bool = False) -> list | None:
         # expand a unit-interior And_ into the flat Seq alternatives
         # (member-choice combination x interleaving), or None when some
-        # member cannot expand to pure leaf tuples.  The expandability
+        # member cannot expand to flat leaf tuples.  The expandability
         # probe runs against a scratch reps list so a failed attempt
-        # (e.g. a bounded-Kleene member next to a Neg member) never
-        # registers conjunct-replication entries.
+        # (e.g. a bounded-Kleene member next to a non-expandable one)
+        # never registers conjunct-replication entries.
+        #
+        # Member-scoped Negs (session 13): a Neg between two leaves of
+        # a member guards that member's OWN interval (prev_leaf,
+        # next_leaf); a LEADING member Neg guards the gap from the
+        # event before the And_ (within the unit, or the neighbouring
+        # position) to the member's first leaf — the chain expansion's
+        # semantics.  Under an interleaving, other members' events are
+        # bound INSIDE the interval, and bound events are excluded from
+        # gap kills (round-4 rule), so the interval decomposes exactly
+        # into the sub-gaps between consecutive unit events along it —
+        # the Neg is re-inserted into every such gap.  Two Negs in one
+        # gap would be an invalid unit (and OR-merged gap conditions do
+        # not exist), so shapes that could collide bail conservatively:
+        # more than one Neg-carrying member, or a leading member Neg
+        # when a Neg immediately precedes the And_ in the unit.
+        # Trailing member Negs have no interval end — not expandable
+        # (the chain expansion rejects them too: And_ is unordered).
         from itertools import product as _prod
 
         def _expand(into: list):
@@ -730,9 +748,25 @@ def _distribute_inner_or(inner: Node, reps: list) -> Node:
                 sub = _lists(
                     tuple(m.parts) if isinstance(m, Seq) else (m,), into
                 )
-                if not all(isinstance(q, Ev) for lst in sub for q in lst):
-                    return None
-                per.append([tuple(lst) for lst in sub])
+                alts = []
+                for lst in sub:
+                    if not all(isinstance(q, (Ev, Neg)) for q in lst):
+                        return None
+                    if not lst or isinstance(lst[-1], Neg):
+                        return None  # trailing member Neg: no interval end
+                    if any(isinstance(a, Neg) and isinstance(b, Neg)
+                           for a, b in zip(lst, lst[1:])):
+                        return None
+                    alts.append(tuple(lst))
+                per.append(alts)
+            carriers = [alts for alts in per if any(
+                any(isinstance(q, Neg) for q in a) for a in alts)]
+            if len(carriers) > 1:
+                return None
+            if pre_neg and any(
+                isinstance(a[0], Neg) for alts in carriers for a in alts
+            ):
+                return None
             return per
 
         if _expand([]) is None:
@@ -740,8 +774,31 @@ def _distribute_inner_or(inner: Node, reps: list) -> Node:
         per = _expand(reps_l)
         units = []
         for combo in _prod(*per):
-            for ilv in _interleavings(tuple(combo)):
-                units.append(ilv[0] if len(ilv) == 1 else Seq(*ilv))
+            blocks = []
+            negs = []  # (prev_leaf_name or None, next_leaf_name, Neg)
+            for alt in combo:
+                blocks.append(tuple(q for q in alt if isinstance(q, Ev)))
+                prev = None
+                for j, q in enumerate(alt):
+                    if isinstance(q, Neg):
+                        nxt = next(x for x in alt[j + 1:]
+                                   if isinstance(x, Ev))
+                        negs.append((prev, nxt.name, q))
+                    else:
+                        prev = q.name
+            for ilv in _interleavings(tuple(blocks)):
+                if not negs:
+                    units.append(ilv[0] if len(ilv) == 1 else Seq(*ilv))
+                    continue
+                idx = {e.name: j for j, e in enumerate(ilv)}
+                parts: list = []
+                for j, e in enumerate(ilv):
+                    gap = [n for (pv, nx, n) in negs
+                           if idx[nx] >= j and (pv is None or idx[pv] < j)]
+                    assert len(gap) <= 1  # single carrier, disjoint intervals
+                    parts.extend(gap)
+                    parts.append(e)
+                units.append(Seq(*parts))
         return units
 
     def _dist(seq: Seq):

@@ -3090,6 +3090,33 @@ DIST_PATTERNS = {
             Ev("t", role="tool")),
         window=timedelta(minutes=6),
     ),
+    # session 13: a Neg BETWEEN two leaves of a member — re-split
+    # across each extension's intermediate gaps (bound events are
+    # excluded from gap kills, so the sub-gap union equals the chain
+    # expansion's member interval exactly)
+    "dist_and_mem_neg": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(And_(Seq(Ev("w", role="tool"),
+                                    Neg(Ev("n", tool="sql")),
+                                    Ev("v", role="user")),
+                                Ev("x", role="assistant")),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
+    # session 13: a Neg LEADING a member — the interval starts at the
+    # event before the And_ (the previous position here) and ends at
+    # the member's first leaf, wherever the extension placed it
+    "dist_and_mem_lead_neg": Pattern(
+        Seq(Kleene(Seq(Ev("a", role="user"),
+                       Or_(And_(Seq(Neg(Ev("n", tool="sql")),
+                                    Ev("w", role="tool"),
+                                    Ev("v", role="user")),
+                                Ev("x", role="assistant")),
+                           Ev("c", role="tool")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=6),
+    ),
     # double nesting: the chosen sub-branch is itself a Seq with a
     # further Or_ — recursion + Seq splicing in one unit
     "dist_deep": Pattern(
@@ -3150,7 +3177,8 @@ _DIST_MAX_N = {"dist_pos_branch": 9, "dist_branch_neg": 9,
                "dist_and_in_branch": 9, "dist_and_as_branch": 8,
                "dist_neg_then_and": 9, "dist_and_seq_in_branch": 9,
                "dist_and_seq_as_branch": 8, "dist_and_member_nested": 9,
-               "dist_neg_then_and_seq": 9}
+               "dist_neg_then_and_seq": 9, "dist_and_mem_neg": 8,
+               "dist_and_mem_lead_neg": 8}
 
 
 @pytest.mark.parametrize("name", sorted(DIST_PATTERNS))

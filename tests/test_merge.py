@@ -411,10 +411,21 @@ def _suffix_part(draw):
             # both lower to standard branch/unit layouts whose
             # deterministic __d{k} names keep signatures stable
             if draw(st.booleans()):
+                # session 14: the Seq member may carry an interior or
+                # leading Neg — re-split into each extension's sub-gaps
+                # at compile time, so the merged automaton still sees
+                # only standard gap-Neg units
+                neg_kind = draw(st.sampled_from(["none", "mid", "lead"]))
+                if neg_kind == "mid":
+                    mem = Seq(draw(_leaf()), Neg(draw(_leaf())),
+                              draw(_leaf()))
+                elif neg_kind == "lead":
+                    mem = Seq(Neg(draw(_leaf())), draw(_leaf()),
+                              draw(_leaf()))
+                else:
+                    mem = Seq(draw(_leaf()), draw(_leaf()))
                 return [Kleene(Seq(draw(_leaf()),
-                                   Or_(And_(Seq(draw(_leaf()),
-                                                draw(_leaf())),
-                                            draw(_leaf())),
+                                   Or_(And_(mem, draw(_leaf())),
                                        draw(_leaf()))),
                                max_len=None)]
             return [Kleene(Seq(draw(_leaf()),

@@ -96,9 +96,20 @@ def kleene_node(draw):
             # distributed over LINEAR EXTENSIONS (the member's leaves
             # stay ordered, blocks interleave) — or a nested And_
             # MEMBER of an And_ position (an Or_ member of its
-            # interleavings)
+            # interleavings).  Session 14: the Seq member may carry a
+            # Neg BETWEEN its leaves or LEADING it — re-inserted into
+            # every sub-gap of each extension (bound events are
+            # excluded from gap kills, so the sub-gap union equals the
+            # member interval exactly)
             if draw(st.booleans()):
-                blk = And_(Seq(draw(leaf()), draw(leaf())), draw(leaf()))
+                neg_kind = draw(st.sampled_from(["none", "mid", "lead"]))
+                if neg_kind == "mid":
+                    mem = Seq(draw(leaf()), Neg(draw(leaf())), draw(leaf()))
+                elif neg_kind == "lead":
+                    mem = Seq(Neg(draw(leaf())), draw(leaf()), draw(leaf()))
+                else:
+                    mem = Seq(draw(leaf()), draw(leaf()))
+                blk = And_(mem, draw(leaf()))
                 return Kleene(
                     Seq(draw(leaf()), Or_(blk, draw(leaf()))),
                     max_len=None)

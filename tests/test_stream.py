@@ -276,6 +276,34 @@ def test_parity_dist_and_ext_group(spark, events_pdf, tmp_path):
     assert got.count() == 123
 
 
+def test_parity_dist_and_mem_neg_group(spark, events_pdf, tmp_path):
+    """Round 5, session 14: a Neg BETWEEN two leaves of the And_'s Seq
+    member — re-split into each extension's sub-gaps at compile time —
+    through the REAL streaming state store.  The killer type EQUALS the
+    sibling member's type, so in the (w, x, v) extension the bound x
+    sits INSIDE the guarded (w, v) interval: rows survive only because
+    bound events are excluded from gap kills, whether the killer and
+    the flanking events arrive in the same or different micro-batches.
+    48h window at sf0.001: 111 rows (123 without the Neg), all three
+    extension units bound (6/7/6) — a raw unexcluded gap check zeroes
+    the __d2 unit and fails the pin."""
+    import __spark_entry__ as entry_mod
+
+    cp = compile_pattern(entry_mod._KLEENE_DIST_AND_MEM_NEG_PAT)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf)],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"),
+               "m_distmemneg")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp,
+                      mode="flat")
+    assert _nn_rows(got.collect()) == _nn_rows(batch.collect())
+    pdf = got.toPandas()
+    assert len(pdf) == 111
+    assert int(pdf["w__d2_len"].notna().sum()) == 7  # exclusion-pinned
+
+
 def test_parity_branch_trail_neg_group(spark, events_pdf, tmp_path):
     """Round 5, session 5: a Neg TRAILING a Seq branch — its gap closes
     OUTSIDE the branch (loop-back between repetitions + bubbled gap to

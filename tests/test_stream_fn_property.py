@@ -338,6 +338,20 @@ PATTERNS = {
                            Ev("c", role="assistant")))),
             Ev("t", role="user")),
         window=timedelta(seconds=180)),
+    # session 14: a Neg BETWEEN two leaves of the And_'s Seq member —
+    # re-split into each extension's sub-gaps at compile time, so the
+    # persisted state is plain gap-Neg units; the gap check must fire
+    # identically whether the killer arrives in the same or a later
+    # micro-batch than the events flanking it
+    "group_dist_and_mem_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(And_(Seq(Ev("w", role="assistant"),
+                                    Neg(Ev("n", tool="sql")),
+                                    Ev("v", role="tool", tool="python")),
+                                Ev("x", role="tool", tool="sql")),
+                           Ev("c", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=180)),
 }
 
 
