@@ -1049,6 +1049,80 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# round 5 (session 16): an UNBOUNDED leaf Kleene nested inside the
+# UNBOUNDED repetition — neither level is bounded at compile time.  The
+# inner Kleene lowers to a LOOPING position of the repetition body
+# (compiler Slot.grp_loop): each repetition binds a 'view' then a
+# one-or-more run of 'click's via self-loop continue transitions
+# (Transition.loop_cont), the next repetition strictly after the run.
+# The click variable's element tuple is FLAT across repetitions (runs
+# concatenate in bind order), so b_len counts every chosen click of the
+# match.  The oracle walks ONE EVENT AT A TIME in a recursive CTE — a
+# phase flag distinguishes "just bound a view, need >= 1 click" from
+# "inside a click run (may extend, start a new repetition, or finish)";
+# each binding's event sequence is a unique path, so UNION ALL
+# enumerates each match exactly once.
+
+_KLEENE_NESTED_UNBOUNDED_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("a", event_type="view"),
+                   Kleene(Ev("b", event_type="click")))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=48),
+)
+
+
+def _kleene_nested_unbounded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_NESTED_UNBOUNDED_PAT),
+                     mode="flat")
+
+
+def _kleene_nested_unbounded_oracle() -> str:
+    w = int(_KLEENE_NESTED_UNBOUNDED_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT a.user_id, a.ts AS first_ts, 0 AS in_run,
+         1 AS a_cnt, a.event_id AS a_first, a.event_id AS a_last,
+         0 AS b_cnt, CAST(NULL AS BIGINT) AS b_first,
+         CAST(NULL AS BIGINT) AS b_last,
+         a.event_id AS last_id, a.ts AS last_ts
+  FROM events a WHERE a.event_type = 'view'
+  UNION ALL
+  SELECT c.user_id, c.first_ts,
+         CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END,
+         c.a_cnt + CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END,
+         c.a_first,
+         CASE WHEN e.event_type = 'view' THEN e.event_id ELSE c.a_last END,
+         c.b_cnt + CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END,
+         CASE WHEN e.event_type = 'click'
+              THEN COALESCE(c.b_first, e.event_id) ELSE c.b_first END,
+         CASE WHEN e.event_type = 'click' THEN e.event_id ELSE c.b_last END,
+         e.event_id, e.ts
+  FROM chains c JOIN events e ON e.user_id = c.user_id
+  WHERE (e.event_type = 'click'
+         OR (e.event_type = 'view' AND c.in_run = 1))
+    AND (c.last_ts < e.ts OR (c.last_ts = e.ts AND c.last_id < e.event_id))
+    AND EPOCH(e.ts) - EPOCH(c.first_ts) <= {w}
+)
+SELECT c.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(c.a_cnt AS BIGINT) AS a_len,
+       CAST(c.a_first AS BIGINT) AS a_first,
+       CAST(c.a_last AS BIGINT) AS a_last,
+       CAST(c.b_cnt AS BIGINT) AS b_len,
+       CAST(c.b_first AS BIGINT) AS b_first,
+       CAST(c.b_last AS BIGINT) AS b_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains c JOIN events p ON p.user_id = c.user_id
+WHERE c.in_run = 1 AND p.event_type = 'purchase'
+  AND (c.last_ts < p.ts OR (c.last_ts = p.ts AND c.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(c.first_ts) <= {w}
+"""
+
+
 # round 5 (session 12): an Or_ NESTED inside the Seq branch —
 # `Or_(Seq(w, Or_(x, y)), c)` — distributed at compile time into flat
 # units (w__d1, x__d1) | (w__d2, y__d2) | c with per-unit variable
@@ -3084,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_query
     out["cep_kleene_group_br_trail_edge"] = _kleene_group_br_trail_edge_query
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_query
+    out["cep_kleene_nested_unbounded"] = _kleene_nested_unbounded_query
     out["cep_kleene_and_pos"] = _kleene_and_pos_query
     out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_query
     out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_query
@@ -3127,6 +3202,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_br_trail_neg"] = _kleene_group_br_trail_neg_oracle()
     out["cep_kleene_group_br_trail_edge"] = _kleene_group_br_trail_edge_oracle()
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_oracle()
+    out["cep_kleene_nested_unbounded"] = _kleene_nested_unbounded_oracle()
     out["cep_kleene_and_pos"] = _kleene_and_pos_oracle()
     out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_oracle()
     out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_oracle()

@@ -823,6 +823,23 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                         var_group=var_group,
                         aligned=slot_aligned.get(tr.slot, ()),
                     )
+                    if tr.loop_cont and s.adjacent is not None:
+                        # unbounded nested Kleene (session 16):
+                        # adjacent-pair condition between the run's
+                        # consecutive chosen events — continue binds
+                        # only (an entry bind starts a fresh run; the
+                        # tuple's last element is always the CURRENT
+                        # repetition's previous choice here)
+                        prev_pos = np.fromiter(
+                            (t[-1] for t in tbl.kleene[s.var]),
+                            dtype=np.int64, count=len(tbl),
+                        )
+                        mask &= _eval_conds(
+                            (s.adjacent,), store, tbl, s.var, cur_row,
+                            extra_scalar={
+                                f"{s.var}__prev": store.gather(prev_pos)
+                            },
+                        )
                     if tr.rep_start and s.kleene_max is not None:
                         # bounded composite under group lowering: cap
                         # the repetition count at the loop-back bind

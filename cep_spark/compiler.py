@@ -99,6 +99,19 @@ class Slot:
     # member unit vars are branch vars (sparse element tuples, like Or_
     # position branches).
     mem: Optional[int] = None
+    # An UNBOUNDED leaf Kleene at its own position of a "seq" group
+    # (round 5, session 16): the slot binds one event to ENTER the
+    # position (the ordinary entry transition) and may then bind MORE
+    # events of the same repetition's run via self-loop continue
+    # transitions (Transition.loop_cont) while no later position of the
+    # current repetition has bound — mid == grp_idx+1, or the group is
+    # complete-and-open when the loop ends the repetition body.  The
+    # element tuple stays FLAT (repetition runs concatenate in bind
+    # order); conjuncts referencing the variable evaluate per element
+    # like Or_-branch vars, and pairings with same-group mates are
+    # rejected at compile time (alignment would need per-repetition
+    # slicing — same refuse-over-drop policy as branch+mate conjuncts).
+    grp_loop: bool = False
 
 
 @dataclass(frozen=True)
@@ -199,6 +212,14 @@ class Transition:
     # mid-repetition in the source state, so their last element is the
     # CURRENT repetition's and must be skipped).  Empty everywhere else.
     gap_pre: tuple = ()
+    # self-loop CONTINUE bind of an unbounded nested leaf Kleene
+    # (Slot.grp_loop, session 16): appends another event to the current
+    # repetition's run.  Gap negation specs never fire here (the gap
+    # INTO the position closed at the entry bind; the gap OUT of it
+    # closes at a later slot's bind), and the slot's adjacent-pair
+    # condition applies between the run's consecutive chosen events
+    # (entry binds start a fresh run and skip it).
+    loop_cont: bool = False
 
 
 @dataclass
@@ -431,10 +452,29 @@ def _validate_group_inner(node: Kleene) -> None:
             and all(_mem_ok(x) for x in p.parts)
         )
 
+    def _loop_ok(p):
+        # an UNBOUNDED nested leaf Kleene (session 16): its own looping
+        # position — the repetition binds one-or-more events of it.
+        # Bounded nested Kleenes were pre-expanded to chains before
+        # validation, so any Kleene part reaching here is unbounded.
+        return (isinstance(p, Kleene) and isinstance(p.inner, Ev)
+                and p.max_len is None)
+
+    positives = (
+        [p for p in inner.parts if not isinstance(p, Neg)]
+        if isinstance(inner, Seq) else []
+    )
     ok = (
         isinstance(inner, Seq)
-        and sum(isinstance(p, (Ev, Or_, And_)) for p in inner.parts) >= 2
-        and all(_seq_part_ok(p) for p in inner.parts)
+        and sum(
+            isinstance(p, (Ev, Or_, And_)) or _loop_ok(p)
+            for p in inner.parts
+        ) >= 2
+        and all(_seq_part_ok(p) or _loop_ok(p) for p in inner.parts)
+        # an unbounded nested Kleene must not START the repetition: the
+        # repetition count, loop-back entry, and trailing-gap machinery
+        # all key on position 0 binding exactly once per repetition
+        and not (positives and _loop_ok(positives[0]))
         # no two adjacent Negs (each Neg guards exactly one leaf gap)
         and not any(
             isinstance(a, Neg) and isinstance(b, Neg)
@@ -487,12 +527,16 @@ def _validate_group_inner(node: Kleene) -> None:
             "the whole body may also be a bare And_ of leaves "
             "(unordered repetitions).  An Or_ NESTED inside a Seq "
             "branch/member distributes into flat units at compile "
-            "time (session 12) and a BOUNDED nested Kleene "
-            "pre-expands to chains, so reaching this error means the "
-            "body has an UNBOUNDED nested Kleene, an And_ inside a "
-            "unit, adjacent Negs, or a Neg with no gap boundary — "
-            "those require max_len on the OUTER Kleene (fixed chain "
-            "expansion at compile time)"
+            "time (session 12), a BOUNDED nested Kleene pre-expands "
+            "to chains, and an UNBOUNDED nested LEAF Kleene is a "
+            "looping position of the Seq body (session 16 — it may "
+            "not START the repetition, and may not sit inside an "
+            "Or_ branch or And_ member), so reaching this error "
+            "means the body has an unbounded nested Kleene in an "
+            "unsupported placement, an unbounded COMPOSITE nested "
+            "Kleene, an And_ inside a unit, adjacent Negs, or a Neg "
+            "with no gap boundary — those require max_len on the "
+            "OUTER Kleene (fixed chain expansion at compile time)"
         )
 
 
@@ -1071,7 +1115,37 @@ def _collect(
                 new_sids = []
                 entry_sids = []
                 trail_here: list = []  # trailing (neg, last_leaf_var) per branch
-                if isinstance(part, And_):
+                if isinstance(part, Kleene):
+                    # UNBOUNDED nested leaf Kleene (round 5, session
+                    # 16): one LOOPING sub-slot at its own position —
+                    # the repetition binds one event to enter it (the
+                    # ordinary entry transition; a Neg before this part
+                    # guards the gap to that FIRST element) and may
+                    # append more elements of the same repetition's run
+                    # via self-loop continue transitions while no later
+                    # position of the repetition has bound
+                    # (_successors; Slot.grp_loop / Transition.
+                    # loop_cont).  The element tuple stays FLAT across
+                    # repetitions — runs concatenate in bind order, and
+                    # the run's last element is always the tuple's last,
+                    # so gap specs OUT of the position (a following Neg,
+                    # the loop-back / trailing gaps) read their left
+                    # boundary from the ordinary pre_vars max.
+                    # Validation guarantees this is never position 0
+                    # (the repetition count and loop-back entry key on
+                    # position 0 binding once per repetition) and that
+                    # the inner is a plain leaf.
+                    sid = len(slots)
+                    slots.append(
+                        Slot(sid, part.inner.name, part.inner.where,
+                             kleene=True, kleene_max=node.max_len,
+                             prereq=here, adjacent=part.adjacent,
+                             group=gid, grp_idx=j, grp_loop=True)
+                    )
+                    new_sids = [sid]
+                    entry_sids = [sid]
+                    branches = ()
+                elif isinstance(part, And_):
                     # conjunctive position (round 5, sessions 6–7): one
                     # sub-slot per member EVENT at the SAME grp_idx with
                     # pos_all=True (br = member index, br_idx = event
@@ -1417,7 +1491,7 @@ def _group_map(slots: list) -> dict:
 
 def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> list:
     """Every legal single-event bind out of automaton state (bound, mid):
-    list of (slot, new_bound, new_mid, repeat, rep_start).
+    list of (slot, new_bound, new_mid, repeat, rep_start, loop_cont).
 
     Group rules: a "seq" group's current repetition binds its sub-slots
     in order (tracked by `mid` as a next-index pointer); an "and" group
@@ -1503,7 +1577,7 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
         if s.group is None:
             if s.sid in bound or not prereq_ok(s) or not prereq_groups_ok(s):
                 continue
-            out.append((s, bound | {s.sid}, mid, False, False))
+            out.append((s, bound | {s.sid}, mid, False, False, False))
             continue
         gs = groups[s.group]
         npos = gs[-1].grp_idx + 1  # positions, not slots (Or_ branches)
@@ -1557,7 +1631,7 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                         nm[s.group] = (jj, nprog)
                     out.append(
                         (s, bound | {s.sid}, frozenset(nm.items()),
-                         s.sid in bound, False)
+                         s.sid in bound, False, False)
                     )
                     continue
                 if isinstance(cur, tuple):
@@ -1565,6 +1639,18 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                     if s.grp_idx != jj or s.br != bb or s.br_idx != kk:
                         continue
                 else:
+                    if (s.grp_loop and cur == s.grp_idx + 1
+                            and s.sid in bound):
+                        # self-loop CONTINUE of an unbounded nested
+                        # leaf Kleene (session 16): mid == grp_idx+1
+                        # means the next position's entry has NOT
+                        # bound this repetition, so appending extends
+                        # the CURRENT repetition's run (strict
+                        # position interleaving preserved); state
+                        # unchanged — a skip/take fork like the leaf
+                        # Kleene's self-extension
+                        out.append((s, bound, mid, True, False, True))
+                        continue
                     if cur != s.grp_idx or s.br_idx != 0:
                         continue
                     jj = cur
@@ -1580,8 +1666,24 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                 else:
                     nm[s.group] = jj + 1
             out.append(
-                (s, bound | {s.sid}, frozenset(nm.items()), s.sid in bound, False)
+                (s, bound | {s.sid}, frozenset(nm.items()), s.sid in bound,
+                 False, False)
             )
+            continue
+        if (s.grp_loop and s.sid in bound and s.grp_idx == npos - 1):
+            # the loop position ENDS the repetition body and the group
+            # is complete (not in mid): extend the LATEST repetition's
+            # run while the group is still OPEN — once a successor
+            # outside the group binds, or a new repetition starts (mid
+            # present, handled above), extension stops.  The tuple's
+            # last elements are the latest repetition's, so the append
+            # attributes correctly.
+            g_sids = {x.sid for x in gs}
+            if not any(
+                o.sid in bound and o.group != s.group and (g_sids & o.prereq)
+                for o in slots
+            ):
+                out.append((s, bound, mid, True, False, True))
             continue
         if not unordered and (s.grp_idx != 0 or s.br_idx != 0):
             continue  # a seq-group repetition always starts at position
@@ -1607,7 +1709,10 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
             # first repetition
             if not prereq_ok(s) or not prereq_groups_ok(s):
                 continue
-            out.append((s, bound | {s.sid}, frozenset(nm.items()), False, False))
+            out.append(
+                (s, bound | {s.sid}, frozenset(nm.items()), False, False,
+                 False)
+            )
         else:
             # loop-back: group complete and still open.  A branch slot
             # first chosen at a LATER repetition enters here with
@@ -1621,7 +1726,8 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
             ):
                 continue
             out.append(
-                (s, bound | {s.sid}, frozenset(nm.items()), s.sid in bound, True)
+                (s, bound | {s.sid}, frozenset(nm.items()), s.sid in bound,
+                 True, False)
             )
     return out
 
@@ -1671,7 +1777,9 @@ def _reachable_states(slots: list) -> list:
     while frontier:
         nxt = []
         for st in frontier:
-            for s, nb, nm, repeat, _rs in _successors(st.bound, st.mid, slots, groups):
+            for s, nb, nm, repeat, _rs, _lc in _successors(
+                st.bound, st.mid, slots, groups
+            ):
                 kk = (nb, nm)
                 if kk not in states:
                     ns = State(
@@ -1855,7 +1963,8 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             slot_list.append(
                 Slot(s.sid, s.var, u, s.kleene, s.kleene_max, s.prereq,
                      s.adjacent, s.group, s.grp_idx, s.grp_kind,
-                     s.br, s.br_idx, s.br_len, s.pos_all, s.mem)
+                     s.br, s.br_idx, s.br_len, s.pos_all, s.mem,
+                     s.grp_loop)
             )
             if s.adjacent is not None:
                 # {var}__prev reads the same physical columns as {var}
@@ -1871,7 +1980,8 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             slot_list = [
                 Slot(s.sid, s.var, FALSE, s.kleene, s.kleene_max, s.prereq,
                      s.adjacent, s.group, s.grp_idx, s.grp_kind,
-                     s.br, s.br_idx, s.br_len, s.pos_all, s.mem)
+                     s.br, s.br_idx, s.br_len, s.pos_all, s.mem,
+                     s.grp_loop)
                 for s in slot_list
             ]
             multi = []
@@ -2056,6 +2166,14 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             if s.group is not None and (
                 (not s.pos_all and pos_count[(s.group, s.grp_idx)] > 1)
                 or (s.pos_all and s.mem is not None)
+                # an unbounded nested Kleene's variable (session 16)
+                # binds a VARIABLE number of elements per repetition —
+                # per-repetition zip alignment with its group mates
+                # would need run slicing, so it evaluates per element
+                # like a branch var and mate pairings reject below
+                # (the bounded-inner chain expansion rejects the same
+                # pairings: its chain instances are Or_-branch vars)
+                or s.grp_loop
             )
         }
         if branch_vars:
@@ -2072,21 +2190,36 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
             for vs in by_branch.values():
                 for v in vs:
                     same_branch[v] = vs
+            loop_vars = {s.var for s in slots if s.grp_loop}
             for c in multi:
                 for bv in set(c.vars()) & set(branch_vars):
                     mates = (gvars[branch_vars[bv]] - {bv}) & set(c.vars())
                     mates -= same_branch.get(bv, frozenset())
-                    if mates:
+                    if not mates:
+                        continue
+                    if bv in loop_vars:
                         raise ValueError(
-                            f"condition {c!r} references Or_-branch "
-                            f"variable {bv!r} together with same-group "
-                            f"variable(s) {sorted(mates)} outside its own "
-                            "branch: a branch binds only in the "
-                            "repetitions that chose it, so per-repetition "
-                            "alignment with its group mates is undefined "
-                            "(same-branch variables zip-align and ARE "
-                            "allowed)"
+                            f"condition {c!r} pairs nested-Kleene "
+                            f"variable {bv!r} with same-group "
+                            f"variable(s) {sorted(mates)}: the nested "
+                            "Kleene binds a VARIABLE number of elements "
+                            "per repetition, so per-repetition "
+                            "alignment with its group mates is "
+                            "unsupported (bound the nested Kleene — "
+                            "its chain instances then evaluate per "
+                            "repetition — or rewrite the condition "
+                            "over non-group variables)"
                         )
+                    raise ValueError(
+                        f"condition {c!r} references Or_-branch "
+                        f"variable {bv!r} together with same-group "
+                        f"variable(s) {sorted(mates)} outside its own "
+                        "branch: a branch binds only in the "
+                        "repetitions that chose it, so per-repetition "
+                        "alignment with its group mates is undefined "
+                        "(same-branch variables zip-align and ARE "
+                        "allowed)"
+                    )
 
         # build states
         states = _reachable_states(slots)
@@ -2104,7 +2237,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
 
         for st in states:
             bound_vars = vars_of_set[st.bound]
-            for s, nb, nm, repeat, rep_start in _successors(
+            for s, nb, nm, repeat, rep_start, loop_cont in _successors(
                 st.bound, st.mid, slots, groups
             ):
                 if not repeat:
@@ -2199,6 +2332,11 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                     gi
                     for gi in gap_idx
                     if s.sid in neg_specs[gi].post_slots
+                    # a CONTINUE bind of an unbounded nested Kleene
+                    # (session 16) never closes a gap: the gap INTO the
+                    # position closed at the entry bind, and gaps OUT
+                    # of it close at a later slot's bind
+                    and not loop_cont
                     # member-scoped gaps (session 8) close at their own
                     # sub-slot's bind even mid-position
                     and (pos_entry or neg_specs[gi].mem_gap)
@@ -2260,7 +2398,7 @@ def compile_pattern(pat: Pattern, composite: str = "auto") -> CompiledPattern:
                     Transition(
                         s.sid, state_of[(nb, nm)], conds, gnegs,
                         not nm and _complete_bound(nb, slots, groups),
-                        repeat, rep_start, gap_pre,
+                        repeat, rep_start, gap_pre, loop_cont,
                     )
                 )
             # kleene self-loops: per-event conds = conjuncts mentioning the

@@ -303,6 +303,16 @@ def merge_compiled(cps) -> CompiledPattern:
                     # member of the same event layout
                     s.mem,
                     tuple(sorted(s.prereq)),
+                ) + (
+                    # unbounded nested Kleene position (session 16) —
+                    # appended conditionally so signatures of loop-free
+                    # families (all existing checkpoints) are
+                    # unchanged.  A loop slot must never merge with a
+                    # plain position of the same layout: merged states
+                    # union transitions, and the loop's continue
+                    # self-loops would leak into the plain pattern's
+                    # tags.
+                    ("K",) if s.grp_loop else ()
                 )
 
             # merged group ids (per distinct member base-signature tuple)
@@ -354,6 +364,7 @@ def merge_compiled(cps) -> CompiledPattern:
                         s.br_len,
                         s.pos_all,
                         s.mem,
+                        s.grp_loop,
                     )
                     m_slots.append(ms)
                     slot_of_sig[sig] = ms
@@ -519,7 +530,12 @@ def merge_compiled(cps) -> CompiledPattern:
                         tuple(sorted(m_neg_idx[g] for g in tr.gap_negs)),
                         tr.repeat,
                         tr.rep_start,
-                    ) + ((m_gap_pre,) if m_gap_pre else ())
+                    ) + ((m_gap_pre,) if m_gap_pre else ()) + (
+                        # continue self-loop of an unbounded nested
+                        # Kleene (session 16) — conditional so
+                        # loop-free signatures are unchanged
+                        ("LC",) if tr.loop_cont else ()
+                    )
                     if tsig not in tr_seen[mst.sid]:
                         tr_seen[mst.sid][tsig] = True
                         mst.transitions.append(
@@ -532,6 +548,7 @@ def merge_compiled(cps) -> CompiledPattern:
                                 tr.repeat,
                                 tr.rep_start,
                                 m_gap_pre,
+                                tr.loop_cont,
                             )
                         )
                 for ksid, kconds in st.kleene_loops:
@@ -552,7 +569,7 @@ def merge_compiled(cps) -> CompiledPattern:
         st.transitions = [
             Transition(t.slot, t.target, t.conds, t.gap_negs,
                        t.target in tag_map, t.repeat, t.rep_start,
-                       t.gap_pre)
+                       t.gap_pre, t.loop_cont)
             for t in st.transitions
         ]
 

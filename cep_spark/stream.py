@@ -1111,6 +1111,11 @@ def _pattern_fp(cp, w_ns):
             # Or_-member unit ownership (session 9) — same conditional
             # rule: mem-free families keep their fingerprints
             + ((("O", s.mem),) if s.mem is not None else ())
+            # unbounded nested Kleene position (session 16) — same
+            # conditional rule: loop-free families keep their
+            # fingerprints (continue transitions derive from this flag
+            # at compile time)
+            + (("K",) if s.grp_loop else ())
             for s in alt.slots
         )
         negs = tuple(

@@ -113,8 +113,16 @@ def _fold_group_binding(b: dict, groups: list) -> dict:
     for base, items in per_base.items():
         if items:
             # repetition index order == position order (repetition j's
-            # events all precede repetition j+1's in a chain)
-            out[base] = tuple(p for _, p in sorted(items))
+            # events all precede repetition j+1's in a chain).  An
+            # UNBOUNDED nested leaf Kleene's chain instance binds a
+            # TUPLE per repetition (session 16) — flatten: the group
+            # lowering stores the loop variable's runs as one flat
+            # tuple in bind order, and within-repetition elements are
+            # already position-sorted.
+            out[base] = tuple(
+                x for _, p in sorted(items)
+                for x in (p if isinstance(p, tuple) else (p,))
+            )
     out["_alt"] = 0  # arity alternatives collapse into the one group alt
     return out
 

@@ -1323,11 +1323,22 @@ def test_nested_bounded_kleene_in_unbounded_group():
     assert nonzero > 0
 
 
-def test_nested_unbounded_kleene_still_rejected():
+def test_nested_unbounded_kleene_now_compiles():
+    """Session 16 lifted the rejection: an unbounded nested LEAF Kleene
+    is a looping position (tests/test_group_loop.py pins the
+    semantics); an unbounded COMPOSITE nested Kleene still rejects."""
+    cp = compile_pattern(_nested_pat(None).__class__(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Ev("b", role="assistant")))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ))
+    assert any(s.grp_loop for s in cp.alternatives[0].slots)
     with pytest.raises(ValueError, match="Seq of plain event leaves"):
         compile_pattern(_nested_pat(None).__class__(
             Seq(Kleene(Seq(Ev("u", role="user"),
-                           Kleene(Ev("b", role="assistant")))),
+                           Kleene(Seq(Ev("b", role="assistant"),
+                                      Ev("c", role="tool"))))),
                 Ev("t", role="tool")),
             window=timedelta(minutes=5),
         ))

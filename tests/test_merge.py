@@ -299,7 +299,24 @@ def _suffix_part(draw):
                                  "group_and_pos_mem_neg",
                                  "group_and_pos_or_mem",
                                  "group_bare_and_mem",
-                                 "group_dist_or"]))
+                                 "group_dist_or", "group_loop"]))
+    if kind == "group_loop":
+        # session 16: an UNBOUNDED leaf Kleene nested inside the
+        # repetition — grp_loop joins the slot signature (conditional
+        # append), so a loop position never merges with a plain-leaf
+        # position of the same layout (the continue self-loops would
+        # leak into the plain pattern's tags), while identical loop
+        # layouts share; sometimes with a boundary Neg so the gap
+        # specs reading the run's last element merge correctly
+        placement = draw(st.sampled_from(["tail", "mid", "neg"]))
+        inner = Kleene(draw(_leaf()), max_len=None)
+        if placement == "tail":
+            return [Kleene(Seq(draw(_leaf()), inner), max_len=None)]
+        if placement == "mid":
+            return [Kleene(Seq(draw(_leaf()), inner, draw(_leaf())),
+                           max_len=None)]
+        return [Kleene(Seq(draw(_leaf()), Neg(draw(_leaf())), inner),
+                       max_len=None)]
     if kind == "kleene":
         return [Kleene(draw(_leaf()), max_len=draw(st.sampled_from([None, 2])))]
     if kind == "neg_then_leaf":

@@ -73,8 +73,35 @@ def kleene_node(draw):
          "group_seq_or_neg", "group_br_neg", "group_and_pos",
          "group_and_pos_neg", "group_and_pos_seqmem",
          "group_and_pos_mem_neg", "group_and_pos_or_mem",
-         "group_bare_and_mem", "group_dist_or"]
+         "group_bare_and_mem", "group_dist_or", "group_loop"]
     ))
+    if shape == "group_loop":
+        # session 16: an UNBOUNDED leaf Kleene nested inside the
+        # unbounded repetition — a looping position (Slot.grp_loop);
+        # placements at position 0 and random WHERE conjuncts pairing
+        # the loop var with a group mate are compile-rejected (the
+        # test's except path)
+        inner = Kleene(draw(leaf()), max_len=None)
+        variant = draw(st.sampled_from(
+            ["tail", "mid", "neg_before", "neg_after", "two", "pos0"]
+        ))
+        if variant == "tail":
+            return Kleene(Seq(draw(leaf()), inner), max_len=None)
+        if variant == "mid":
+            return Kleene(Seq(draw(leaf()), inner, draw(leaf())),
+                          max_len=None)
+        if variant == "neg_before":
+            return Kleene(Seq(draw(leaf()), Neg(draw(leaf())), inner),
+                          max_len=None)
+        if variant == "neg_after":
+            return Kleene(Seq(draw(leaf()), inner, Neg(draw(leaf())),
+                              draw(leaf())), max_len=None)
+        if variant == "two":
+            return Kleene(
+                Seq(draw(leaf()), inner,
+                    Kleene(draw(leaf()), max_len=None)),
+                max_len=None)
+        return Kleene(Seq(inner, draw(leaf())), max_len=None)  # rejects
     if shape == "group_dist_or":
         # session 12: an Or_ NESTED inside a Seq branch (of an Or_
         # position) or a Seq member (of an And_ position) — distributed

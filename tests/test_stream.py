@@ -209,6 +209,37 @@ def test_parity_branch_neg_group(spark, events_pdf, tmp_path):
     assert got.count() == 108  # 116 without the in-branch Neg
 
 
+def test_parity_nested_unbounded_kleene(spark, events_pdf, tmp_path):
+    """Round 5, session 16: an UNBOUNDED leaf Kleene nested inside the
+    unbounded repetition through the REAL streaming state store — a
+    click RUN must keep extending across micro-batch cuts (the
+    loop_cont self-loop fires on partials restored from pickled state),
+    and the flat element tuple must attribute later-batch elements to
+    the latest repetition.  48h window on sf0.001: 191 matches, 74 of
+    them with more elements than repetitions (multi-element runs) —
+    probe-pinned, so a lowering that caps runs at one element fails
+    this test."""
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("a", event_type="view"),
+                       Kleene(Ev("b", event_type="click")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=48),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf,
+                                                   event_type="purchase")],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"), "m_loop")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp,
+                      mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    rows = got.collect()
+    assert len(rows) == 191
+    assert sum(1 for r in rows if r["b_len"] > r["a_len"]) == 74
+
+
 def test_parity_dist_or_group(spark, events_pdf, tmp_path):
     """Round 5, session 12: an Or_ NESTED inside the Seq branch —
     distributed at compile time into __d{k}-renamed units — through the

@@ -352,6 +352,16 @@ PATTERNS = {
                            Ev("c", role="assistant")))),
             Ev("t", role="user")),
         window=timedelta(seconds=180)),
+    # session 16: an UNBOUNDED leaf Kleene nested inside the unbounded
+    # repetition — a run must keep extending via loop_cont self-loops
+    # on partials restored from persisted state, and a gap Neg OUT of
+    # the run must read the flat tuple's last element across cuts
+    "group_loop": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Ev("b", role="assistant")),
+                       Neg(Ev("n", tool="sql")))),
+            Ev("t", role="tool")),
+        window=timedelta(seconds=180)),
 }
 
 
