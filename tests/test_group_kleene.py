@@ -1075,12 +1075,16 @@ def test_or_in_group_rejects():
             where=attr("w", "value") > attr("x", "value"),
             window=timedelta(minutes=5),
         ))
-    # UNBOUNDED nested Kleene inside the repetition has no chain
-    # expansion to branch on
+    # UNBOUNDED nested LEAF Kleene compiles since session 16 (a looping
+    # position — tests/test_group_loop.py); an unbounded nested Kleene
+    # INSIDE an Or_ branch still rejects (the loop machinery attaches
+    # to positions, not branch innards)
     with pytest.raises(ValueError, match="Seq of plain event leaves"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("u", role="user"),
-                           Kleene(Ev("w", role="assistant")))),
+                           Or_(Seq(Ev("w", role="assistant"),
+                                   Kleene(Ev("b", role="tool"))),
+                               Ev("x", role="tool")))),
                 Ev("t", role="user")),
             window=timedelta(minutes=5),
         ))

@@ -711,6 +711,59 @@ def test_resume_from_checkpoint_group_units(spark, events_pdf, tmp_path):
     assert got.count() == 883  # the probe-pinned or_mem row set
 
 
+def test_resume_from_checkpoint_loop_runs(spark, events_pdf, tmp_path):
+    """Session 16 state-restore pin: stop and RESTART a query over the
+    unbounded-nested-Kleene shape — partials whose click RUNS are open
+    at the stop boundary must restore from the checkpoint and keep
+    extending via loop_cont after the restart; union of emissions ==
+    batch, no duplicates."""
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("a", event_type="view"),
+                       Kleene(Ev("b", event_type="click")))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=48),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    sorted_ev = events_pdf.sort_values("ts").reset_index(drop=True)
+    n = len(sorted_ev)
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        _write_pq(sorted_ev.iloc[i * n // 6 : (i + 1) * n // 6],
+                  f"{src}/p{i:03d}.parquet")
+
+    def start():
+        sm = run_stream(spark, src, cp, watermark="0 seconds")
+        return (
+            sm.writeStream.foreachBatch(out.foreach_batch())
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(240)
+
+    for i in range(3, 6):
+        _write_pq(sorted_ev.iloc[i * n // 6 : (i + 1) * n // 6],
+                  f"{src}/p{i:03d}.parquet")
+    _write_pq(_flush_row(events_pdf, event_type="purchase"),
+              f"{src}/p999_flush.parquet")
+    q = start()
+    q.awaitTermination(240)
+
+    got = out.read_committed(spark)
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp,
+                      mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    rows = got.collect()
+    assert len(rows) == 191  # the probe-pinned loop row set
+    assert sum(1 for r in rows if r["b_len"] > r["a_len"]) == 74
+
+
 def test_sink_idempotent_replay(spark, tmp_path):
     """Replaying a committed batch id is a no-op (manifest guard)."""
     out = ExactlyOnceParquetSink(str(tmp_path / "out"))
