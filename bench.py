@@ -204,6 +204,26 @@ def main() -> None:
     # ("parsed": null in BENCH_r03.json) — the machine-readable stdout
     # line must stay compact and be printed LAST.
     full = dict(summary, rows=rows)
+
+    # The driver records only the LAST 2000 stdout chars (BENCH_r*.json
+    # "tail") — at 70 entries the 3-decimal line outgrew it, so degrade
+    # gracefully: drop sidecar-only metadata first, then per-query
+    # precision (10 ms resolution is ample for round-over-round
+    # comparisons; the sidecar keeps 3 decimals + row counts).
+    def _fits(s):
+        # 2000-char tail minus the trailing newline, minus a small
+        # margin for stray final stderr/stdout interleaving
+        return len(json.dumps(s, separators=(",", ":"))) <= 1985
+    if not _fits(summary):
+        for k in ("stream_batches", "stream_matches", "repeat",
+                  "wall_sec", "cpus"):
+            summary.pop(k, None)
+    for nd in (2, 1):
+        if _fits(summary):
+            break
+        summary["queries"] = {k: round(v, nd)
+                              for k, v in summary["queries"].items()}
+        summary["value"] = round(sum(summary["queries"].values()), 2)
     try:
         sidecar = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
