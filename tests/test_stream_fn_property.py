@@ -362,6 +362,16 @@ PATTERNS = {
                        Neg(Ev("n", tool="sql")))),
             Ev("t", role="tool")),
         window=timedelta(seconds=180)),
+    # ... and with the trailing Neg bubbled to the PATTERN END: sealed
+    # matches PARK until first.ts+W, so the parked rows must pack the
+    # loop variable's flat run tuple and the re-verification must read
+    # the run's last element as the gap boundary
+    "group_loop_parked": Pattern(
+        Seq(Ev("s", role="tool"),
+            Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Ev("b", role="assistant")),
+                       Neg(Ev("n", tool="sql"))))),
+        window=timedelta(seconds=180)),
 }
 
 
@@ -465,7 +475,7 @@ def random_pattern_scenario(draw):
     return pat, g, cuts
 
 
-@settings(max_examples=150, deadline=None,
+@settings(max_examples=1000, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=random_pattern_scenario())
 def test_random_pattern_stream_fn_parity(sc):
@@ -639,7 +649,7 @@ def _canon_multi(pdfs):
     return sorted(rows)
 
 
-@settings(max_examples=60, deadline=None,
+@settings(max_examples=300, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=scenario())
 def test_multi_fn_exactly_once_parity(sc):
@@ -680,7 +690,7 @@ def test_multi_fn_exactly_once_parity(sc):
     assert state.removed or not state.exists
 
 
-@settings(max_examples=120, deadline=None,
+@settings(max_examples=400, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=scenario())
 def test_incremental_fn_exactly_once_parity(sc):
