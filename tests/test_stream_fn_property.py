@@ -475,7 +475,7 @@ def random_pattern_scenario(draw):
     return pat, g, cuts
 
 
-@settings(max_examples=1000, deadline=None,
+@settings(max_examples=150, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=random_pattern_scenario())
 def test_random_pattern_stream_fn_parity(sc):
@@ -649,7 +649,7 @@ def _canon_multi(pdfs):
     return sorted(rows)
 
 
-@settings(max_examples=300, deadline=None,
+@settings(max_examples=60, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=scenario())
 def test_multi_fn_exactly_once_parity(sc):
@@ -690,7 +690,7 @@ def test_multi_fn_exactly_once_parity(sc):
     assert state.removed or not state.exists
 
 
-@settings(max_examples=400, deadline=None,
+@settings(max_examples=120, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sc=scenario())
 def test_incremental_fn_exactly_once_parity(sc):
