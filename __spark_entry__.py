@@ -1123,6 +1123,79 @@ WHERE c.in_run = 1 AND p.event_type = 'purchase'
 """
 
 
+# round 5 (session 17): the unbounded nested leaf Kleene STARTS the
+# repetition body — `Kleene(Seq(Kleene(b), a))` with neither level
+# bounded.  The loop's ENTRY bind opens each repetition (loop-back
+# entry from a completed group), continue binds extend the run while
+# the anchor hasn't bound, and the repetition-count anchor for the
+# bounded forced-group cap moves to the first NON-loop position
+# (batch.py grp_anchor_vars).  Each repetition = a one-or-more run of
+# 'click's then a 'view'; then a 'purchase'.  The oracle mirrors the
+# session-16 entry with the phases swapped: a chain STARTS at a click
+# (in_run=1), a view closes the repetition (in_run=0, requires
+# in_run=1), a click either extends the run or opens the next
+# repetition; matches emit only with the repetition closed.
+
+_KLEENE_LOOP_FIRST_PAT = _p(
+    Seq(
+        Kleene(Seq(Kleene(Ev("b", event_type="click")),
+                   Ev("a", event_type="view"))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=48),
+)
+
+
+def _kleene_loop_first_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_LOOP_FIRST_PAT),
+                     mode="flat")
+
+
+def _kleene_loop_first_oracle() -> str:
+    w = int(_KLEENE_LOOP_FIRST_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT b.user_id, b.ts AS first_ts, 1 AS in_run,
+         0 AS a_cnt, CAST(NULL AS BIGINT) AS a_first,
+         CAST(NULL AS BIGINT) AS a_last,
+         1 AS b_cnt, b.event_id AS b_first, b.event_id AS b_last,
+         b.event_id AS last_id, b.ts AS last_ts
+  FROM events b WHERE b.event_type = 'click'
+  UNION ALL
+  SELECT c.user_id, c.first_ts,
+         CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END,
+         c.a_cnt + CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END,
+         CASE WHEN e.event_type = 'view'
+              THEN COALESCE(c.a_first, e.event_id) ELSE c.a_first END,
+         CASE WHEN e.event_type = 'view' THEN e.event_id ELSE c.a_last END,
+         c.b_cnt + CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END,
+         c.b_first,
+         CASE WHEN e.event_type = 'click' THEN e.event_id ELSE c.b_last END,
+         e.event_id, e.ts
+  FROM chains c JOIN events e ON e.user_id = c.user_id
+  WHERE (e.event_type = 'click'
+         OR (e.event_type = 'view' AND c.in_run = 1))
+    AND (c.last_ts < e.ts OR (c.last_ts = e.ts AND c.last_id < e.event_id))
+    AND EPOCH(e.ts) - EPOCH(c.first_ts) <= {w}
+)
+SELECT c.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(c.b_cnt AS BIGINT) AS b_len,
+       CAST(c.b_first AS BIGINT) AS b_first,
+       CAST(c.b_last AS BIGINT) AS b_last,
+       CAST(c.a_cnt AS BIGINT) AS a_len,
+       CAST(c.a_first AS BIGINT) AS a_first,
+       CAST(c.a_last AS BIGINT) AS a_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains c JOIN events p ON p.user_id = c.user_id
+WHERE c.in_run = 0 AND p.event_type = 'purchase'
+  AND (c.last_ts < p.ts OR (c.last_ts = p.ts AND c.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(c.first_ts) <= {w}
+"""
+
+
 # round 5 (session 12): an Or_ NESTED inside the Seq branch —
 # `Or_(Seq(w, Or_(x, y)), c)` — distributed at compile time into flat
 # units (w__d1, x__d1) | (w__d2, y__d2) | c with per-unit variable
@@ -3159,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_group_br_trail_edge"] = _kleene_group_br_trail_edge_query
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_query
     out["cep_kleene_nested_unbounded"] = _kleene_nested_unbounded_query
+    out["cep_kleene_loop_first"] = _kleene_loop_first_query
     out["cep_kleene_and_pos"] = _kleene_and_pos_query
     out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_query
     out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_query
@@ -3203,6 +3277,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_group_br_trail_edge"] = _kleene_group_br_trail_edge_oracle()
     out["cep_kleene_nested_bounded"] = _kleene_nested_bounded_oracle()
     out["cep_kleene_nested_unbounded"] = _kleene_nested_unbounded_oracle()
+    out["cep_kleene_loop_first"] = _kleene_loop_first_oracle()
     out["cep_kleene_and_pos"] = _kleene_and_pos_oracle()
     out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_oracle()
     out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_oracle()

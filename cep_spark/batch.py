@@ -701,14 +701,30 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                 row_cols.update(col for _, col in c.cols())
         row_arrays = [(c, store._cols[c]) for c in sorted(row_cols)]
 
-        # seq-group position-0 variables per group: the repetition count
-        # of a partial is the TOTAL number of binds at the group's first
-        # position — with Or_ branches that is a SUM across branch vars
-        # (each repetition binds exactly one of them)
-        grp_pos0_vars: dict = {}
+        # seq-group repetition-count ANCHOR variables per group: the
+        # repetition count of a partial is the TOTAL number of binds at
+        # the group's first NON-loop position — with Or_ branches that
+        # is a SUM across branch vars (each repetition binds exactly
+        # one of them).  An unbounded nested leaf Kleene's looping
+        # position (session 17: allowed at position 0 too) binds a
+        # VARIABLE number of elements per repetition, so it cannot
+        # anchor the count; the cap check only fires at loop-back binds
+        # (group COMPLETE), where every finished repetition has bound
+        # every position once — any non-loop position counts them
+        # (validation guarantees one exists)
+        grp_anchor_vars: dict = {}
+        anchor_idx: dict = {}
         for s in alt.slots:
             if (s.group is not None and s.grp_kind != "and"
-                    and s.grp_idx == 0 and s.br_idx == 0
+                    and not s.grp_loop):
+                j = anchor_idx.get(s.group)
+                anchor_idx[s.group] = (
+                    s.grp_idx if j is None else min(j, s.grp_idx)
+                )
+        for s in alt.slots:
+            if (s.group is not None and s.grp_kind != "and"
+                    and s.grp_idx == anchor_idx.get(s.group, 0)
+                    and not s.grp_loop and s.br_idx == 0
                     and (not s.pos_all or s.br == 0 or s.mem == 0)):
                 # entry sub-slots only: a multi-event (Seq) branch binds
                 # once per repetition at its br_idx-0 event; a
@@ -717,7 +733,7 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                 # is an Or_ (session 9), exactly one of its units binds
                 # per repetition, so summing across them stays one per
                 # repetition
-                grp_pos0_vars.setdefault(s.group, []).append(s.var)
+                grp_anchor_vars.setdefault(s.group, []).append(s.var)
 
         def _accept_negs(sub, neg_indices, edge_w=None):
             # accept-time negation checks: span + leading/trailing edges
@@ -843,11 +859,13 @@ def advance_core(cp: CompiledPattern, store, ts_ns, masks, tables_in=None, start
                     if tr.rep_start and s.kleene_max is not None:
                         # bounded composite under group lowering: cap
                         # the repetition count at the loop-back bind
-                        # (seq groups: SUM of position-0 branch tuple
-                        # lengths — one bind per repetition; a branch
-                        # never bound contributes 0)
+                        # (seq groups: SUM of the anchor position's
+                        # branch tuple lengths — one bind per
+                        # repetition; a branch never bound contributes
+                        # 0; the anchor is the first NON-loop position,
+                        # see grp_anchor_vars above)
                         vs = (
-                            grp_pos0_vars[s.group]
+                            grp_anchor_vars[s.group]
                             if s.grp_kind != "and" else [s.var]
                         )
                         lens = np.zeros(len(tbl), dtype=np.int64)

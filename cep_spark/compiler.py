@@ -460,10 +460,6 @@ def _validate_group_inner(node: Kleene) -> None:
         return (isinstance(p, Kleene) and isinstance(p.inner, Ev)
                 and p.max_len is None)
 
-    positives = (
-        [p for p in inner.parts if not isinstance(p, Neg)]
-        if isinstance(inner, Seq) else []
-    )
     ok = (
         isinstance(inner, Seq)
         and sum(
@@ -471,10 +467,16 @@ def _validate_group_inner(node: Kleene) -> None:
             for p in inner.parts
         ) >= 2
         and all(_seq_part_ok(p) or _loop_ok(p) for p in inner.parts)
-        # an unbounded nested Kleene must not START the repetition: the
-        # repetition count, loop-back entry, and trailing-gap machinery
-        # all key on position 0 binding exactly once per repetition
-        and not (positives and _loop_ok(positives[0]))
+        # a loop may sit at ANY position — including position 0
+        # (session 17: the loop's ENTRY bind happens exactly once per
+        # repetition, so the loop-back entry and per-repeat gap specs
+        # key on it unchanged; only the bounded-cap repetition COUNT
+        # needs a non-loop anchor, batch.py grp_anchor_vars) — but at
+        # least one position must be a NON-loop positive: an all-loop
+        # body has no position whose tuple length equals the repetition
+        # count, so the bounded forced-group cap (and the chain-parity
+        # evidence that pins the semantics) would have no anchor
+        and any(isinstance(p, (Ev, Or_, And_)) for p in inner.parts)
         # no two adjacent Negs (each Neg guards exactly one leaf gap)
         and not any(
             isinstance(a, Neg) and isinstance(b, Neg)
@@ -529,11 +531,14 @@ def _validate_group_inner(node: Kleene) -> None:
             "branch/member distributes into flat units at compile "
             "time (session 12), a BOUNDED nested Kleene pre-expands "
             "to chains, and an UNBOUNDED nested LEAF Kleene is a "
-            "looping position of the Seq body (session 16 — it may "
-            "not START the repetition, and may not sit inside an "
-            "Or_ branch or And_ member), so reaching this error "
+            "looping position of the Seq body (sessions 16-17 — any "
+            "position, including the first, but the body needs at "
+            "least one NON-loop position as the repetition-count "
+            "anchor, and a loop may not sit inside an Or_ branch or "
+            "And_ member), so reaching this error "
             "means the body has an unbounded nested Kleene in an "
-            "unsupported placement, an unbounded COMPOSITE nested "
+            "unsupported placement (all positions loops, or inside a "
+            "branch/member), an unbounded COMPOSITE nested "
             "Kleene, an And_ inside a unit, adjacent Negs, or a Neg "
             "with no gap boundary — those require max_len on the "
             "OUTER Kleene (fixed chain expansion at compile time)"
@@ -1131,10 +1136,16 @@ def _collect(
                     # so gap specs OUT of the position (a following Neg,
                     # the loop-back / trailing gaps) read their left
                     # boundary from the ordinary pre_vars max.
-                    # Validation guarantees this is never position 0
-                    # (the repetition count and loop-back entry key on
-                    # position 0 binding once per repetition) and that
-                    # the inner is a plain leaf.
+                    # The loop may sit at ANY position, including 0
+                    # (session 17): its ENTRY bind still happens exactly
+                    # once per repetition — continue binds are separate
+                    # loop_cont transitions that carry no gap specs and
+                    # never count as repetition starts — so loop-back
+                    # entry and per-repeat gap machinery key on it
+                    # unchanged; only the bounded-cap repetition COUNT
+                    # re-anchors on the first NON-loop position
+                    # (batch.py grp_anchor_vars; validation guarantees
+                    # one exists).  The inner is a plain leaf.
                     sid = len(slots)
                     slots.append(
                         Slot(sid, part.inner.name, part.inner.where,

@@ -1,5 +1,8 @@
 """Unbounded nested LEAF Kleene inside an unbounded composite Kleene
-(round 5, session 16): ``Kleene(Seq(a, Kleene(b)), max_len=None)``.
+(round 5, sessions 16-17): ``Kleene(Seq(a, Kleene(b)), max_len=None)``
+— and, since session 17, at ANY body position including the first
+(``Kleene(Seq(Kleene(b), a))``; the repetition-count anchor for the
+bounded forced-group cap moves to the first NON-loop position).
 
 The inner Kleene becomes a LOOPING position of the repetition body
 (compiler Slot.grp_loop): the repetition binds one event to enter it
@@ -121,6 +124,50 @@ LOOP_PATTERNS = {
                               > attr("b__prev", "value")))),
             Ev("t", role="tool")),
         window=timedelta(minutes=5),
+    ),
+    # ---- session 17: the loop STARTS the repetition body ----
+    # the loop's ENTRY bind opens repetition j (loop-back entry with
+    # rep_start from a completed group); continues extend the run while
+    # mid == 1; the repetition-count anchor moves to position 1
+    "loop_first": Pattern(
+        Seq(Kleene(Seq(Kleene(Ev("b", role="assistant")),
+                       Ev("u", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    # gap Neg OUT of the position-0 loop: guards (run's LAST b, u_j)
+    "loop_first_neg_after": Pattern(
+        Seq(Kleene(Seq(Kleene(Ev("b", role="assistant")),
+                       Neg(Ev("n", tool="sql")), Ev("u", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    # pattern-initial leading Neg BEFORE the position-0 loop: first
+    # repetition = window-bounded root edge, later = loop-back gap
+    # closing at the run's ENTRY bind only
+    "loop_first_lead_neg": Pattern(
+        Seq(Kleene(Seq(Neg(Ev("n", tool="sql")),
+                       Kleene(Ev("b", role="assistant")),
+                       Ev("u", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ),
+    # trailing Neg with a position-0 loop: the loop-back gap's left
+    # boundary is the ANCHOR's bind, its right the next run's entry
+    "loop_first_trail_neg": Pattern(
+        Seq(Ev("s", role="tool"),
+            Kleene(Seq(Kleene(Ev("b", role="assistant")),
+                       Ev("u", role="user"), Neg(Ev("n", tool="sql"))))),
+        window=timedelta(minutes=5),
+    ),
+    # loops at BOTH ends of the body: entry run + complete-and-open
+    # extension compose around one anchor
+    "loop_first_and_last": Pattern(
+        Seq(Kleene(Seq(Kleene(Ev("b", role="assistant")),
+                       Ev("u", role="user"),
+                       Kleene(Ev("d", role="tool")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
     ),
 }
 
@@ -248,6 +295,34 @@ def test_loop_neg_vs_bounded_inner_chains():
     )
 
 
+def test_loop_first_vs_bounded_inner_chains():
+    # session 17: loop at position 0
+    _unb_vs_bounded(
+        lambda N: Pattern(
+            Seq(Kleene(Seq(Kleene(Ev("b", role="assistant"), max_len=N),
+                           Ev("u", role="user"))),
+                Ev("t", role="tool")),
+            window=timedelta(minutes=5),
+        ),
+        {"b"}, 0x5EED + 3,
+    )
+
+
+def test_loop_first_neg_vs_bounded_inner_chains():
+    # session 17: loop at position 0 with a gap Neg OUT of it and a
+    # trailing Neg after the anchor (loop-back + bubbled gaps)
+    _unb_vs_bounded(
+        lambda N: Pattern(
+            Seq(Kleene(Seq(Kleene(Ev("b", role="assistant"), max_len=N),
+                           Neg(Ev("n", tool="sql")), Ev("u", role="user"),
+                           Neg(Ev("m", role="user")))),
+                Ev("t", role="tool")),
+            window=timedelta(minutes=5),
+        ),
+        {"b"}, 0x5EED + 4,
+    )
+
+
 def test_loop_adjacent_vs_bounded_inner_chains():
     _unb_vs_bounded(
         lambda N: Pattern(
@@ -286,6 +361,50 @@ def test_bounded_outer_loop_equals_chain_expansion():
         mg = _canon_nfa(match_group_nfa(cp_group, gs))
         # chain names: u__j for the outer repetition, b__j__r_k for the
         # nested chains — fold BOTH layers back
+        import re
+
+        folded = []
+        for a, b in match_group_nfa(cp_chain, gs):
+            fb: dict = {}
+            for v, p in b.items():
+                m = re.fullmatch(r"([ub])__\d+(?:__\d+_\d+)?", v)
+                base = m.group(1) if m else v
+                pp = p if isinstance(p, tuple) else (p,)
+                if m:
+                    fb[base] = tuple(sorted(fb.get(base, ()) + pp))
+                else:
+                    fb[v] = p
+            folded.append((0, tuple(sorted(
+                (v, p if isinstance(p, tuple) else (p,)) for v, p in fb.items()
+            ))))
+        assert mg == sorted(set(folded)), f"trial {trial}\n{g}"
+        nonzero += bool(mg)
+        capped += any(len(dict(b)["u"]) == 2 for _, b in mg)
+    assert nonzero > 0 and capped > 0
+
+
+def test_bounded_outer_loop_first_equals_chain_expansion():
+    """Session 17: bounded OUTER with the loop at position 0 — the
+    repetition-count anchor moves to the first NON-loop position
+    (batch.py grp_anchor_vars), so the cap at the loop-back bind counts
+    repetitions, not run elements."""
+    def pat_of(outer, inner):
+        return Pattern(
+            Seq(Kleene(Seq(Kleene(Ev("b", role="assistant"), max_len=inner),
+                           Ev("u", role="user")), max_len=outer),
+                Ev("t", role="tool")),
+            window=timedelta(minutes=5),
+        )
+
+    cp_group = compile_pattern(pat_of(2, None), composite="group")
+    rng = np.random.default_rng(0xCA9 + 1)
+    nonzero = capped = 0
+    for trial in range(40):
+        g = _gen_group(trial * 17 + 3, int(rng.integers(3, 11)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        n = len(gs)
+        cp_chain = compile_pattern(pat_of(2, max(1, n)))
+        mg = _canon_nfa(match_group_nfa(cp_group, gs))
         import re
 
         folded = []
@@ -365,13 +484,64 @@ def test_loop_mechanics_fixture():
     assert rest == {((1,), 2), ((3,), 4), ((1, 3), 4)}
 
 
+def test_loop_first_mechanics_fixture():
+    """Hand-computed position-0 loop mechanics: repetition j+1's run
+    starts strictly AFTER repetition j's last bind, and the leading
+    Neg's per-repeat gap closes at the run's ENTRY element only."""
+    ts0 = pd.Timestamp("2026-01-01")
+
+    def frame(types, tools=None):
+        return pd.DataFrame({
+            "conv_id": "c0",
+            "turn_idx": np.arange(len(types), dtype=np.int32),
+            "role": list(types),
+            "tool": list(tools) if tools else "python",
+            "ts": ts0 + pd.to_timedelta(np.arange(len(types)), unit="s"),
+            "value": np.arange(len(types), dtype=float),
+        })
+
+    pat = LOOP_PATTERNS["loop_first"]
+    cp = compile_pattern(pat)
+    # b in {0,1,3}, u in {2,4}, t=5
+    g = frame(["assistant", "assistant", "user", "assistant", "user",
+               "tool"])
+    res = {(tuple(b["u"]), tuple(b["b"]))
+           for _, b in match_group_nfa(cp, g)}
+    expect = {((2,), s) for s in [(0,), (1,), (0, 1)]}
+    expect |= {((4,), s) for s in [(0,), (1,), (3,), (0, 1), (0, 3),
+                                   (1, 3), (0, 1, 3)]}
+    # two repetitions: rep2's run must start strictly after u=2
+    expect |= {((2, 4), s) for s in [(0, 3), (1, 3), (0, 1, 3)]}
+    assert res == expect
+
+    # leading Neg before the position-0 loop: entry-gated per-repeat
+    # gap + window-bounded first-repetition edge
+    patn = LOOP_PATTERNS["loop_first_lead_neg"]
+    cpn = compile_pattern(patn)
+    gg = frame(["assistant", "user", "tool", "assistant", "user", "tool"],
+               ["python", "python", "sql", "python", "python", "python"])
+    resn = {(tuple(b["u"]), tuple(b["b"]), b["t"])
+            for _, b in match_group_nfa(cpn, gg)}
+    # sql at 2 kills: first-rep runs ENTERING at 3, and rep2 entries
+    # whose gap (u=1, entry=3) spans it; a run (0,3) SPANNING the sql
+    # survives (the gap closed at entry 0 — chain semantics)
+    assert resn == {((1,), (0,), 2), ((1,), (0,), 5),
+                    ((4,), (0,), 5), ((4,), (0, 3), 5)}
+
+
 def test_loop_rejections():
-    # position 0 of the repetition
+    # position 0 COMPILES since session 17 — but an ALL-loop body has
+    # no repetition-count anchor and rejects
+    compile_pattern(Pattern(
+        Seq(Ev("s", role="tool"),
+            Kleene(Seq(Kleene(Ev("b", role="assistant")),
+                       Ev("u", role="user")))),
+        window=timedelta(minutes=5)))
     with pytest.raises(ValueError, match="unbounded Kleene over a composite"):
         compile_pattern(Pattern(
             Seq(Ev("s", role="tool"),
                 Kleene(Seq(Kleene(Ev("b", role="assistant")),
-                           Ev("u", role="user")))),
+                           Kleene(Ev("c", role="user"))))),
             window=timedelta(minutes=5)))
     # bare Kleene(Kleene(b))
     with pytest.raises(ValueError, match="unbounded Kleene over a composite"):
@@ -448,6 +618,20 @@ def test_loop_merge_signatures_discriminate():
     m2 = merge_compiled([compile_pattern(p_loop), compile_pattern(p_loop)])
     assert len(m2.alternatives[0].slots) == len(
         compile_pattern(p_loop).alternatives[0].slots)
+    # session 17: a position-0 loop never merges with a tail loop of
+    # the same leaves (grp_idx is in the slot signature), while
+    # identical position-0 twins merge fully
+    p_first = Pattern(
+        Seq(Kleene(Seq(Kleene(Ev("b", role="assistant")),
+                       Ev("u", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5))
+    m3 = merge_compiled([compile_pattern(p_first), compile_pattern(p_loop)])
+    assert len(m3.alternatives[0].slots) > len(
+        compile_pattern(p_first).alternatives[0].slots)
+    m4 = merge_compiled([compile_pattern(p_first), compile_pattern(p_first)])
+    assert len(m4.alternatives[0].slots) == len(
+        compile_pattern(p_first).alternatives[0].slots)
     # and the merged automaton matches both patterns' outputs
     rng = np.random.default_rng(0xFACE)
     from cep_spark.batch import match_group_nfa as mg

@@ -308,13 +308,18 @@ def _suffix_part(draw):
         # leak into the plain pattern's tags), while identical loop
         # layouts share; sometimes with a boundary Neg so the gap
         # specs reading the run's last element merge correctly
-        placement = draw(st.sampled_from(["tail", "mid", "neg"]))
+        placement = draw(st.sampled_from(["tail", "mid", "neg", "pos0"]))
         inner = Kleene(draw(_leaf()), max_len=None)
         if placement == "tail":
             return [Kleene(Seq(draw(_leaf()), inner), max_len=None)]
         if placement == "mid":
             return [Kleene(Seq(draw(_leaf()), inner, draw(_leaf())),
                            max_len=None)]
+        if placement == "pos0":
+            # session 17: the loop STARTS the body — grp_idx 0 vs 1 in
+            # the slot signature keeps it from merging with a tail loop
+            # of the same leaves
+            return [Kleene(Seq(inner, draw(_leaf())), max_len=None)]
         return [Kleene(Seq(draw(_leaf()), Neg(draw(_leaf())), inner),
                        max_len=None)]
     if kind == "kleene":

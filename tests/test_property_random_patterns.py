@@ -77,13 +77,15 @@ def kleene_node(draw):
     ))
     if shape == "group_loop":
         # session 16: an UNBOUNDED leaf Kleene nested inside the
-        # unbounded repetition — a looping position (Slot.grp_loop);
-        # placements at position 0 and random WHERE conjuncts pairing
-        # the loop var with a group mate are compile-rejected (the
-        # test's except path)
+        # unbounded repetition — a looping position (Slot.grp_loop) at
+        # any placement, including position 0 (session 17); random
+        # WHERE conjuncts pairing the loop var with a group mate are
+        # compile-rejected (the test's except path), as is an all-loop
+        # body (no repetition-count anchor)
         inner = Kleene(draw(leaf()), max_len=None)
         variant = draw(st.sampled_from(
-            ["tail", "mid", "neg_before", "neg_after", "two", "pos0"]
+            ["tail", "mid", "neg_before", "neg_after", "two", "pos0",
+             "pos0_trail", "all_loop"]
         ))
         if variant == "tail":
             return Kleene(Seq(draw(leaf()), inner), max_len=None)
@@ -101,7 +103,18 @@ def kleene_node(draw):
                 Seq(draw(leaf()), inner,
                     Kleene(draw(leaf()), max_len=None)),
                 max_len=None)
-        return Kleene(Seq(inner, draw(leaf())), max_len=None)  # rejects
+        if variant == "pos0_trail":
+            # loop STARTS the body with a trailing Neg after the
+            # anchor position (loop-back gap + bubbled gap)
+            return Kleene(Seq(inner, draw(leaf()), Neg(draw(leaf()))),
+                          max_len=None)
+        if variant == "all_loop":
+            # every position a loop: no repetition-count anchor —
+            # compile-rejected (the except path)
+            return Kleene(
+                Seq(inner, Kleene(draw(leaf()), max_len=None)),
+                max_len=None)
+        return Kleene(Seq(inner, draw(leaf())), max_len=None)  # pos0
     if shape == "group_dist_or":
         # session 12: an Or_ NESTED inside a Seq branch (of an Or_
         # position) or a Seq member (of an And_ position) — distributed

@@ -240,6 +240,39 @@ def test_parity_nested_unbounded_kleene(spark, events_pdf, tmp_path):
     assert sum(1 for r in rows if r["b_len"] > r["a_len"]) == 74
 
 
+def test_parity_loop_first_position(spark, events_pdf, tmp_path):
+    """Round 5, session 17: the unbounded nested leaf Kleene STARTS the
+    repetition body — through the REAL streaming state store.  A click
+    RUN that OPENS a repetition must keep extending across micro-batch
+    cuts (loop_cont on restored partials), and a loop-back entry in a
+    later batch must open repetition j+1 strictly after repetition j's
+    anchor.  96h window on sf0.001: 486 matches, 61 multi-repetition
+    (the loop-back entry path) and 209 with more elements than
+    repetitions (multi-element runs) — probe-pinned, so a lowering
+    that caps runs at one element or misses the loop-back fails."""
+    pat = _pat(
+        Seq(Kleene(Seq(Kleene(Ev("b", event_type="click")),
+                       Ev("a", event_type="view"))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=96),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf,
+                                                   event_type="purchase")],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"),
+               "m_loop_first")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp,
+                      mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    rows = got.collect()
+    assert len(rows) == 486
+    assert sum(1 for r in rows if r["a_len"] > 1) == 61
+    assert sum(1 for r in rows if r["b_len"] > r["a_len"]) == 209
+
+
 def test_parity_dist_or_group(spark, events_pdf, tmp_path):
     """Round 5, session 12: an Or_ NESTED inside the Seq branch —
     distributed at compile time into __d{k}-renamed units — through the

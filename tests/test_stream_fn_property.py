@@ -372,6 +372,17 @@ PATTERNS = {
                        Kleene(Ev("b", role="assistant")),
                        Neg(Ev("n", tool="sql"))))),
         window=timedelta(seconds=180)),
+    # session 17: the loop STARTS the repetition body — a run opened in
+    # one micro-batch must keep extending from persisted state, a
+    # loop-back entry (rep_start) must open repetition j+1's run only
+    # strictly after repetition j's last bind, and the per-repeat gap
+    # between the loop run and the anchor is entry-gated
+    "group_loop_first": Pattern(
+        Seq(Kleene(Seq(Kleene(Ev("b", role="assistant")),
+                       Neg(Ev("n", tool="sql")),
+                       Ev("u", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(seconds=180)),
 }
 
 
