@@ -457,8 +457,21 @@ def _validate_group_inner(node: Kleene) -> None:
         # position — the repetition binds one-or-more events of it.
         # Bounded nested Kleenes were pre-expanded to chains before
         # validation, so any Kleene part reaching here is unbounded.
-        return (isinstance(p, Kleene) and isinstance(p.inner, Ev)
-                and p.max_len is None)
+        if not (isinstance(p, Kleene) and p.max_len is None):
+            return False
+        if isinstance(p.inner, Ev):
+            return True
+        # session 18: an UNBOUNDED nested COMPOSITE Kleene whose body
+        # is a Seq of plain leaves — a looping UNIT position: the
+        # repetition binds one-or-more full (b, c, ...) inner
+        # repetitions in strict order, re-entering through the unit's
+        # first leaf (adjacent-pair conditions and Negs INSIDE the
+        # unit are not supported — an adjacent pair would need
+        # cross-run scoping, and an inner gap spec would have to fire
+        # at continue binds, which never carry gap specs)
+        return (p.adjacent is None and isinstance(p.inner, Seq)
+                and len(p.inner.parts) >= 2
+                and all(isinstance(x, Ev) for x in p.inner.parts))
 
     ok = (
         isinstance(inner, Seq)
@@ -530,18 +543,23 @@ def _validate_group_inner(node: Kleene) -> None:
             "(unordered repetitions).  An Or_ NESTED inside a Seq "
             "branch/member distributes into flat units at compile "
             "time (session 12), a BOUNDED nested Kleene pre-expands "
-            "to chains, and an UNBOUNDED nested LEAF Kleene is a "
-            "looping position of the Seq body (sessions 16-17 — any "
-            "position, including the first, but the body needs at "
+            "to chains (leaf chains, or per-branch-renamed unit "
+            "chains for a bounded Seq-of-leaves composite), and an "
+            "UNBOUNDED nested Kleene is a looping position of the "
+            "Seq body — a LEAF loop (sessions 16-17) or a composite "
+            "UNIT loop over a Seq of plain leaves (session 18; the "
+            "repetition binds one-or-more full inner repetitions, "
+            "re-entering through the unit's first leaf) — at any "
+            "position including the first, but the body needs at "
             "least one NON-loop position as the repetition-count "
             "anchor, and a loop may not sit inside an Or_ branch or "
-            "And_ member), so reaching this error "
-            "means the body has an unbounded nested Kleene in an "
-            "unsupported placement (all positions loops, or inside a "
-            "branch/member), an unbounded COMPOSITE nested "
-            "Kleene, an And_ inside a unit, adjacent Negs, or a Neg "
-            "with no gap boundary — those require max_len on the "
-            "OUTER Kleene (fixed chain expansion at compile time)"
+            "And_ member, carry an adjacent-pair condition (composite "
+            "only), or contain Negs/Or_/And_/Kleene inside its unit. "
+            "Reaching this error means the body has a nested Kleene "
+            "in one of those unsupported placements/shapes, an And_ "
+            "inside a unit, adjacent Negs, or a Neg with no gap "
+            "boundary — those require max_len on the OUTER Kleene "
+            "(fixed chain expansion at compile time)"
         )
 
 
@@ -602,6 +620,65 @@ def _kleene_count_chains(k: Kleene, reps: list) -> list:
         out.append(evs[0] if r == 1 else Seq(*evs))
     reps.append(("all", [name], mappings))
     return out
+
+
+def _kleene_unit_chains(k: Kleene, reps: list) -> list:
+    """Chain-expand a BOUNDED composite (Seq-of-plain-leaves) Kleene
+    nested inside an unbounded (or force-grouped) repetition body:
+    branch r binds r inner repetitions —
+    ``Seq(b__r_1, c__r_1, ..., b__r_r, c__r_r)``.  The branches coexist
+    as alternative sub-slots of ONE Or_ position of the group lowering,
+    so every instance needs a unique name; without this renaming the
+    bottom-up bounded expansion produces branches sharing ``{v}__{j}``
+    names and compilation dies with a confusing duplicate-variable
+    error (the pre-session-18 behavior).  Registers ONE ("all", ...)
+    reps entry whose mappings rename all leaves of an (r, j) instance
+    JOINTLY: a `where` conjunct pairing two leaves of the unit zips per
+    inner repetition, while a conjunct on one leaf replicates per
+    instance — exactly the group lowering's same-branch zip /
+    per-element semantics."""
+    names = [ev.name for ev in k.inner.parts]
+    mappings = []
+    out = []
+    for r in range(1, k.max_len + 1):
+        insts = []
+        for j in range(1, r + 1):
+            m = {v: f"{v}__{r}_{j}" for v in names}
+            mappings.append(m)
+            insts.extend(_rename_node(ev, m) for ev in k.inner.parts)
+        out.append(Seq(*insts))
+    reps.append(("all", names, mappings))
+    return out
+
+
+def _is_bounded_unit_comp(p) -> bool:
+    """A bounded composite Kleene whose body is a Seq of >= 2 plain
+    leaves and which carries no adjacent-pair condition — the shape
+    `_kleene_unit_chains` expands."""
+    return (isinstance(p, Kleene) and p.max_len is not None
+            and p.adjacent is None and isinstance(p.inner, Seq)
+            and len(p.inner.parts) >= 2
+            and all(isinstance(x, Ev) for x in p.inner.parts))
+
+
+def _pre_expand_unit_bounded(inner: Node, reps: list) -> Node:
+    """Rewrite BOUNDED composite Kleenes among the DIRECT Seq parts of
+    an unbounded/forced-group repetition body into Or_-of-chains with
+    per-branch-unique names (see `_kleene_unit_chains`) BEFORE the
+    bottom-up expansion reaches them — the generic bounded expansion's
+    ``{v}__{j}`` naming is only unique per alternative, and here the
+    chains become branches of one position."""
+    if not isinstance(inner, Seq):
+        return inner
+    new = []
+    for p in inner.parts:
+        if _is_bounded_unit_comp(p):
+            new.append(Or_(*_kleene_unit_chains(p, reps)))
+        else:
+            new.append(p)
+    if all(a is b for a, b in zip(new, inner.parts)):
+        return inner
+    return Seq(*new)
 
 
 def _expand_nested_bounded(inner: Node, reps: list) -> Node:
@@ -953,6 +1030,17 @@ def _expand_composite_kleene(node: Node, reps: list, force_group: bool = False) 
     if isinstance(node, (Ev, Neg)):
         return node
     if isinstance(node, Kleene):
+        if (node.max_len is None or force_group) and isinstance(node.inner, Seq):
+            # BOUNDED composite Kleenes nested in this repetition body
+            # become Or_ positions of count chains with per-branch
+            # UNIQUE names (session 18) — must run BEFORE the bottom-up
+            # recursion below reaches them with the per-alternative
+            # {v}__{j} naming, which collides across branches of one
+            # position
+            pre = _pre_expand_unit_bounded(node.inner, reps)
+            if pre is not node.inner:
+                node = Kleene(pre, max_len=node.max_len,
+                              adjacent=node.adjacent)
         inner = _expand_composite_kleene(node.inner, reps, force_group)
         if isinstance(inner, Ev):
             return node if inner is node.inner else Kleene(inner, max_len=node.max_len)
@@ -1145,16 +1233,45 @@ def _collect(
                     # unchanged; only the bounded-cap repetition COUNT
                     # re-anchors on the first NON-loop position
                     # (batch.py grp_anchor_vars; validation guarantees
-                    # one exists).  The inner is a plain leaf.
-                    sid = len(slots)
-                    slots.append(
-                        Slot(sid, part.inner.name, part.inner.where,
-                             kleene=True, kleene_max=node.max_len,
-                             prereq=here, adjacent=part.adjacent,
-                             group=gid, grp_idx=j, grp_loop=True)
-                    )
-                    new_sids = [sid]
-                    entry_sids = [sid]
+                    # one exists).  The inner is a plain leaf — or
+                    # (session 18) a Seq of plain leaves: a looping
+                    # UNIT position with one kleene sub-slot per inner
+                    # leaf, br_idx-ordered exactly like a multi-event
+                    # branch (entries and per-repeat gap specs key on
+                    # the br_idx-0 slot; the unit's leaves bind in
+                    # order through the ordinary (j, 0, k) mid pointer;
+                    # re-entry for another inner repetition goes back
+                    # through the first leaf via loop_cont transitions
+                    # that SET the mid — see _successors).  Unit leaves
+                    # zip-align per inner repetition (same-branch
+                    # alignment, br_len > 1) and are loop vars like the
+                    # leaf case (pairings with group mates reject).
+                    if isinstance(part.inner, Seq):
+                        uhere = here
+                        u_evs = part.inner.parts
+                        for k2, uev in enumerate(u_evs):
+                            sid = len(slots)
+                            slots.append(
+                                Slot(sid, uev.name, uev.where,
+                                     kleene=True, kleene_max=node.max_len,
+                                     prereq=uhere, group=gid, grp_idx=j,
+                                     br=0, br_idx=k2, br_len=len(u_evs),
+                                     grp_loop=True)
+                            )
+                            if k2 == 0:
+                                entry_sids.append(sid)
+                            new_sids.append(sid)
+                            uhere = uhere | frozenset({sid})
+                    else:
+                        sid = len(slots)
+                        slots.append(
+                            Slot(sid, part.inner.name, part.inner.where,
+                                 kleene=True, kleene_max=node.max_len,
+                                 prereq=here, adjacent=part.adjacent,
+                                 group=gid, grp_idx=j, grp_loop=True)
+                        )
+                        new_sids = [sid]
+                        entry_sids = [sid]
                     branches = ()
                 elif isinstance(part, And_):
                     # conjunctive position (round 5, sessions 6–7): one
@@ -1651,16 +1768,28 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
                         continue
                 else:
                     if (s.grp_loop and cur == s.grp_idx + 1
-                            and s.sid in bound):
+                            and s.sid in bound and s.br_idx == 0):
                         # self-loop CONTINUE of an unbounded nested
-                        # leaf Kleene (session 16): mid == grp_idx+1
+                        # Kleene (session 16): mid == grp_idx+1
                         # means the next position's entry has NOT
                         # bound this repetition, so appending extends
                         # the CURRENT repetition's run (strict
-                        # position interleaving preserved); state
-                        # unchanged — a skip/take fork like the leaf
-                        # Kleene's self-extension
-                        out.append((s, bound, mid, True, False, True))
+                        # position interleaving preserved).  Leaf loop:
+                        # state unchanged — a skip/take fork like the
+                        # leaf Kleene's self-extension.  Composite UNIT
+                        # loop (session 18, br_len > 1): re-entry
+                        # through the unit's FIRST leaf starts another
+                        # inner repetition — the mid returns to
+                        # (grp_idx, 0, 1) and the unit's remaining
+                        # leaves bind through the ordinary tuple path
+                        # before anything outside the unit may bind
+                        if s.br_len == 1:
+                            out.append((s, bound, mid, True, False, True))
+                        else:
+                            nm2 = dict(mid_d)
+                            nm2[s.group] = (s.grp_idx, 0, 1)
+                            out.append((s, bound, frozenset(nm2.items()),
+                                        True, False, True))
                         continue
                     if cur != s.grp_idx or s.br_idx != 0:
                         continue
@@ -1688,13 +1817,23 @@ def _successors(bound: frozenset, mid: frozenset, slots: list, groups: dict) -> 
             # outside the group binds, or a new repetition starts (mid
             # present, handled above), extension stops.  The tuple's
             # last elements are the latest repetition's, so the append
-            # attributes correctly.
+            # attributes correctly.  A composite UNIT loop (session 18)
+            # re-enters through its FIRST leaf only, and the extension
+            # re-opens the mid at (grp_idx, 0, 1) — the unit must
+            # complete (restoring the group-complete state) before
+            # anything outside it binds.
             g_sids = {x.sid for x in gs}
-            if not any(
+            if s.br_idx == 0 and not any(
                 o.sid in bound and o.group != s.group and (g_sids & o.prereq)
                 for o in slots
             ):
-                out.append((s, bound, mid, True, False, True))
+                if s.br_len == 1:
+                    out.append((s, bound, mid, True, False, True))
+                else:
+                    nm2 = dict(mid_d)
+                    nm2[s.group] = (s.grp_idx, 0, 1)
+                    out.append((s, bound, frozenset(nm2.items()),
+                                True, False, True))
             continue
         if not unordered and (s.grp_idx != 0 or s.br_idx != 0):
             continue  # a seq-group repetition always starts at position

@@ -105,24 +105,29 @@ def _fold_group_binding(b: dict, groups: list) -> dict:
     for v, p in b.items():
         if v == "_alt":
             continue
-        m = re.fullmatch(r"(.+)__(\d+)", v)
+        # one OR MORE __<idx> layers: a nested bounded COMPOSITE
+        # Kleene's chain instances (session 18) carry an inner-instance
+        # suffix UNDER the outer repetition suffix (b__i__j, or
+        # b__r_j__k for unit chains) — strip the whole suffix stack
+        # when the prefix is a group base name
+        m = re.fullmatch(r"(.+?)((?:__\d+(?:_\d+)?)+)", v)
         if m and m.group(1) in base_names:
-            per_base[m.group(1)].append((int(m.group(2)), p))
+            per_base[m.group(1)].append(p)
         else:
             out[v] = p
     for base, items in per_base.items():
         if items:
-            # repetition index order == position order (repetition j's
-            # events all precede repetition j+1's in a chain).  An
-            # UNBOUNDED nested leaf Kleene's chain instance binds a
-            # TUPLE per repetition (session 16) — flatten: the group
-            # lowering stores the loop variable's runs as one flat
-            # tuple in bind order, and within-repetition elements are
-            # already position-sorted.
-            out[base] = tuple(
-                x for _, p in sorted(items)
+            # chain prereqs pin instance order == position order
+            # (repetition j's events all precede repetition j+1's, and
+            # within a repetition the chain's instances bind in
+            # position order), so sorting the POSITIONS reproduces the
+            # group lowering's flat bind-order tuple.  An UNBOUNDED
+            # nested leaf Kleene's chain instance binds a TUPLE per
+            # repetition (session 16) — flatten first.
+            out[base] = tuple(sorted(
+                x for p in items
                 for x in (p if isinstance(p, tuple) else (p,))
-            )
+            ))
     out["_alt"] = 0  # arity alternatives collapse into the one group alt
     return out
 

@@ -1329,8 +1329,9 @@ def test_nested_bounded_kleene_in_unbounded_group():
 
 def test_nested_unbounded_kleene_now_compiles():
     """Session 16 lifted the rejection: an unbounded nested LEAF Kleene
-    is a looping position (tests/test_group_loop.py pins the
-    semantics); an unbounded COMPOSITE nested Kleene still rejects."""
+    is a looping position, and session 18 extended it to COMPOSITE
+    (Seq-of-leaves) units (tests/test_group_loop.py pins both
+    semantics); a composite-of-composite inner still rejects."""
     cp = compile_pattern(_nested_pat(None).__class__(
         Seq(Kleene(Seq(Ev("u", role="user"),
                        Kleene(Ev("b", role="assistant")))),
@@ -1338,11 +1339,20 @@ def test_nested_unbounded_kleene_now_compiles():
         window=timedelta(minutes=5),
     ))
     assert any(s.grp_loop for s in cp.alternatives[0].slots)
+    cp2 = compile_pattern(_nested_pat(None).__class__(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Ev("c", role="tool"))))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5),
+    ))
+    assert sum(s.grp_loop for s in cp2.alternatives[0].slots) == 2
     with pytest.raises(ValueError, match="Seq of plain event leaves"):
         compile_pattern(_nested_pat(None).__class__(
             Seq(Kleene(Seq(Ev("u", role="user"),
                            Kleene(Seq(Ev("b", role="assistant"),
-                                      Ev("c", role="tool"))))),
+                                      Kleene(Seq(Ev("c", role="tool"),
+                                                 Ev("d", role="user"))))))),
                 Ev("t", role="tool")),
             window=timedelta(minutes=5),
         ))

@@ -172,6 +172,70 @@ LOOP_PATTERNS = {
 }
 
 
+# ---- session 18: UNBOUNDED COMPOSITE (Seq-of-leaves) nested Kleene —
+# a looping UNIT position: the repetition binds one-or-more full
+# (b, c) inner repetitions, re-entering through the unit's first leaf
+# (loop_cont transitions that re-open the (j, 0, 1) mid pointer).
+# Unit leaves zip-align per inner repetition (same-branch alignment);
+# pairings with group mates outside the unit reject like leaf loops.
+UNIT_PATTERNS = {
+    "unit_tail": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Ev("c", role="tool"))))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8),
+    ),
+    # unit mid-body: continue re-entry gated on mid == grp_idx+1, and
+    # the unit must COMPLETE before the next position binds
+    "unit_mid": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Ev("c", role="tool"))),
+                       Ev("d", role="assistant"))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=10),
+    ),
+    # unit STARTS the body (session-17 position-0 machinery composes)
+    "unit_first": Pattern(
+        Seq(Kleene(Seq(Kleene(Seq(Ev("b", role="assistant"),
+                                  Ev("c", role="tool"))),
+                       Ev("u", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=8),
+    ),
+    # gap Neg INTO the unit: guards (u_j, FIRST b of the first inner
+    # repetition) only — re-entries never re-check it
+    "unit_neg_before": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"), Neg(Ev("n", tool="sql")),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Ev("c", role="tool"))))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=10),
+    ),
+    # trailing Neg after the unit at the body end: loop-back gap reads
+    # the unit's LAST leaf (c of the last inner repetition)
+    "unit_trail_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Ev("c", role="tool"))),
+                       Neg(Ev("n", tool="sql")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=10),
+    ),
+    # conjunct pairing the unit's OWN leaves: same-branch zip per
+    # inner repetition (allowed; cross pairings with u reject)
+    "unit_zip_cond": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Ev("c", role="tool"))))),
+            Ev("t", role="user")),
+        where=attr("c", "value") > attr("b", "value") - lit(50.0),
+        window=timedelta(minutes=10),
+    ),
+}
+
+
 def _gen_group(seed, n):
     rng = np.random.default_rng(seed)
     ts0 = pd.Timestamp("2026-01-01")
@@ -217,6 +281,33 @@ def test_group_loop_vs_replica(name):
     nonzero = 0
     for trial in range(60):
         g = _gen_group(trial * 7 + 1, int(rng.integers(2, 11)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        m = _canon_nfa(match_group_nfa(cp, gs))
+        o = _canon_rep(match_group(pat, g.copy()))
+        assert m == o, f"{name} trial {trial}\nnfa={m}\nrep={o}\n{g}"
+        nonzero += bool(m)
+    assert nonzero > 0, name
+
+
+@pytest.mark.parametrize("name", sorted(UNIT_PATTERNS))
+def test_group_unit_vs_replica(name):
+    pat = UNIT_PATTERNS[name]
+    cp = compile_pattern(pat)
+    alt = cp.alternatives[0]
+    units = [s for s in alt.slots if s.grp_loop]
+    # both unit leaves are loop slots with branch layout, excluded from
+    # the zip map's GROUP dimension but zip-aligned between themselves
+    assert len(units) == 2 and all(s.br_len == 2 for s in units)
+    assert all(
+        alt.var_group.get(s.var) == (s.group, s.grp_idx, s.br)
+        for s in units
+    )
+    rng = np.random.default_rng(0x100F + 8)
+    nonzero = 0
+    for trial in range(60):
+        # n <= 9: the replica bounds the inner at n//2 and the outer at
+        # n//3 — its chain-alternative count is exponential in both
+        g = _gen_group(trial * 7 + 3, int(rng.integers(3, 10)))
         gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
         m = _canon_nfa(match_group_nfa(cp, gs))
         o = _canon_rep(match_group(pat, g.copy()))
@@ -335,6 +426,85 @@ def test_loop_adjacent_vs_bounded_inner_chains():
         ),
         {"b"}, 0x5EED + 2,
     )
+
+
+def test_unit_vs_bounded_inner_chains():
+    """Session 18: unbounded composite unit vs the bounded-at-n/2 unit
+    chains (`_kleene_unit_chains` names b__r_j / c__r_j) — NFA vs NFA,
+    so n can exceed the replica's budget and multi-inner-repetition
+    runs are exercised."""
+    def pat_of(N):
+        return Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Kleene(Seq(Ev("b", role="assistant"),
+                                      Ev("c", role="tool")), max_len=N))),
+                Ev("t", role="user")),
+            window=timedelta(minutes=10),
+        )
+
+    cp_unb = compile_pattern(pat_of(None))
+    rng = np.random.default_rng(0x5EED + 8)
+    nonzero = multi = 0
+    for trial in range(40):
+        g = _gen_group(trial * 13 + 7, int(rng.integers(4, 13)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        cp_bn = compile_pattern(pat_of(max(1, len(gs) // 2)))
+        mu = _canon_nfa(match_group_nfa(cp_unb, gs))
+        mc = _fold_chain(match_group_nfa(cp_bn, gs), {"b", "c"})
+        assert mu == mc, f"trial {trial}\n{g}"
+        nonzero += bool(mu)
+        multi += any(
+            len(dict(b).get("b", ())) > len(dict(b)["u"]) for _, b in mu
+        )
+    assert nonzero > 0 and multi > 0
+
+
+def test_bounded_outer_unit_equals_chain_expansion():
+    """Session 18: bounded OUTER (composite='group') with an unbounded
+    unit inner vs the chain expansion — the repetition cap (counted at
+    the non-loop anchor position) and the unit's re-entry compose."""
+    def pat_of(outer, inner):
+        return Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Kleene(Seq(Ev("b", role="assistant"),
+                                      Ev("c", role="tool")),
+                                  max_len=inner)),
+                       max_len=outer),
+                Ev("t", role="user")),
+            window=timedelta(minutes=15),
+        )
+
+    import re
+
+    cp_group = compile_pattern(pat_of(2, None), composite="group")
+    rng = np.random.default_rng(0x99)
+    nonzero = capped = multi = 0
+    for trial in range(40):
+        g = _gen_group(trial * 23 + 1, int(rng.integers(8, 15)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        cp_chain = compile_pattern(pat_of(2, max(1, len(gs) // 2)))
+        mg = _canon_nfa(match_group_nfa(cp_group, gs))
+        folded = []
+        for a, b in match_group_nfa(cp_chain, gs):
+            fb: dict = {}
+            for v, p in b.items():
+                m = re.fullmatch(r"([ubc])(?:__\d+(?:_\d+)?)+", v)
+                base = m.group(1) if m else v
+                pp = p if isinstance(p, tuple) else (p,)
+                if m:
+                    fb[base] = tuple(sorted(fb.get(base, ()) + pp))
+                else:
+                    fb[v] = p
+            folded.append((0, tuple(sorted(
+                (v, p if isinstance(p, tuple) else (p,)) for v, p in fb.items()
+            ))))
+        assert mg == sorted(set(folded)), f"trial {trial}\n{g}"
+        nonzero += bool(mg)
+        capped += any(len(dict(b)["u"]) == 2 for _, b in mg)
+        multi += any(
+            len(dict(b).get("b", ())) > len(dict(b)["u"]) for _, b in mg
+        )
+    assert nonzero > 0 and capped > 0 and multi > 0
 
 
 def test_bounded_outer_loop_equals_chain_expansion():
@@ -529,6 +699,44 @@ def test_loop_first_mechanics_fixture():
                     ((4,), (0,), 5), ((4,), (0, 3), 5)}
 
 
+def test_unit_mechanics_fixture():
+    """Hand-computed composite-unit mechanics: inner repetitions are
+    strictly ordered pairs, extension vs loop-back disambiguate on the
+    anchor, and a completed group may re-open its unit mid."""
+    ts0 = pd.Timestamp("2026-01-01")
+
+    def frame(types):
+        return pd.DataFrame({
+            "conv_id": "c0",
+            "turn_idx": np.arange(len(types), dtype=np.int32),
+            "role": list(types),
+            "tool": "python",
+            "ts": ts0 + pd.to_timedelta(np.arange(len(types)), unit="s"),
+            "value": np.arange(len(types), dtype=float),
+        })
+
+    pat = UNIT_PATTERNS["unit_tail"]
+    cp = compile_pattern(pat)
+    # u=0, b=1, c=2, u=3, b=4, c=5, t=6
+    g = frame(["user", "assistant", "tool", "user", "assistant", "tool",
+               "user"])
+    res = {(tuple(b["u"]), tuple(b["b"]), tuple(b["c"]))
+           for _, b in match_group_nfa(cp, g)}
+    expect = {
+        # one repetition u=0: units are strictly ordered (b, c) pairs
+        ((0,), (1,), (2,)), ((0,), (1,), (5,)), ((0,), (4,), (5,)),
+        # ... including TWO inner repetitions (the re-entry path; the
+        # group completed after c=2 and re-opened its unit mid)
+        ((0,), (1, 4), (2, 5)),
+        # one repetition u=3
+        ((3,), (4,), (5,)),
+        # two repetitions: rep 2's unit strictly after u=3 — same
+        # positions as the 2-inner-rep binding, distinct u
+        ((0, 3), (1, 4), (2, 5)),
+    }
+    assert res == expect
+
+
 def test_loop_rejections():
     # position 0 COMPILES since session 17 — but an ALL-loop body has
     # no repetition-count anchor and rejects
@@ -566,12 +774,21 @@ def test_loop_rejections():
                                 Ev("x", role="tool")))),
                 Ev("t", role="tool")),
             window=timedelta(minutes=5)))
-    # unbounded COMPOSITE nested Kleene
+    # unbounded COMPOSITE (Seq-of-leaves) nested Kleene COMPILES since
+    # session 18 (a looping unit position) — but not with an inner
+    # that is itself composite-of-composite
+    compile_pattern(Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="tool"),
+                                  Ev("c", role="assistant"))))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=5)))
     with pytest.raises(ValueError, match="unbounded Kleene over a composite"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("u", role="user"),
                            Kleene(Seq(Ev("b", role="tool"),
-                                      Ev("c", role="assistant"))))),
+                                      Kleene(Seq(Ev("c", role="assistant"),
+                                                 Ev("d", role="user"))))))),
                 Ev("t", role="tool")),
             window=timedelta(minutes=5)))
     # conjunct pairing the loop var with a group mate
@@ -591,6 +808,44 @@ def test_loop_rejections():
                 Ev("t", role="user")),
             where=attr("b", "value") < attr("d", "value"),
             window=timedelta(minutes=5)))
+    # ---- session 18: composite-unit rejections ----
+    # a Neg INSIDE the unit (its gap spec would have to fire at
+    # continue binds, which never carry gap specs)
+    with pytest.raises(ValueError, match="unbounded Kleene over a composite"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Kleene(Seq(Ev("b", role="assistant"),
+                                      Neg(Ev("n", tool="sql")),
+                                      Ev("c", role="tool"))))),
+                Ev("t", role="user")),
+            window=timedelta(minutes=8)))
+    # a unit inside an Or_ branch
+    with pytest.raises(ValueError, match="unbounded Kleene over a composite"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Or_(Seq(Ev("w", role="assistant"),
+                                   Kleene(Seq(Ev("b", role="tool"),
+                                              Ev("c", role="assistant")))),
+                               Ev("x", role="tool")))),
+                Ev("t", role="user")),
+            window=timedelta(minutes=8)))
+    # all positions loops (unit + leaf): no repetition-count anchor
+    with pytest.raises(ValueError, match="unbounded Kleene over a composite"):
+        compile_pattern(Pattern(
+            Seq(Ev("s", role="tool"),
+                Kleene(Seq(Kleene(Seq(Ev("b", role="assistant"),
+                                      Ev("c", role="tool"))),
+                           Kleene(Ev("d", role="user"))))),
+            window=timedelta(minutes=8)))
+    # conjunct pairing a unit leaf with a group mate outside the unit
+    with pytest.raises(ValueError, match="nested-Kleene variable"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Kleene(Seq(Ev("b", role="assistant"),
+                                      Ev("c", role="tool"))))),
+                Ev("t", role="user")),
+            where=attr("u", "value") < attr("b", "value"),
+            window=timedelta(minutes=8)))
 
 
 def test_loop_merge_signatures_discriminate():
@@ -632,6 +887,46 @@ def test_loop_merge_signatures_discriminate():
     m4 = merge_compiled([compile_pattern(p_first), compile_pattern(p_first)])
     assert len(m4.alternatives[0].slots) == len(
         compile_pattern(p_first).alternatives[0].slots)
+    # session 18: a composite UNIT loop never merges with an Or_
+    # position whose first branch has the unit's exact event layout
+    # (the "K" marker discriminates; the unit's re-entry loop_cont
+    # transitions would otherwise leak into the Or_ pattern's tags) —
+    # and identical unit twins merge fully, with merged output parity
+    p_unit = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Ev("c", role="tool"))))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8))
+    p_or_twin = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Or_(Seq(Ev("b", role="assistant"),
+                               Ev("c", role="tool")),
+                           Ev("x", role="assistant")))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8))
+    m5 = merge_compiled([compile_pattern(p_unit), compile_pattern(p_or_twin)])
+    alt5 = m5.alternatives[0]
+    unit_sids = {s.sid for s in alt5.slots if s.grp_loop}
+    br_sids = {s.sid for s in alt5.slots
+               if s.group is not None and not s.grp_loop and s.br_len > 1}
+    assert unit_sids and br_sids and unit_sids.isdisjoint(br_sids)
+    m6 = merge_compiled([compile_pattern(p_unit), compile_pattern(p_unit)])
+    assert len(m6.alternatives[0].slots) == len(
+        compile_pattern(p_unit).alternatives[0].slots)
+    rng = np.random.default_rng(0xFACE + 8)
+    from cep_spark.batch import match_group_nfa as mg
+
+    for trial in range(20):
+        g = _gen_group(trial * 5 + 9, int(rng.integers(3, 10)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        got = {0: [], 1: []}
+        for key, b in mg(m5, gs):
+            pi, alt_id = key
+            got[pi].append((alt_id, b))
+        for pi, p in ((0, p_unit), (1, p_or_twin)):
+            assert _canon_nfa(got[pi]) == _canon_nfa(
+                mg(compile_pattern(p), gs)), f"unit merge trial {trial} pat {pi}"
     # and the merged automaton matches both patterns' outputs
     rng = np.random.default_rng(0xFACE)
     from cep_spark.batch import match_group_nfa as mg

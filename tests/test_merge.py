@@ -308,8 +308,17 @@ def _suffix_part(draw):
         # leak into the plain pattern's tags), while identical loop
         # layouts share; sometimes with a boundary Neg so the gap
         # specs reading the run's last element merge correctly
-        placement = draw(st.sampled_from(["tail", "mid", "neg", "pos0"]))
+        placement = draw(st.sampled_from(["tail", "mid", "neg", "pos0",
+                                          "unit"]))
         inner = Kleene(draw(_leaf()), max_len=None)
+        if placement == "unit":
+            # session 18: a composite UNIT loop — unit leaves carry
+            # br/br_idx/br_len AND the K marker, so a unit never merges
+            # with a same-layout multi-event Or_ branch
+            return [Kleene(Seq(draw(_leaf()),
+                               Kleene(Seq(draw(_leaf()), draw(_leaf())),
+                                      max_len=None)),
+                           max_len=None)]
         if placement == "tail":
             return [Kleene(Seq(draw(_leaf()), inner), max_len=None)]
         if placement == "mid":

@@ -85,8 +85,16 @@ def kleene_node(draw):
         inner = Kleene(draw(leaf()), max_len=None)
         variant = draw(st.sampled_from(
             ["tail", "mid", "neg_before", "neg_after", "two", "pos0",
-             "pos0_trail", "all_loop"]
+             "pos0_trail", "all_loop", "unit", "unit_first"]
         ))
+        if variant in ("unit", "unit_first"):
+            # session 18: an UNBOUNDED COMPOSITE (Seq-of-leaves) nested
+            # Kleene — a looping UNIT position (re-entry through the
+            # unit's first leaf); also at position 0
+            unit = Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
+            if variant == "unit_first":
+                return Kleene(Seq(unit, draw(leaf())), max_len=None)
+            return Kleene(Seq(draw(leaf()), unit), max_len=None)
         if variant == "tail":
             return Kleene(Seq(draw(leaf()), inner), max_len=None)
         if variant == "mid":

@@ -273,6 +273,42 @@ def test_parity_loop_first_position(spark, events_pdf, tmp_path):
     assert sum(1 for r in rows if r["b_len"] > r["a_len"]) == 209
 
 
+def test_parity_loop_unit(spark, events_pdf, tmp_path):
+    """Round 5, session 18: an UNBOUNDED COMPOSITE (Seq-of-leaves)
+    Kleene nested inside the unbounded repetition — a looping UNIT
+    position — through the REAL streaming state store.  A unit
+    half-open at a micro-batch cut (click bound, signup pending) must
+    restore with its (j, 0, k) mid pointer and complete from persisted
+    state, and re-entries for further inner repetitions must extend
+    across cuts.  144h window on sf0.001: 716 matches, 85
+    multi-repetition (loop-back) and 107 with more units than
+    repetitions (the re-entry path) — probe-pinned, so a lowering that
+    caps units at one per repetition or loses half-open unit state
+    fails."""
+    pat = _pat(
+        Seq(Kleene(Seq(Ev("a", event_type="view"),
+                       Kleene(Seq(Ev("b", event_type="click"),
+                                  Ev("c", event_type="signup"))))),
+            Ev("p", event_type="purchase")),
+        window=timedelta(hours=144),
+    )
+    cp = compile_pattern(pat)
+    src = str(tmp_path / "src")
+    with_flush = pd.concat([events_pdf, _flush_row(events_pdf,
+                                                   event_type="purchase")],
+                           ignore_index=True)
+    _split_files(with_flush, src, k=5)
+    got = _run(spark, src, cp, "0 seconds", str(tmp_path / "ckpt"),
+               "m_loop_unit")
+    batch = run_batch(spark.read.parquet(f"{SF}/events.parquet"), cp,
+                      mode="flat")
+    assert _canon(got.collect()) == _canon(batch.collect())
+    rows = got.collect()
+    assert len(rows) == 716
+    assert sum(1 for r in rows if r["a_len"] > 1) == 85
+    assert sum(1 for r in rows if r["b_len"] > r["a_len"]) == 107
+
+
 def test_parity_dist_or_group(spark, events_pdf, tmp_path):
     """Round 5, session 12: an Or_ NESTED inside the Seq branch —
     distributed at compile time into __d{k}-renamed units — through the

@@ -383,6 +383,15 @@ PATTERNS = {
                        Ev("u", role="user"))),
             Ev("t", role="tool")),
         window=timedelta(seconds=180)),
+    # session 18: a composite UNIT loop — a unit half-open at a
+    # micro-batch cut must restore with its (j, 0, k) mid pointer and
+    # complete from persisted state; re-entries extend across cuts
+    "group_loop_unit": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Ev("c", role="tool"))))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=240)),
 }
 
 
