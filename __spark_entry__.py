@@ -1286,6 +1286,94 @@ WHERE ch.ph = 2 AND p.event_type = 'purchase'
 """
 
 
+# round 5 (session 19): a Neg strictly BETWEEN two leaves of the
+# looping unit — `Kleene(Seq(a, Kleene(Seq(b, Neg(n), c))))`: a
+# per-INNER-repetition gap (no 'error' strictly between each click and
+# its signup), firing in first-pass and re-entered units alike
+# (NegSpec.mem_gap at the signup sub-slot's bind).  The oracle is the
+# session-18 3-phase walk with a NOT EXISTS guard on the signup step
+# (ch.last IS the gap's click while ph = 1).  The Neg kills 814 of the
+# 1975 Neg-free rows at sf0.01 — strongly discriminative.
+
+_KLEENE_LOOP_UNIT_NEG_PAT = _p(
+    Seq(
+        Kleene(Seq(Ev("a", event_type="view"),
+                   Kleene(Seq(Ev("b", event_type="click"),
+                              Neg(Ev("n", event_type="error")),
+                              Ev("c", event_type="signup"))))),
+        Ev("p", event_type="purchase"),
+    ),
+    window=timedelta(hours=96),
+)
+
+
+def _kleene_loop_unit_neg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cep_spark.batch import run_batch
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return run_batch(df, compile_pattern(_KLEENE_LOOP_UNIT_NEG_PAT),
+                     mode="flat")
+
+
+def _kleene_loop_unit_neg_oracle() -> str:
+    w = int(_KLEENE_LOOP_UNIT_NEG_PAT.window.total_seconds())
+    return f"""
+WITH RECURSIVE chains AS (
+  SELECT a.user_id, a.ts AS first_ts, 0 AS ph,
+         1 AS a_cnt, a.event_id AS a_first, a.event_id AS a_last,
+         0 AS b_cnt, CAST(NULL AS BIGINT) AS b_first,
+         CAST(NULL AS BIGINT) AS b_last,
+         0 AS c_cnt, CAST(NULL AS BIGINT) AS c_first,
+         CAST(NULL AS BIGINT) AS c_last,
+         a.event_id AS last_id, a.ts AS last_ts
+  FROM events a WHERE a.event_type = 'view'
+  UNION ALL
+  SELECT ch.user_id, ch.first_ts,
+         CASE WHEN e.event_type = 'click' THEN 1
+              WHEN e.event_type = 'signup' THEN 2 ELSE 0 END,
+         ch.a_cnt + CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END,
+         ch.a_first,
+         CASE WHEN e.event_type = 'view' THEN e.event_id ELSE ch.a_last END,
+         ch.b_cnt + CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END,
+         CASE WHEN e.event_type = 'click'
+              THEN COALESCE(ch.b_first, e.event_id) ELSE ch.b_first END,
+         CASE WHEN e.event_type = 'click' THEN e.event_id ELSE ch.b_last END,
+         ch.c_cnt + CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END,
+         CASE WHEN e.event_type = 'signup'
+              THEN COALESCE(ch.c_first, e.event_id) ELSE ch.c_first END,
+         CASE WHEN e.event_type = 'signup' THEN e.event_id ELSE ch.c_last END,
+         e.event_id, e.ts
+  FROM chains ch JOIN events e ON e.user_id = ch.user_id
+  WHERE ((e.event_type = 'click' AND ch.ph IN (0, 2))
+         OR (e.event_type = 'signup' AND ch.ph = 1 AND NOT EXISTS (
+               SELECT 1 FROM events n
+               WHERE n.user_id = ch.user_id AND n.event_type = 'error'
+                 AND (ch.last_ts < n.ts
+                      OR (ch.last_ts = n.ts AND ch.last_id < n.event_id))
+                 AND (n.ts < e.ts
+                      OR (n.ts = e.ts AND n.event_id < e.event_id))))
+         OR (e.event_type = 'view' AND ch.ph = 2))
+    AND (ch.last_ts < e.ts OR (ch.last_ts = e.ts AND ch.last_id < e.event_id))
+    AND EPOCH(e.ts) - EPOCH(ch.first_ts) <= {w}
+)
+SELECT ch.user_id AS user_id, CAST(0 AS INT) AS alt_id,
+       CAST(ch.a_cnt AS BIGINT) AS a_len,
+       CAST(ch.a_first AS BIGINT) AS a_first,
+       CAST(ch.a_last AS BIGINT) AS a_last,
+       CAST(ch.b_cnt AS BIGINT) AS b_len,
+       CAST(ch.b_first AS BIGINT) AS b_first,
+       CAST(ch.b_last AS BIGINT) AS b_last,
+       CAST(ch.c_cnt AS BIGINT) AS c_len,
+       CAST(ch.c_first AS BIGINT) AS c_first,
+       CAST(ch.c_last AS BIGINT) AS c_last,
+       CAST(p.event_id AS BIGINT) AS p_event_id
+FROM chains ch JOIN events p ON p.user_id = ch.user_id
+WHERE ch.ph = 2 AND p.event_type = 'purchase'
+  AND (ch.last_ts < p.ts OR (ch.last_ts = p.ts AND ch.last_id < p.event_id))
+  AND EPOCH(p.ts) - EPOCH(ch.first_ts) <= {w}
+"""
+
+
 # round 5 (session 12): an Or_ NESTED inside the Seq branch —
 # `Or_(Seq(w, Or_(x, y)), c)` — distributed at compile time into flat
 # units (w__d1, x__d1) | (w__d2, y__d2) | c with per-unit variable
@@ -3324,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cep_kleene_nested_unbounded"] = _kleene_nested_unbounded_query
     out["cep_kleene_loop_first"] = _kleene_loop_first_query
     out["cep_kleene_loop_unit"] = _kleene_loop_unit_query
+    out["cep_kleene_loop_unit_neg"] = _kleene_loop_unit_neg_query
     out["cep_kleene_and_pos"] = _kleene_and_pos_query
     out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_query
     out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_query
@@ -3370,6 +3459,7 @@ def oracle_sql() -> dict[str, str]:
     out["cep_kleene_nested_unbounded"] = _kleene_nested_unbounded_oracle()
     out["cep_kleene_loop_first"] = _kleene_loop_first_oracle()
     out["cep_kleene_loop_unit"] = _kleene_loop_unit_oracle()
+    out["cep_kleene_loop_unit_neg"] = _kleene_loop_unit_neg_oracle()
     out["cep_kleene_and_pos"] = _kleene_and_pos_oracle()
     out["cep_kleene_and_pos_seq"] = _kleene_and_pos_seq_oracle()
     out["cep_kleene_and_pos_mem_neg"] = _kleene_and_pos_mem_neg_oracle()

@@ -465,13 +465,13 @@ def _validate_group_inner(node: Kleene) -> None:
         # is a Seq of plain leaves — a looping UNIT position: the
         # repetition binds one-or-more full (b, c, ...) inner
         # repetitions in strict order, re-entering through the unit's
-        # first leaf (adjacent-pair conditions and Negs INSIDE the
-        # unit are not supported — an adjacent pair would need
-        # cross-run scoping, and an inner gap spec would have to fire
-        # at continue binds, which never carry gap specs)
-        return (p.adjacent is None and isinstance(p.inner, Seq)
-                and len(p.inner.parts) >= 2
-                and all(isinstance(x, Ev) for x in p.inner.parts))
+        # first leaf.  Session 19: the unit may carry Negs strictly
+        # BETWEEN two of its leaves — a per-inner-repetition gap
+        # (NegSpec.mem_gap at the following leaf's bind, which is
+        # never a continue bind).  Leading/trailing unit-interior
+        # Negs and adjacent-pair conditions keep pointed rejections
+        # (their gaps would need to fire at continue/re-entry binds).
+        return p.adjacent is None and _unit_body_ok(p.inner)
 
     ok = (
         isinstance(inner, Seq)
@@ -637,7 +637,7 @@ def _kleene_unit_chains(k: Kleene, reps: list) -> list:
     inner repetition, while a conjunct on one leaf replicates per
     instance — exactly the group lowering's same-branch zip /
     per-element semantics."""
-    names = [ev.name for ev in k.inner.parts]
+    names = _all_names(k.inner)
     mappings = []
     out = []
     for r in range(1, k.max_len + 1):
@@ -645,20 +645,36 @@ def _kleene_unit_chains(k: Kleene, reps: list) -> list:
         for j in range(1, r + 1):
             m = {v: f"{v}__{r}_{j}" for v in names}
             mappings.append(m)
-            insts.extend(_rename_node(ev, m) for ev in k.inner.parts)
+            insts.extend(_rename_node(x, m) for x in k.inner.parts)
         out.append(Seq(*insts))
     reps.append(("all", names, mappings))
     return out
 
 
+def _unit_body_ok(inner) -> bool:
+    """A Seq of >= 2 plain leaves, optionally with Negs strictly
+    BETWEEN two leaves (never first/last, never adjacent) — the unit
+    body shape both `_kleene_unit_chains` (bounded) and the looping
+    UNIT position (unbounded, session 18-19) accept."""
+    if not (isinstance(inner, Seq)
+            and sum(isinstance(x, Ev) for x in inner.parts) >= 2
+            and all(isinstance(x, (Ev, Neg)) for x in inner.parts)
+            and (not inner.parts
+                 or (isinstance(inner.parts[0], Ev)
+                     and isinstance(inner.parts[-1], Ev)))):
+        return False
+    return not any(
+        isinstance(a, Neg) and isinstance(b, Neg)
+        for a, b in zip(inner.parts, inner.parts[1:])
+    )
+
+
 def _is_bounded_unit_comp(p) -> bool:
-    """A bounded composite Kleene whose body is a Seq of >= 2 plain
-    leaves and which carries no adjacent-pair condition — the shape
-    `_kleene_unit_chains` expands."""
+    """A bounded composite Kleene whose body is a unit-shaped Seq (see
+    `_unit_body_ok`) and which carries no adjacent-pair condition —
+    the shape `_kleene_unit_chains` expands."""
     return (isinstance(p, Kleene) and p.max_len is not None
-            and p.adjacent is None and isinstance(p.inner, Seq)
-            and len(p.inner.parts) >= 2
-            and all(isinstance(x, Ev) for x in p.inner.parts))
+            and p.adjacent is None and _unit_body_ok(p.inner))
 
 
 def _pre_expand_unit_bounded(inner: Node, reps: list) -> Node:
@@ -1248,11 +1264,32 @@ def _collect(
                     # leaf case (pairings with group mates reject).
                     if isinstance(part.inner, Seq):
                         uhere = here
-                        u_evs = part.inner.parts
-                        for k2, uev in enumerate(u_evs):
+                        u_evs = [x for x in part.inner.parts
+                                 if isinstance(x, Ev)]
+                        k2 = 0
+                        u_neg = None  # Neg between two unit leaves
+                        prev_usid = None
+                        for x in part.inner.parts:
+                            if isinstance(x, Neg):
+                                # session 19: a per-INNER-repetition
+                                # gap (this unit leaf, next unit leaf)
+                                # — registered as a member-style gap
+                                # (NegSpec.mem_gap) closing at the
+                                # following leaf's bind, which happens
+                                # once per inner repetition (first
+                                # pass AND re-entered units alike;
+                                # those binds go through the ordinary
+                                # tuple path, never loop_cont, so the
+                                # spec fires exactly there); pre_vars
+                                # = the previous leaf only — its
+                                # tuple's last element is always the
+                                # SAME inner repetition's (strict
+                                # in-unit order)
+                                u_neg = x
+                                continue
                             sid = len(slots)
                             slots.append(
-                                Slot(sid, uev.name, uev.where,
+                                Slot(sid, x.name, x.where,
                                      kleene=True, kleene_max=node.max_len,
                                      prereq=uhere, group=gid, grp_idx=j,
                                      br=0, br_idx=k2, br_len=len(u_evs),
@@ -1260,8 +1297,16 @@ def _collect(
                             )
                             if k2 == 0:
                                 entry_sids.append(sid)
+                            if u_neg is not None:
+                                negs.append(
+                                    (u_neg, ("repeat_mem",
+                                             frozenset({sid}), prev_usid))
+                                )
+                                u_neg = None
                             new_sids.append(sid)
                             uhere = uhere | frozenset({sid})
+                            prev_usid = sid
+                            k2 += 1
                     else:
                         sid = len(slots)
                         slots.append(

@@ -233,6 +233,25 @@ UNIT_PATTERNS = {
         where=attr("c", "value") > attr("b", "value") - lit(50.0),
         window=timedelta(minutes=10),
     ),
+    # session 19: a Neg strictly BETWEEN two unit leaves — a
+    # per-INNER-repetition gap (fires in re-entered units too)
+    "unit_inner_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Neg(Ev("n", tool="sql")),
+                                  Ev("c", role="tool"))))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=10),
+    ),
+    # ... and with the unit at position 0 (sessions 17+19 compose)
+    "unit_inner_neg_first": Pattern(
+        Seq(Kleene(Seq(Kleene(Seq(Ev("b", role="assistant"),
+                                  Neg(Ev("n", tool="sql")),
+                                  Ev("c", role="tool"))),
+                       Ev("u", role="user"))),
+            Ev("t", role="tool")),
+        window=timedelta(minutes=10),
+    ),
 }
 
 
@@ -452,6 +471,53 @@ def test_unit_vs_bounded_inner_chains():
         mu = _canon_nfa(match_group_nfa(cp_unb, gs))
         mc = _fold_chain(match_group_nfa(cp_bn, gs), {"b", "c"})
         assert mu == mc, f"trial {trial}\n{g}"
+        nonzero += bool(mu)
+        multi += any(
+            len(dict(b).get("b", ())) > len(dict(b)["u"]) for _, b in mu
+        )
+    assert nonzero > 0 and multi > 0
+
+
+def test_unit_inner_neg_vs_bounded_chains():
+    """Session 19: the unit's interior Neg vs the bounded unit chains
+    (where it becomes a within-branch Neg between renamed leaves —
+    session-4 machinery): the per-inner-repetition gap must fire in
+    first-pass AND re-entered units alike."""
+    import re
+
+    def pat_of(N):
+        return Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Kleene(Seq(Ev("b", role="assistant"),
+                                      Neg(Ev("n", tool="sql")),
+                                      Ev("c", role="tool")), max_len=N))),
+                Ev("t", role="user")),
+            window=timedelta(minutes=10),
+        )
+
+    cp_unb = compile_pattern(pat_of(None))
+    rng = np.random.default_rng(0x191)
+    nonzero = multi = 0
+    for trial in range(40):
+        g = _gen_group(trial * 13 + 11, int(rng.integers(4, 13)))
+        gs = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        cp_bn = compile_pattern(pat_of(max(1, len(gs) // 2)))
+        mu = _canon_nfa(match_group_nfa(cp_unb, gs))
+        folded = []
+        for a, b in match_group_nfa(cp_bn, gs):
+            fb: dict = {}
+            for v, p in b.items():
+                m = re.fullmatch(r"([bc])__\d+_\d+", v)
+                base = m.group(1) if m else v
+                pp = p if isinstance(p, tuple) else (p,)
+                if m:
+                    fb[base] = tuple(sorted(fb.get(base, ()) + pp))
+                else:
+                    fb[v] = p
+            folded.append((a, tuple(sorted(
+                (v, p if isinstance(p, tuple) else (p,)) for v, p in fb.items()
+            ))))
+        assert mu == sorted(set(folded)), f"trial {trial}\n{g}"
         nonzero += bool(mu)
         multi += any(
             len(dict(b).get("b", ())) > len(dict(b)["u"]) for _, b in mu
@@ -736,6 +802,34 @@ def test_unit_mechanics_fixture():
     }
     assert res == expect
 
+    # session 19: the interior Neg's per-inner-repetition gap fires in
+    # RE-ENTERED units too.  u=0, unit1 (b=1, c=2) clean, re-entry
+    # b=3 then sql at 4 then c=5: the (3, 5) gap is killed, while
+    # (3, 4) — where the sql event IS c — survives (strictly-between
+    # gap), as does (1, 4).
+    patn = Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Neg(Ev("n", tool="sql")),
+                                  Ev("c", role="tool"))))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=10))
+    cpn = compile_pattern(patn)
+    gn = pd.DataFrame({
+        "conv_id": "c0",
+        "turn_idx": np.arange(7, dtype=np.int32),
+        "role": ["user", "assistant", "tool", "assistant", "tool",
+                 "tool", "user"],
+        "tool": ["python", "python", "python", "python", "sql",
+                 "python", "python"],
+        "ts": ts0 + pd.to_timedelta(np.arange(7), unit="s"),
+        "value": np.arange(7, dtype=float),
+    })
+    resn = {(tuple(b["b"]), tuple(b["c"]))
+            for _, b in match_group_nfa(cpn, gn)}
+    assert resn == {((1,), (2,)), ((1,), (4,)), ((3,), (4,)),
+                    ((1, 3), (2, 4))}
+
 
 def test_loop_rejections():
     # position 0 COMPILES since session 17 — but an ALL-loop body has
@@ -808,15 +902,31 @@ def test_loop_rejections():
                 Ev("t", role="user")),
             where=attr("b", "value") < attr("d", "value"),
             window=timedelta(minutes=5)))
-    # ---- session 18: composite-unit rejections ----
-    # a Neg INSIDE the unit (its gap spec would have to fire at
-    # continue binds, which never carry gap specs)
+    # ---- session 18-19: composite-unit rejections ----
+    # a Neg BETWEEN two unit leaves COMPILES (session 19) — but a Neg
+    # LEADING or TRAILING the unit rejects (its gap would have to fire
+    # at continue/re-entry binds)
+    compile_pattern(Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Neg(Ev("n", tool="sql")),
+                                  Ev("c", role="tool"))))),
+            Ev("t", role="user")),
+        window=timedelta(minutes=8)))
+    with pytest.raises(ValueError, match="unbounded Kleene over a composite"):
+        compile_pattern(Pattern(
+            Seq(Kleene(Seq(Ev("u", role="user"),
+                           Kleene(Seq(Neg(Ev("n", tool="sql")),
+                                      Ev("b", role="assistant"),
+                                      Ev("c", role="tool"))))),
+                Ev("t", role="user")),
+            window=timedelta(minutes=8)))
     with pytest.raises(ValueError, match="unbounded Kleene over a composite"):
         compile_pattern(Pattern(
             Seq(Kleene(Seq(Ev("u", role="user"),
                            Kleene(Seq(Ev("b", role="assistant"),
-                                      Neg(Ev("n", tool="sql")),
-                                      Ev("c", role="tool"))))),
+                                      Ev("c", role="tool"),
+                                      Neg(Ev("n", tool="sql")))))),
                 Ev("t", role="user")),
             window=timedelta(minutes=8)))
     # a unit inside an Or_ branch

@@ -314,7 +314,17 @@ def _suffix_part(draw):
         if placement == "unit":
             # session 18: a composite UNIT loop — unit leaves carry
             # br/br_idx/br_len AND the K marker, so a unit never merges
-            # with a same-layout multi-event Or_ branch
+            # with a same-layout multi-event Or_ branch; session 19:
+            # sometimes with an interior Neg (mem_gap joins the merge
+            # neg signatures, so a Neg-carrying unit never shares
+            # specs with its Neg-free twin)
+            if draw(st.booleans()):
+                return [Kleene(Seq(draw(_leaf()),
+                                   Kleene(Seq(draw(_leaf()),
+                                              Neg(draw(_leaf())),
+                                              draw(_leaf())),
+                                          max_len=None)),
+                               max_len=None)]
             return [Kleene(Seq(draw(_leaf()),
                                Kleene(Seq(draw(_leaf()), draw(_leaf())),
                                       max_len=None)),

@@ -90,8 +90,14 @@ def kleene_node(draw):
         if variant in ("unit", "unit_first"):
             # session 18: an UNBOUNDED COMPOSITE (Seq-of-leaves) nested
             # Kleene — a looping UNIT position (re-entry through the
-            # unit's first leaf); also at position 0
-            unit = Kleene(Seq(draw(leaf()), draw(leaf())), max_len=None)
+            # unit's first leaf); also at position 0, and (session 19)
+            # sometimes with a Neg BETWEEN the unit's leaves
+            if draw(st.booleans()):
+                unit = Kleene(Seq(draw(leaf()), Neg(draw(leaf())),
+                                  draw(leaf())), max_len=None)
+            else:
+                unit = Kleene(Seq(draw(leaf()), draw(leaf())),
+                              max_len=None)
             if variant == "unit_first":
                 return Kleene(Seq(unit, draw(leaf())), max_len=None)
             return Kleene(Seq(draw(leaf()), unit), max_len=None)

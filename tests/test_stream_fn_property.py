@@ -392,6 +392,16 @@ PATTERNS = {
                                   Ev("c", role="tool"))))),
             Ev("t", role="user")),
         window=timedelta(seconds=240)),
+    # session 19: interior unit Neg — the per-inner-repetition gap
+    # must fire on c binds of units restored from persisted state,
+    # including re-entered units whose b bound in an earlier batch
+    "group_loop_unit_neg": Pattern(
+        Seq(Kleene(Seq(Ev("u", role="user"),
+                       Kleene(Seq(Ev("b", role="assistant"),
+                                  Neg(Ev("n", tool="sql")),
+                                  Ev("c", role="tool"))))),
+            Ev("t", role="user")),
+        window=timedelta(seconds=240)),
 }
 
 
